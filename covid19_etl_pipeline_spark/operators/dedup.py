@@ -1,0 +1,202 @@
+"""Deduplication operators (exact + near-dup) for training-data pipelines.
+
+Beyond-reference extension surface (BASELINE.json). Algorithms:
+
+- **exact**: hash-groupBy on content (or its md5) — one shuffle keyed on
+  the fingerprint; at 100 TB group on ``md5(text)`` not ``text`` so
+  shuffle rows stay small.
+- **MinHash + LSH banding**: shingle → per-seed min-hash → band
+  signatures → bucket self-join. Candidate generation is an equi-join on
+  (band, signature) — no O(n²) pair scan; buckets bound comparison cost.
+  Hashes are md5-derived so the pipeline is deterministic and
+  reproducible across engines (vs Spark's murmur3 ``F.hash``, which a
+  SQL oracle can't mirror).
+- **n-gram Jaccard verification**: exact similarity on candidate pairs
+  only (post-LSH), via array_intersect/array_union on distinct shingles.
+- **SimHash**: 32-bit signature from per-token md5 bits, bit-majority
+  aggregated; near-dups = signatures within small Hamming distance.
+
+All stages are built-in higher-order functions — no Python in the hot
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.operators.text import normalized_text, shingles, tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Group identical texts: fingerprint → (keeper id, copy count).
+
+    Shuffles md5 fingerprints (32 bytes/row), never full documents.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(f"keeper_{id_col}"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the min-id row per identical text (deterministic survivor)."""
+    keepers = exact_dup_groups(df, id_col, text_col).select(
+        F.col(f"keeper_{id_col}").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def minhash_value(shingle_col: Column, seed: int) -> Column:
+    """One MinHash: lexicographic min of md5('<seed>|' || shingle).
+
+    md5 (not F.hash/murmur3) so signatures are engine-portable and
+    stable across Spark versions.
+    """
+    return F.array_min(
+        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature columns ``mh0..mh{n-1}``."""
+    sh = shingles(tokens(text_col), k=shingle_k)
+    out = df.select(F.col(id_col), sh.alias("__shingles"))
+    out = out.withColumns(
+        {f"mh{i}": minhash_value(F.col("__shingles"), i) for i in range(num_hashes)}
+    )
+    return out.drop("__shingles")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any full band signature become a
+    candidate pair (id_a < id_b, distinct).
+
+    Plan shape: one narrow signature pass → explode to (band, sig, id)
+    → self equi-join on (band, sig) → distinct pairs. The join is the
+    only shuffle and its key is the band signature — at scale, bucket
+    skew (a degenerate common band) is handled by AQE skew-join.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(band_cols).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig") != "")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (default: LSH candidates).
+
+    Verification stage of the MinHash pipeline: joins each side's
+    distinct-shingle set and computes |A∩B| / |A∪B|.
+    """
+    if candidates is None:
+        candidates = lsh_candidate_pairs(df, id_col, text_col, shingle_k=shingle_k)
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(sets.withColumnRenamed(id_col, f"{id_col}_a"), on=f"{id_col}_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sets.withColumnRenamed(id_col, f"{id_col}_b"), on=f"{id_col}_b")
+        .withColumnRenamed("sh", "sh_b")
+        .withColumn(
+            "jaccard",
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) > 0,
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            ).otherwise(F.lit(None)),
+        )
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash signature: per-token md5 → low ``bits`` bits → weighted
+    bit-majority vote → integer signature.
+
+    Explodes tokens once (linear), aggregates per (doc, bit) via a
+    posexplode over the bit positions of each token hash — two narrow
+    explodes + one hash-agg shuffle on the doc id.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(normalized_text(text_col)))).alias("tok")
+    )
+    # low `bits` bits of the token's md5 as a bigint (15 hex chars = 60
+    # bits, safely inside bigint range)
+    tok = tok.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+    )
+    # SQL-side shift: the shiftright Python wrapper requires a literal
+    # shift amount, the SQL form takes expressions
+    with_bits = tok.select(
+        F.col(id_col),
+        F.col("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).withColumn("vote", F.expr("cast(shiftright(h, bit) & 1 as int) * 2 - 1"))
+    votes = with_bits.groupBy(id_col, "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two integer signatures via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

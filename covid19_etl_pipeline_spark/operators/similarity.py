@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference extension surface (BASELINE.json): approximate-nearest-
+neighbor over the ``embeddings`` table.
+
+- **Brute-force cosine top-k** — the correctness baseline. Dot products
+  via ``zip_with`` + ``aggregate`` (JVM higher-order functions, no
+  Python). Cost is |Q|×|C| rows; only for small query sets / validation.
+- **LSH-bucketed ANN (random hyperplanes)** — the 100 TB path. Each
+  vector gets a b-bit sign signature against deterministic pseudo-random
+  hyperplanes (seeded, generated driver-side once and embedded as
+  literals — no data-dependent state). Candidates = equi-join on the
+  signature (optionally multi-probe on 1-bit flips), then exact cosine
+  re-rank within buckets. Shuffle key is the bucket id; candidate count
+  per query drops from |C| to |C| / 2^b on average.
+
+All double-precision math is done in declared element order so results
+are reproducible and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in element order, computed in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, null when either vector has zero norm."""
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(None))
+
+
+def brute_force_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is expected small — it is broadcast so the candidate
+    side never shuffles; ranking uses a per-query window with a
+    deterministic (similarity desc, id asc) tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = candidates.select(F.col(id_col), F.col(vec_col))
+    scored = (
+        c.join(F.broadcast(q), on=F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col(vec_col)))
+        .drop("__qvec", vec_col)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: each weight is derived
+    from md5(seed|plane|dim) mapped to [-1, 1]. Reproducible across
+    runs/engines with no RNG state."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row: list[float] = []
+        for d in range(dim):
+            digest = hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()
+            (u,) = struct.unpack(">Q", digest[:8])
+            row.append(u / float(2**64 - 1) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """b-bit sign signature: bit p = 1 iff vec · plane_p > 0."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane bucket equi-join + exact re-rank.
+
+    Recall/cost dial = ``n_planes`` (more planes → smaller buckets →
+    faster, lower recall). At scale, bucket the candidate table ONCE
+    (write with the signature column, partitioned) and reuse across
+    query batches.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = candidates.select(
+        F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col(vec_col)))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )

@@ -1,0 +1,37 @@
+"""Sort / limit / top-k operators.
+
+Reference parity:
+- O1/O2 global sorts (data_transformer.py:252, :291; dashboard ORDER BYs)
+- O3 top-k sort+limit (``ORDER BY total_cases DESC LIMIT 50``,
+  dashboard.py:99-100)
+- O4 client-side nlargest (dashboard.py:187-189) → engine-side top-k
+- O5 most-recent-N-days (dashboard.py:359) → date-range filter form
+
+Scale notes: ``orderBy().limit(k)`` plans as TakeOrderedAndProject —
+each task keeps a k-row heap, the driver merges; no global sort shuffle.
+A bare global ``orderBy`` is a range-partitioned exchange (sampling pass
++ shuffle) — only use when the consumer truly needs total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-k via sort+limit (TakeOrderedAndProject). Include a unique
+    tie-break column in ``order_by`` for deterministic results."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def most_recent_days(df: DataFrame, date_col: str, days: int) -> DataFrame:
+    """Rows within ``days`` of the max date — the set-based form of the
+    dashboard's ``head(days_back)`` slice (O5). One extra scan to find
+    max(date); at scale prefer partition-pruned literal bounds."""
+    max_date = df.agg(F.max(date_col).alias("m")).collect()[0]["m"]
+    if max_date is None:
+        return df
+    return df.filter(F.col(date_col) >= F.date_sub(F.lit(max_date), days - 1))

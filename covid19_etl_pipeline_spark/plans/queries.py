@@ -1,0 +1,808 @@
+"""Named query registry — every implemented operator as a (Spark query,
+ANSI-SQL oracle) pair over the synthetic catalog (TESTDATA.md).
+
+Each entry transposes a SURVEY.md §2 operator (reference file:line cited
+on each query) onto the driver's TPC-H-ish tables. Conventions that make
+the DuckDB hash-compare deterministic:
+
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- multi-row float aggregates (sum/avg over doubles) are rounded to 4
+  decimals in BOTH engines at output (summation order differs between
+  engines; per-row arithmetic is left exact — IEEE ops are
+  deterministic);
+- every top-k / rank has a unique tie-break key;
+- regexes are RE2-safe (no lookarounds) so Spark (Java regex) and DuckDB
+  (RE2) agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.catalog import TABLES, load_table
+from covid19_etl_pipeline_spark.operators import dedup, similarity, text
+from covid19_etl_pipeline_spark.operators.joins import (
+    anti_join_membership,
+    broadcast_dim_join,
+    equi_join,
+    semi_join_membership,
+)
+from covid19_etl_pipeline_spark.operators.projection import guarded_ratio
+from covid19_etl_pipeline_spark.operators.setops import upsert_on_key
+from covid19_etl_pipeline_spark.operators.windows import moving_average, top_n_per_group
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, description: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments shared by the text/dedup oracles (kept in exact
+# lockstep with operators/text.py + operators/dedup.py expressions).
+# ---------------------------------------------------------------------------
+
+_D_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_D_SHINGLES = (
+    f"CASE WHEN len({_D_TOKS}) >= 3 "
+    f"THEN list_transform(range(1, len({_D_TOKS}) - 1), "
+    f"i -> array_to_string({_D_TOKS}[i:i+2], ' ')) "
+    f"ELSE [] END"
+)
+
+
+def _d_minhash(seed: int, shingles_expr: str = "sh") -> str:
+    return f"list_min(list_transform({shingles_expr}, s -> md5('{seed}|' || s)))"
+
+
+def _d_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(list_transform({_D_TOKS}, t -> lower(t))), "
+        f"[{words}]))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parity surface — scans, projections, filters (SURVEY §2.1, §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rollup_entity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)                            AS sum_qty,
+           round(sum(l_extendedprice), 4)                       AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)    AS sum_disc_price,
+           round(avg(l_quantity), 4)                            AS avg_qty,
+           round(avg(l_discount), 4)                            AS avg_disc,
+           max(CAST(l_shipdate AS DATE))                        AS last_shipdate,
+           count(*)                                             AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "FLAGSHIP — multi-key multi-measure hash rollup (A1+A3+O1; "
+    "aggregate_by_country shape, data_transformer.py:219-256)",
+)
+def rollup_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.max(F.to_date("l_shipdate")).alias("last_shipdate"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "daily_rollup_7day",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               sum(value)       AS tv,
+               count(user_id)   AS users_reporting
+        FROM events GROUP BY 1
+    )
+    SELECT event_date,
+           round(tv, 4) AS total_value,
+           users_reporting,
+           round(avg(tv) OVER (ORDER BY event_date
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS value_7day_avg
+    FROM daily ORDER BY event_date
+    """,
+    "global daily rollup + unpartitioned 7-day moving average "
+    "(A2+W1; aggregate_by_date, data_transformer.py:258-295)",
+)
+def daily_rollup_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.sum("value").alias("tv"),
+        F.count("user_id").alias("users_reporting"),
+    )
+    smoothed = moving_average(daily, ["tv"], "event_date", periods=7, suffix="_7day_avg")
+    return smoothed.select(
+        "event_date",
+        F.round("tv", 4).alias("total_value"),
+        "users_reporting",
+        F.round("tv_7day_avg", 4).alias("value_7day_avg"),
+    ).orderBy("event_date")
+
+
+@_register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                 AS order_date,
+           CAST(year(o_orderdate) AS INT)            AS order_year,
+           CAST(month(o_orderdate) AS INT)           AS order_month,
+           CAST(weekofyear(o_orderdate) AS INT)      AS order_week
+    FROM orders
+    """,
+    "to_date + year/month/ISO-week derivation (P3, F1-F4; "
+    "data_transformer.py:113,156-160)",
+)
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.weekofyear(d).alias("order_week"),
+    )
+
+
+@_register(
+    "guarded_ratio",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 0
+                THEN l_extendedprice / l_quantity * 100 END AS unit_price_x100
+    FROM lineitem
+    """,
+    "null-guarded division (P6/P8/F5/F6; case_fatality_rate guard, "
+    "data_transformer.py:148-154)",
+)
+def q_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        guarded_ratio("l_extendedprice", "l_quantity", scale=100.0).alias("unit_price_x100"),
+    )
+
+
+@_register(
+    "inlist_filter",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    """,
+    "IN-list membership filter (P4/P5; filter_countries_of_interest, "
+    "data_transformer.py:297-317)",
+)
+def inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+@_register(
+    "notnull_threshold",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE value IS NOT NULL AND value > 0
+    """,
+    "not-null + threshold predicates (P7/P8; dashboard.py:307-310, "
+    "data_transformer.py:151)",
+)
+def notnull_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    "top-k sort+limit → TakeOrderedAndProject (O3; dashboard.py:99-100)",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@_register(
+    "recent_days",
+    """
+    SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
+    FROM events
+    WHERE CAST(ts AS DATE) >= (SELECT max(CAST(ts AS DATE)) - 6 FROM events)
+    """,
+    "most-recent-N-days as a date-range predicate (O5; dashboard.py:359)",
+)
+def recent_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    max_d = ev.agg(F.max(F.to_date("ts")).alias("__maxd"))
+    return (
+        ev.crossJoin(F.broadcast(max_d))
+        .filter(F.to_date("ts") >= F.date_sub(F.col("__maxd"), 6))
+        .select("event_id", "user_id", "event_type", F.to_date("ts").alias("event_date"))
+    )
+
+
+@_register(
+    "top_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    "top-N-per-group via row_number window (SURVEY §2.5 generalization of "
+    "dashboard nlargest, dashboard.py:187-189)",
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return top_n_per_group(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partition_cols=("o_orderpriority",),
+        order_by=(F.col("o_totalprice").desc(), F.col("o_orderkey")),
+        n=3,
+        keep_rank=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dim_join_rollup",
+    """
+    SELECT r_name, n_name,
+           count(*)                      AS n_customers,
+           round(sum(c_acctbal), 4)      AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    "broadcast dimension join chain fact⋈nation⋈region + rollup "
+    "(SURVEY §2.3)",
+)
+def dim_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_dim_join(
+        broadcast_dim_join(c, n, on=F.col("c_nationkey") == F.col("n_nationkey")),
+        r,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@_register(
+    "fact_join_agg",
+    """
+    SELECT o_orderpriority,
+           count(*)                                          AS n_line_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "fact-fact equi join + rollup (orders⋈lineitem; SURVEY §2.3)",
+)
+def fact_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        equi_join(o, li, on=F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_line_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "left-semi membership join (EXISTS; scalable form of P4)",
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return semi_join_membership(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@_register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "left-anti membership join (NOT EXISTS)",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join_membership(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5) — partitioned generalizations of W1
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "user_daily_7day_avg",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS event_date, sum(value) AS dv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_date,
+           round(dv, 4) AS daily_value,
+           round(avg(dv) OVER (PARTITION BY user_id ORDER BY event_date
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS value_7day_avg
+    FROM daily
+    """,
+    "PARTITIONED 7-day moving average per entity (the scalable form of W1 "
+    "— data_transformer.py:279-289 note in SURVEY §2.5)",
+)
+def user_daily_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.sum("value").alias("dv")
+    )
+    sm = moving_average(
+        daily, ["dv"], "event_date", partition_cols=("user_id",), periods=7, suffix="_7day_avg"
+    )
+    return sm.select(
+        "user_id",
+        "event_date",
+        F.round("dv", 4).alias("daily_value"),
+        F.round("dv_7day_avg", 4).alias("value_7day_avg"),
+    )
+
+
+@_register(
+    "user_daily_delta",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS event_date, sum(value) AS dv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_date,
+           round(dv, 4) AS daily_value,
+           round(dv - lag(dv) OVER (PARTITION BY user_id ORDER BY event_date), 4)
+               AS value_delta
+    FROM daily
+    """,
+    "lag/lead daily delta per entity (SURVEY §2.5 gap: no lag in reference)",
+)
+def user_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.sum("value").alias("dv")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_date")
+    return daily.select(
+        "user_id",
+        "event_date",
+        F.round("dv", 4).alias("daily_value"),
+        F.round(F.col("dv") - F.lag("dv").over(w), 4).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / incremental load (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_upsert",
+    """
+    WITH u AS (
+        SELECT o_orderkey, o_totalprice * 1.1 AS price, 'new' AS src, 0 AS pri
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    c AS (
+        SELECT o_orderkey, o_totalprice AS price, 'old' AS src, 1 AS pri
+        FROM orders
+    ),
+    all_rows AS (SELECT * FROM u UNION ALL SELECT * FROM c),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+        FROM all_rows
+    )
+    SELECT o_orderkey, round(price, 4) AS price, src FROM ranked WHERE rn = 1
+    """,
+    "incremental upsert: unionByName + dedup-on-key, updates win "
+    "(SURVEY §2.7 — the incremental loading README.md:328 claims but "
+    "never implements)",
+)
+def incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit("new").alias("src"),
+    )
+    current = o.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"), F.lit("old").alias("src")
+    )
+    merged = upsert_on_key(current, updates, keys=("o_orderkey",))
+    return merged.select("o_orderkey", F.round("price", 4).alias("price"), "src")
+
+
+# ---------------------------------------------------------------------------
+# Aggregates / stats (SURVEY §2.4, S10)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "distinct_agg",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "distinct aggregate (SURVEY §2.4 'not present in reference; free from "
+    "Spark' — countries_reporting done right)",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_register(
+    "global_stats",
+    "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+    "per-table row counts (S10/A5; print_database_stats, "
+    "data_loader.py:393-404)",
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in TABLES
+    ]
+    return reduce(DataFrame.unionByName, counts)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface — dedup (exact / MinHash-LSH / Jaccard / SimHash)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "exact deduplication via content fingerprint hash-groupBy "
+    "(extension: training-data pipeline)",
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dup_groups(docs, "doc_id")
+
+
+@_register(
+    "minhash_signatures",
+    "SELECT doc_id, "
+    + ", ".join(
+        f"{_d_minhash(i, _D_SHINGLES)} AS mh{i}" for i in range(4)
+    )
+    + " FROM documents",
+    "deterministic MinHash signatures over 3-token shingles "
+    "(extension: near-dup, md5-based so engine-portable)",
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", num_hashes=4)
+
+
+@_register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id, sh,
+               {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
+               {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
+               {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
+               {_d_minhash(6)} AS mh6, {_d_minhash(7)} AS mh7
+        FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS sig FROM sigs
+        UNION ALL SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs
+        UNION ALL SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs
+        UNION ALL SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs
+    ),
+    filt AS (SELECT * FROM bands WHERE sig IS NOT NULL AND sig <> '')
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM filt a JOIN filt b ON a.band = b.band AND a.sig = b.sig
+                            AND a.doc_id < b.doc_id
+    """,
+    "MinHash-LSH banding: candidate near-dup pairs via band-signature "
+    "equi-join (extension: the 100 TB near-dup path — no O(n²) scan)",
+)
+def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs, "doc_id", num_hashes=8, bands=4)
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source, list_distinct({_D_SHINGLES}) AS sh FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CASE WHEN len(list_distinct(list_cat(a.sh, b.sh))) > 0
+                    THEN len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_cat(a.sh, b.sh)))
+               END AS jaccard
+        FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard IS NOT NULL AND jaccard >= 0.0
+    """,
+    "exact n-gram Jaccard similarity on source-blocked pairs "
+    "(extension: near-dup verification stage)",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "source", "text")
+    candidates = (
+        a.alias("a")
+        .join(a.alias("b"), on="source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+    )
+    pairs = dedup.jaccard_pairs(docs, "doc_id", candidates=candidates)
+    return pairs.filter(F.col("jaccard").isNotNull() & (F.col("jaccard") >= 0.0))
+
+
+@_register(
+    "simhash_signatures",
+    None,  # bit-arithmetic chain not practically expressible in one oracle
+    "32-bit SimHash signatures via md5 bit-majority vote "
+    "(extension: near-dup; rows-only check)",
+)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", bits=32)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface — text analysis
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_measured,
+           CAST(len({_D_TOKS}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+               '{text.BPE_TOKEN_PATTERN.replace("'", "''")}')) AS INT) AS n_bpe_tokens,
+           CASE WHEN length(text) > 0
+                THEN length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                     * 1.0 / length(text) END AS punct_ratio,
+           CASE WHEN len({_D_TOKS}) > 0
+                THEN len(list_filter({_D_TOKS},
+                         t -> list_contains(['the','a','and','of','to','in','is','that','it','for'],
+                                            lower(t))))
+                     * 1.0 / len({_D_TOKS}) END AS stopword_ratio
+    FROM documents
+    """,
+    "per-document quality features: char/token/BPE-token counts, "
+    "punctuation + stopword ratios (extension: quality scoring)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_measured"),
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+@_register(
+    "lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_d_lang_score('de')} AS s_de,
+               {_d_lang_score('en')} AS s_en,
+               {_d_lang_score('es')} AS s_es,
+               {_d_lang_score('fr')} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+    "heuristic language ID: stopword-coverage argmax "
+    "(extension: language identification)",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.language_id(docs.select("doc_id", "lang", "text"), "text").drop("text")
+
+
+@_register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    "canonical document fingerprint: md5 over normalized text "
+    "(extension: fingerprinting)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sim_bruteforce_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS sim
+        FROM q JOIN c ON vec_id <> query_id
+    ),
+    r AS (
+        SELECT query_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS cosine_sim, rank
+    FROM r WHERE rank <= 10
+    """,
+    "exact cosine top-k per query vector — brute-force baseline "
+    "(extension: similarity search; zip_with+aggregate dot products)",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@_register(
+    "sim_lsh_ann_topk",
+    None,  # approximate-by-design; verified against brute force in tests
+    "LSH-bucketed approximate top-k (random-hyperplane signatures + "
+    "in-bucket exact re-rank — the 100 TB ANN path; rows-only check)",
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )

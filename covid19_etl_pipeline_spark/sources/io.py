@@ -1,0 +1,72 @@
+"""Batch sources & sinks.
+
+Reference parity:
+- S4 CSV scan with header (load_csv_to_spark, data_transformer.py:72-98).
+  The reference uses ``inferSchema=true`` (an extra full scan); the
+  engine takes an explicit StructType and infers only when none is given
+  (dev convenience, never the production path).
+- S5 Parquet sink, overwrite mode (save_to_parquet,
+  data_transformer.py:319-344). The reference manually ``rmtree``s the
+  prior output; ``mode("overwrite")`` already does that atomically per
+  directory, so the engine drops the manual delete.
+- S6 Parquet scan (data_loader.py:182-198 — pandas there; Spark here).
+- S3 ingest validation (validate_extracted_data,
+  data_extractor.py:169-195): sample-read, reject empty.
+
+Scale notes: writes accept ``partition_by`` so the 100 TB layout gets
+partition pruning (the Spark equivalent of the reference's SQLite
+indices, data_loader.py:163-176).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (S4). Explicit schema preferred; inference is dev-only."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S6) — columnar, pushdown, pruning."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> str:
+    """Parquet sink (S5). ``partition_by`` enables partition pruning for
+    downstream scans (e.g. by entity or date)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return path
+
+
+def validate_source(df: DataFrame, sample_rows: int = 100) -> bool:
+    """Ingest validation (S3): non-empty sample with at least one column.
+
+    ``limit(n).count()`` reads at most one partition's worth of data —
+    the Spark analogue of the reference's ``pd.read_csv(nrows=100)``.
+    """
+    if not df.columns:
+        return False
+    return df.limit(sample_rows).count() > 0

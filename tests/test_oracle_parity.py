@@ -1,0 +1,78 @@
+"""Local replica of the driver's correctness gate: run every registry
+query on Spark AND its DuckDB oracle on the same parquet, compare
+row-count, column names, and order-insensitive values.
+
+This is the engine's primary end-to-end correctness layer (SURVEY §5:
+the oracle-check layer the reference lacks).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from covid19_etl_pipeline_spark.catalog import TABLES, table_path
+from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+def _duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _normalize(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        # collapse float noise below the rounding applied in-query
+        return round(value, 9)
+    return value
+
+
+def _row_set(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(str(_normalize(row[i])) for i in order) for row in rows
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    con = _duck_connection(SF_DIR)
+    rel = con.execute(spec.oracle)
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_set, d_set = _row_set(spark_rows, spark_cols), _row_set(duck_rows, duck_cols)
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    assert sdf.count() >= 0
+    assert sdf.columns
