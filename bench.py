@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the ``noop`` sink (forces every
+column/row through the physical plan with zero write cost — unlike
+``count()``, which lets Catalyst prune the measures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+from covid19_etl_pipeline_spark.session import get_spark
+
+#: Headline set: one per operator family (agg, joins, windows, set ops,
+#: dedup, similarity, text) — the queries whose plans matter at 100 TB.
+HEADLINE = (
+    "rollup_entity",
+    "fact_join_agg",
+    "dim_join_rollup",
+    "daily_rollup_7day",
+    "user_daily_7day_avg",
+    "top_orders_per_priority",
+    "incremental_upsert",
+    "exact_dedup",
+    "lsh_candidate_pairs",
+    "text_quality",
+    "sim_bruteforce_topk",
+)
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/codegen paths once with the cheapest query
+    materialize(REGISTRY["rollup_entity"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        materialize(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from covid19_etl_pipeline_spark.operators.partitioning import spread
 from covid19_etl_pipeline_spark.operators.text import normalized_text, shingles, tokens
 
 
@@ -71,7 +72,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature columns ``mh0..mh{n-1}``."""
     sh = shingles(tokens(text_col), k=shingle_k)
-    out = df.select(F.col(id_col), sh.alias("__shingles"))
+    # md5-minhashing is the expensive narrow compute; spread it across
+    # all cores (a small parquet input is otherwise ONE task)
+    out = spread(df, id_col).select(F.col(id_col), sh.alias("__shingles"))
     out = out.withColumns(
         {f"mh{i}": minhash_value(F.col("__shingles"), i) for i in range(num_hashes)}
     )
@@ -140,7 +143,7 @@ def jaccard_pairs(
     """
     if candidates is None:
         candidates = lsh_candidate_pairs(df, id_col, text_col, shingle_k=shingle_k)
-    sets = df.select(
+    sets = spread(df, id_col).select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
     )
@@ -172,7 +175,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) 
     posexplode over the bit positions of each token hash — two narrow
     explodes + one hash-agg shuffle on the doc id.
     """
-    tok = df.select(
+    tok = spread(df, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(normalized_text(text_col)))).alias("tok")
     )
     # low `bits` bits of the token's md5 as a bigint (15 hex chars = 60

@@ -26,6 +26,8 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from covid19_etl_pipeline_spark.operators.partitioning import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in element order, computed in double."""
@@ -62,7 +64,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    c = candidates.select(F.col(id_col), F.col(vec_col))
+    # vector math over every candidate is the hot loop — spread it
+    c = spread(candidates.select(F.col(id_col), F.col(vec_col)), id_col)
     scored = (
         c.join(F.broadcast(q), on=F.col(id_col) != F.col("query_id"))
         .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col(vec_col)))
@@ -132,6 +135,7 @@ def lsh_ann_topk(
     query batches.
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    candidates = spread(candidates, id_col)
     c = candidates.select(
         F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("bucket")
     )

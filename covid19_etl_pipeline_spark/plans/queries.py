@@ -32,6 +32,7 @@ from covid19_etl_pipeline_spark.operators.joins import (
     equi_join,
     semi_join_membership,
 )
+from covid19_etl_pipeline_spark.operators.partitioning import spread
 from covid19_etl_pipeline_spark.operators.projection import guarded_ratio
 from covid19_etl_pipeline_spark.operators.setops import upsert_on_key
 from covid19_etl_pipeline_spark.operators.windows import moving_average, top_n_per_group
@@ -699,7 +700,8 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "punctuation + stopword ratios (extension: quality scoring)",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # regex feature extraction is the hot loop — spread the small scan
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_measured"),
@@ -733,7 +735,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(extension: language identification)",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return text.language_id(docs.select("doc_id", "lang", "text"), "text").drop("text")
 
 
