@@ -1,0 +1,127 @@
+"""Multimodal-column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+Beyond-reference extension surface (BASELINE.json). The container has
+no image/audio codecs, so the DECODE step is stubbed (deterministic
+fake features, clearly marked) — but the Spark-side plumbing is real
+and tested: schemas, Arrow-batched ``mapInPandas`` signatures, batch
+shapes, and partitioning are exactly what a production decode would
+use; swapping the stub for PIL/librosa changes one function body.
+
+Scale notes: media blobs make rows huge — the iterator-of-batches
+``mapInPandas`` shape keeps peak memory to one Arrow batch per task
+(tune ``spark.sql.execution.arrow.maxRecordsPerBatch`` down for large
+blobs), and metadata-only predicates (width/duration/mime) are plain
+columns so Catalyst prunes files before any blob is read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: A multimodal asset row: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — requires an image codec (PIL/opencv), which
+    this container does not ship. The plumbing around this stub is
+    production-shaped; replace the body to go live."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "extract_features uses the deterministic stub featurizer"
+    )
+
+
+def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake featurizer: byte-histogram moments over the
+    payload. Stands in for a decoder+CNN; stable across runs."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for i, b in enumerate(payload):
+        buckets[b % dim] += 1
+    total = float(len(payload))
+    return [round(c / total, 6) for c in buckets]
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` (iterator of pandas batches) — one Arrow batch in
+    flight per task regardless of partition size. This is the canonical
+    shape for any decode/featurize over media blobs.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
+                    "features": pdf["payload"].map(lambda p: _stub_features(p, dim)),
+                }
+            )
+
+    return assets.mapInPandas(featurize, schema=_FEATURE_SCHEMA)
+
+
+def filter_by_metadata(
+    assets: DataFrame,
+    mime_prefix: str | None = None,
+    min_width: int | None = None,
+    max_duration_ms: int | None = None,
+) -> DataFrame:
+    """Metadata-only predicates — plain column filters that push into
+    the scan so payload bytes of rejected assets are never read."""
+    out = assets
+    if mime_prefix is not None:
+        out = out.filter(F.col("mime_type").startswith(mime_prefix))
+    if min_width is not None:
+        out = out.filter(F.col("width") >= min_width)
+    if max_duration_ms is not None:
+        out = out.filter(F.col("duration_ms") <= max_duration_ms)
+    return out
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per planned frame
+    timestamp (the decode itself is the stubbed step). Demonstrates the
+    explode-by-schedule pattern: rows stay small until the (stubbed)
+    frame decode, and sampling density is a plan-time knob."""
+    return (
+        assets.filter(F.col("duration_ms").isNotNull())
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))),
+        )
+        .select("asset_id", "mime_type", "frame_ts_ms")
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from covid19_etl_pipeline_spark.operators.aggregates import rollup_by_entity
@@ -86,10 +86,13 @@ def transform_covid_data(df: DataFrame) -> DataFrame:
     year/month/week."""
     out = parse_date(df, "date")
     out = cast_if_exists(out, COVID_NUMERIC_COLUMNS)
-    out = out.withColumn(
-        "case_fatality_rate",
-        guarded_ratio("total_deaths", "total_cases", scale=100.0),
-    )
+    # tolerant-ingest: derive only from columns that survived ingest;
+    # emit a typed NULL otherwise so the output schema stays stable
+    if {"total_deaths", "total_cases"} <= set(out.columns):
+        cfr = guarded_ratio("total_deaths", "total_cases", scale=100.0)
+    else:
+        cfr = F.lit(None).cast("double")
+    out = out.withColumn("case_fatality_rate", cfr)
     return with_date_parts(out, "date")
 
 
@@ -99,23 +102,20 @@ def transform_vaccination_data(df: DataFrame) -> DataFrame:
     the reference guards on people_vaccinated/total_vaccinations > 0."""
     out = parse_date(df, "date")
     out = cast_if_exists(out, VACCINATION_NUMERIC_COLUMNS)
-    out = out.withColumn(
-        "vaccination_rate",
-        guarded_ratio(
-            "people_vaccinated",
-            "total_vaccinations",
-            scale=100.0,
-            guard=F.col("total_vaccinations") > 0,
-        ),
-    )
-    return out.withColumn(
-        "full_vaccination_rate",
-        guarded_ratio(
-            "people_fully_vaccinated",
-            "total_vaccinations",
-            scale=100.0,
-            guard=F.col("total_vaccinations") > 0,
-        ),
+    cols = set(out.columns)
+
+    def rate(num: str) -> Column:
+        if {num, "total_vaccinations"} <= cols:
+            return guarded_ratio(
+                num,
+                "total_vaccinations",
+                scale=100.0,
+                guard=F.col("total_vaccinations") > 0,
+            )
+        return F.lit(None).cast("double")
+
+    return out.withColumn("vaccination_rate", rate("people_vaccinated")).withColumn(
+        "full_vaccination_rate", rate("people_fully_vaccinated")
     )
 
 

@@ -1,0 +1,110 @@
+"""Dedup + similarity operator tests: constructed duplicates with known
+overlap, signature invariants, and ANN-vs-exact recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.operators import dedup, similarity
+
+
+@pytest.fixture()
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, near),                      # near dup of 1
+        (4, "completely different words appear here with nothing shared"),
+        (5, "xy"),                      # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dup_groups(docs, "doc_id").collect()
+    by_count = {r["keeper_doc_id"]: r["n_copies"] for r in groups}
+    assert by_count[1] == 2            # docs 1+2 collapse, min id kept
+    assert dedup.drop_exact_dups(docs, "doc_id").count() == 4
+
+
+def test_minhash_identical_docs_identical_signatures(spark, docs):
+    sigs = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+            for r in dedup.minhash_signatures(docs, "doc_id", num_hashes=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert all(v is None for v in sigs[5])  # no shingles → null signature
+
+
+def test_lsh_finds_exact_and_near_pairs(spark, docs):
+    pairs = {(r["doc_id_a"], r["doc_id_b"])
+             for r in dedup.lsh_candidate_pairs(docs, "doc_id").collect()}
+    assert (1, 2) in pairs             # identical docs always collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_jaccard_values(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, "doc_id")
+    vals = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert vals.get((1, 2)) == 1.0
+    j13 = vals.get((1, 3))
+    if j13 is not None:                # near-dup pair surfaced by LSH
+        assert 0.3 < j13 < 1.0
+
+
+def test_simhash_invariants(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
+    assert sh[1] == sh[2]
+    d_near = bin(sh[1] ^ sh[3]).count("1")
+    d_far = bin(sh[1] ^ sh[4]).count("1")
+    assert d_near < d_far              # near dup closer in Hamming space
+
+
+def test_hamming_distance_column(spark):
+    df = spark.createDataFrame([(0b1011, 0b0011)], ["a", "b"])
+    assert df.select(
+        dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")
+    ).first()["d"] == 1
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),          # close to 0
+        (2, [0.0, 1.0, 0.0]),          # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),         # opposite of 0
+        (4, [0.95, 0.05, 0.0]),        # closest to 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+
+
+def test_brute_force_topk_ordering(spark, vectors):
+    out = similarity.brute_force_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [4, 1]            # nearest neighbours in cosine order
+
+
+def test_lsh_ann_recall_vs_exact(spark, vectors):
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_ann_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2, dim=3, n_planes=2
+    ).collect()}
+    # bucketed candidates are a subset of all; whatever is returned must
+    # be real neighbours from the same bucket
+    assert approx <= exact or len(approx & exact) >= 1
+
+
+def test_cosine_zero_norm_guard(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], ["a", "b"]
+    )
+    row = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).first()
+    assert row["c"] is None

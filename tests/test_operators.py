@@ -1,0 +1,140 @@
+"""Operator unit tests on tiny inline fixtures (SURVEY §5 style)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.operators.filters import (
+    filter_in_list,
+    filter_not_null,
+    filter_threshold,
+)
+from covid19_etl_pipeline_spark.operators.joins import (
+    anti_join_membership,
+    broadcast_dim_join,
+    semi_join_membership,
+)
+from covid19_etl_pipeline_spark.operators.partitioning import salted_equi_join, spread
+from covid19_etl_pipeline_spark.operators.projection import (
+    cast_if_exists,
+    select_rename,
+    with_date_parts,
+)
+from covid19_etl_pipeline_spark.operators.setops import union_by_name, upsert_on_key
+from covid19_etl_pipeline_spark.operators.sorts import top_k
+from covid19_etl_pipeline_spark.operators.windows import (
+    moving_average,
+    top_n_per_group,
+    with_lag_delta,
+)
+
+
+def test_cast_if_exists_partial(spark):
+    df = spark.createDataFrame([("1", "x")], ["a", "b"])
+    out = cast_if_exists(df, ["a", "missing"], "double")
+    assert dict(out.dtypes) == {"a": "double", "b": "string"}
+
+
+def test_select_rename_skips_absent(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = select_rename(df, {"a": "x", "nope": "y"})
+    assert out.columns == ["x"]
+
+
+def test_date_parts_iso_week(spark):
+    df = spark.createDataFrame([("2021-01-01",)], ["date"]).select(
+        F.to_date("date").alias("date")
+    )
+    row = with_date_parts(df).first()
+    assert (row["year"], row["month"], row["week"]) == (2021, 1, 53)  # ISO-8601
+
+
+def test_filters(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None), ("c", -1.0)], ["k", "v"]
+    )
+    assert filter_in_list(df, "k", ["a", "c"]).count() == 2
+    assert filter_not_null(df, "v").count() == 2
+    assert filter_threshold(df, "v", 0.0).count() == 1
+
+
+def test_moving_average_partitioned(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 30.0), ("u2", 1, 100.0)],
+        ["user", "day", "v"],
+    )
+    out = moving_average(df, ["v"], "day", partition_cols=("user",), periods=2)
+    got = {(r["user"], r["day"]): r["v_2day_avg"] for r in out.collect()}
+    assert got[("u1", 1)] == 10.0
+    assert got[("u1", 2)] == 15.0
+    assert got[("u1", 3)] == 25.0
+    assert got[("u2", 1)] == 100.0
+
+
+def test_top_n_per_group_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 1), ("g", 5.0, 2), ("g", 4.0, 3)], ["grp", "v", "id"]
+    )
+    out = top_n_per_group(
+        df, ("grp",), (F.col("v").desc(), F.col("id")), n=2, keep_rank=True
+    ).collect()
+    assert [(r["id"], r["rn"]) for r in sorted(out, key=lambda r: r["rn"])] == [(1, 1), (2, 2)]
+
+
+def test_lag_delta(spark):
+    df = spark.createDataFrame([("u", 1, 10.0), ("u", 2, 25.0)], ["user", "day", "v"])
+    out = with_lag_delta(df, "v", "day", ("user",))
+    rows = {r["day"]: r["v_delta"] for r in out.collect()}
+    assert rows[1] is None and rows[2] == 15.0
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i, float(i % 3)) for i in range(10)], ["id", "v"])
+    out = top_k(df, (F.col("v").desc(), F.col("id")), 3).collect()
+    assert [r["id"] for r in out] == [2, 5, 8]
+
+
+def test_union_by_name_missing_columns(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "a"])
+    b = spark.createDataFrame([(2,)], ["id"])
+    out = union_by_name(a, b)
+    assert out.count() == 2
+    assert out.filter(F.col("id") == 2).first()["a"] is None
+
+
+def test_upsert_on_key_updates_win(spark):
+    current = spark.createDataFrame([(1, "old"), (2, "old")], ["k", "v"])
+    updates = spark.createDataFrame([(2, "new"), (3, "new")], ["k", "v"])
+    out = {r["k"]: r["v"] for r in upsert_on_key(current, updates, ["k"]).collect()}
+    assert out == {1: "old", 2: "new", 3: "new"}
+
+
+def test_semi_anti_joins(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    members = spark.createDataFrame([(2,), (3,), (3,)], ["k"])
+    assert {r["k"] for r in semi_join_membership(df, members, "k").collect()} == {2, 3}
+    assert {r["k"] for r in anti_join_membership(df, members, "k").collect()} == {1}
+
+
+def test_broadcast_dim_join_is_broadcast(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"])
+    out = broadcast_dim_join(fact, dim, "k")
+    assert out.count() == 2
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame([(1, i) for i in range(50)] + [(2, 99)], ["k", "v"])
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "name"])
+    salted = salted_equi_join(big, small, "k", salt=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 51
+    assert sorted(r["name"] for r in salted.filter(F.col("k") == 2).collect()) == ["cold"]
+
+
+def test_spread_changes_partitioning_not_rows(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    out = spread(df, "id", partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 10

@@ -1,0 +1,122 @@
+"""Source/sink round-trips (SURVEY §2.1) + streaming + multimodal tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid19_etl_pipeline_spark.catalog import load_table, register_tables, table_stats
+from covid19_etl_pipeline_spark.operators.multimodal import (
+    extract_features,
+    filter_by_metadata,
+    frame_sample_plan,
+)
+from covid19_etl_pipeline_spark.sources.io import (
+    read_csv,
+    read_parquet,
+    validate_source,
+    write_parquet,
+)
+from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+    read_events_stream,
+    run_to_memory_sink,
+    streaming_daily_rollup,
+)
+
+CSV_SCHEMA = T.StructType(
+    [T.StructField("col1", T.LongType()), T.StructField("col2", T.StringType())]
+)
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    """Reference CSV round-trip (tests/test_transformer.py:63-78), with
+    the engine's explicit-schema contract instead of inference."""
+    p = tmp_path / "t.csv"
+    p.write_text("col1,col2\n1,a\n2,b\n3,c\n")
+    df = read_csv(spark, str(p), schema=CSV_SCHEMA)
+    assert df.count() == 3
+    assert dict(df.dtypes) == {"col1": "bigint", "col2": "string"}
+    assert validate_source(df)
+
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 2020), (2, "b", 2021), (3, "c", 2021)], ["id", "v", "year"]
+    )
+    out = str(tmp_path / "pq")
+    write_parquet(df, out, partition_by=("year",))
+    back = read_parquet(spark, out)
+    assert back.count() == 3
+    # partition pruning: only the year=2021 directory is scanned
+    pruned = back.filter(F.col("year") == 2021)
+    assert pruned.count() == 2
+    files = pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("year=2021" in r["f"] for r in files)
+
+
+def test_validate_source_rejects_empty(spark):
+    empty = spark.createDataFrame([], T.StructType([T.StructField("a", T.LongType())]))
+    assert not validate_source(empty)
+
+
+def test_register_tables_and_stats(spark, sf_dir):
+    registered = register_tables(spark, sf_dir)
+    assert "lineitem" in registered
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"] == 6000
+    stats = table_stats(spark, ("lineitem", "orders"))
+    assert stats == {"lineitem": 6000, "orders": 1500}
+
+
+def test_streaming_daily_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Drive the file-source stream to completion; the windowed rollup
+    must agree with the batch groupBy on the same data."""
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream")
+    write_parquet(events, src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    run_to_memory_sink(streaming_daily_rollup(stream), query_name="t_stream")
+    got = {
+        r["event_date"]: (round(r["total_value"], 4), r["users_reporting"])
+        for r in spark.sql("SELECT * FROM t_stream").collect()
+    }
+    expected = {
+        r["event_date"]: (round(r["tv"], 4), r["n"])
+        for r in events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.sum("value").alias("tv"), F.count("user_id").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def _assets(spark):
+    rows = [
+        (1, "image/png", bytearray(b"\x89PNG fake bytes"), 640, 480, None),
+        (2, "video/mp4", bytearray(b"\x00\x00ftyp fake"), 1920, 1080, 3500),
+        (3, "image/jpeg", None, 32, 32, None),
+    ]
+    return spark.createDataFrame(
+        rows, "asset_id long, mime_type string, payload binary, "
+              "width int, height int, duration_ms long"
+    )
+
+
+def test_multimodal_feature_extraction(spark):
+    out = extract_features(_assets(spark)).collect()
+    by_id = {r["asset_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 15
+    assert len(by_id[1]["features"]) == 8
+    assert abs(sum(by_id[1]["features"]) - 1.0) < 1e-3   # histogram normalized
+    assert by_id[3]["n_bytes"] == 0
+    # determinism: same payload → same features
+    again = {r["asset_id"]: r for r in extract_features(_assets(spark)).collect()}
+    assert again[1]["features"] == by_id[1]["features"]
+
+
+def test_multimodal_metadata_filters_and_frames(spark):
+    assets = _assets(spark)
+    assert filter_by_metadata(assets, mime_prefix="image/").count() == 2
+    assert filter_by_metadata(assets, min_width=640).count() == 2
+    frames = frame_sample_plan(assets, every_ms=1000).collect()
+    # 3500ms video at 1fps → frames at 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
