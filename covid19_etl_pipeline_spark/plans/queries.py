@@ -664,9 +664,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "simhash_signatures",
-    None,  # bit-arithmetic chain not practically expressible in one oracle
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(trim(norm), '\s+'))) AS tok
+        FROM (SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents)
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT unnest(range(0, 32)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM votes GROUP BY doc_id
+    """,
     "32-bit SimHash signatures via md5 bit-majority vote "
-    "(extension: near-dup; rows-only check)",
+    "(extension: near-dup)",
 )
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -794,11 +813,43 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d_plane_signature(vec_expr: str, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of similarity.hyperplane_signature: the SAME
+    deterministic md5-derived hyperplanes, embedded as literals."""
+    cases = []
+    for plane in similarity._hyperplanes(dim, n_planes, seed=42):
+        lits = ", ".join(repr(w) for w in plane)
+        cases.append(
+            f"CASE WHEN list_dot_product({vec_expr}, [{lits}]) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(cases) + ")"
+
+
 @_register(
     "sim_lsh_ann_topk",
-    None,  # approximate-by-design; verified against brute force in tests
-    "LSH-bucketed approximate top-k (random-hyperplane signatures + "
-    "in-bucket exact re-rank — the 100 TB ANN path; rows-only check)",
+    f"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigc AS (SELECT vec_id, v, {_d_plane_signature('v')} AS bucket FROM c),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigc WHERE vec_id < 5),
+    s AS (
+        SELECT q.query_id, sigc.vec_id,
+               list_dot_product(q.qv, sigc.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(sigc.v, sigc.v))) AS sim
+        FROM sigc JOIN q ON sigc.bucket = q.bucket AND sigc.vec_id <> q.query_id
+    ),
+    r AS (
+        SELECT query_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS cosine_sim, rank
+    FROM r WHERE rank <= 10
+    """,
+    "LSH-bucketed approximate top-k (deterministic random-hyperplane "
+    "signatures + in-bucket exact re-rank — the 100 TB ANN path)",
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -807,4 +858,194 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "vec_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended aggregates: percentiles, grouping sets, pivot (SURVEY §2.4
+# "not present in reference — engine gets them free from Spark")
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "percentile_agg",
+    """
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS median_price,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "exact percentiles (linear interpolation) per group — sort-based "
+    "aggregate (extension of A1)",
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "rollup_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "hierarchical grouping sets (ROLLUP): per-group + subtotal + grand "
+    "total in one pass (SURVEY §2.4 gap)",
+)
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@_register(
+    "pivot_linestatus",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS "F",
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS "O"
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "pivot: one column per l_linestatus value (explicit value list — no "
+    "extra distinct-discovery scan)",
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "json_extract_props",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+    "semi-structured extraction: JSON path over a string column "
+    "(get_json_object; events.props)",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + as-of join (custom operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sessionize",
+    """
+    WITH lagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(CASE WHEN prev_us IS NULL
+                          OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS session_id
+    FROM lagged
+    """,
+    "sessionization: 30-min-gap cumulative-flag sessions via lag + "
+    "running sum (custom stateful op composed from windows)",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # compare epoch MICROseconds on both engines: the parquet stores
+    # nanos; Spark truncates to micros, DuckDB's epoch_us does the same
+    t_us = F.unix_micros(F.col("ts"))
+    lagged = ev.select("user_id", "event_id", t_us.alias("t_us")).withColumn(
+        "prev_us", F.lag("t_us").over(Window.partitionBy("user_id").orderBy("t_us", "event_id"))
+    )
+    new_sess = F.when(
+        F.col("prev_us").isNull() | (F.col("t_us") - F.col("prev_us") > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(w_run).cast("int").alias("session_id"),
+    )
+
+
+@_register(
+    "asof_join_orders",
+    """
+    WITH od AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS od_date,
+               max(o_totalprice) AS last_order_price
+        FROM orders GROUP BY 1, 2
+    ),
+    ev AS (
+        SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events
+    )
+    SELECT ev.event_id, ev.user_id, ev.event_date,
+           round(od.last_order_price, 4) AS last_order_price
+    FROM ev ASOF LEFT JOIN od
+      ON ev.user_id = od.o_custkey AND ev.event_date >= od.od_date
+    """,
+    "as-of join (most-recent-match): events pick up the latest prior "
+    "order per customer — union-merge windowed implementation, checked "
+    "against DuckDB's native ASOF JOIN",
+)
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("od_date"),
+        )
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    out = asof_join(
+        ev,
+        od,
+        on="user_id",
+        left_time="event_date",
+        right_time="od_date",
+        value_cols=["last_order_price"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_date",
+        F.round("last_order_price", 4).alias("last_order_price"),
     )
