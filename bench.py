@@ -33,6 +33,9 @@ HEADLINE = (
     "lsh_candidate_pairs",
     "text_quality",
     "sim_bruteforce_topk",
+    "percentile_agg",
+    "sessionize",
+    "asof_join_orders",
 )
 
 

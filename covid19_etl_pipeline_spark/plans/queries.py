@@ -1049,3 +1049,104 @@ def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date",
         F.round("last_order_price", 4).alias("last_order_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Final extension batch: word counts, embedding near-dup, decorrelated
+# subquery
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "word_count_topk",
+    r"""
+    SELECT tok AS word, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok ORDER BY n DESC, word LIMIT 20
+    """,
+    "corpus word frequencies: tokenize → explode → count → top-k "
+    "(SURVEY §7.2 step 8; deterministic count-then-word tie-break)",
+)
+def word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select(F.explode(text.tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+@_register(
+    "embedding_neardup_pairs",
+    """
+    WITH c AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    """,
+    "embedding-cosine near-dup pairs (brute-force form; the scale path "
+    "buckets via sim_lsh_ann_topk's hyperplane signatures first)",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("__va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("__vb"),
+    )
+    sim = similarity.cosine(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, on=F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= 0.35)
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "label_a",
+            "label_b",
+            F.round("__sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+@_register(
+    "above_avg_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > cust_avg
+    """,
+    "decorrelated correlated subquery: orders above their customer's "
+    "average, as a windowed aggregate (one shuffle instead of a "
+    "per-row subquery)",
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
+    )

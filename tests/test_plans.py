@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the plan shapes that matter at 100 TB.
+
+Correctness tests prove the numbers; these prove the EXECUTION SHAPE —
+filters reach the parquet scan, dimension joins broadcast, top-k avoids
+global sorts, raw-grain windows are partitioned. A regression here is a
+performance bug even while results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_inlist_filter_pushes_down(spark):
+    plan = _plan(spark, "inlist_filter")
+    assert "PushedFilters" in plan and "In(c_mktsegment" in plan
+
+
+def test_notnull_threshold_pushes_down(spark):
+    plan = _plan(spark, "notnull_threshold")
+    assert "IsNotNull(value)" in plan and "GreaterThan(value,0.0)" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """guarded_ratio touches 4 of 11 lineitem columns — the scan must
+    read only those (ReadSchema pruning)."""
+    plan = _plan(spark, "guarded_ratio")
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_extendedprice" in read and "l_quantity" in read
+    assert "l_shipdate" not in read and "l_discount" not in read
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "dim_join_rollup")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_partitioned_window_no_single_partition(spark):
+    """user_daily_7day_avg must run a PARTITIONED window — a raw-grain
+    unpartitioned window is the single-task trap (SURVEY §2.5 W1)."""
+    plan = _plan(spark, "user_daily_7day_avg")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_semi_join_is_semi(spark):
+    plan = _plan(spark, "semi_join_customers")
+    assert "LeftSemi" in plan
+
+
+def test_flagship_is_two_stage_hash_agg(spark):
+    """rollup_entity: partial + final hash aggregate around one
+    exchange (map-side combine present)."""
+    plan = _plan(spark, "rollup_entity")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rollup_entity", "fact_join_agg", "text_quality", "sim_bruteforce_topk"],
+)
+def test_no_python_udfs_in_plans(spark, name):
+    """Parity + extension hot paths stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    plan = _plan(spark, name)
+    assert "EvalPython" not in plan
