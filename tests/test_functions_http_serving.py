@@ -1,0 +1,125 @@
+"""Scalar helpers, HTTP source retry semantics, and the serving layer."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from unittest.mock import patch
+
+from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.functions.scalars import (
+    humanize_number,
+    pct,
+    per_capita,
+    safe_div,
+)
+from covid19_etl_pipeline_spark.serving import publish_star_schema
+from covid19_etl_pipeline_spark.sources import http
+
+
+def test_scalar_helpers(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1000.0, 1_000_000.0), (5.0, 0.0, 1234.0), (None, None, None)],
+        ["deaths", "cases", "pop"],
+    )
+    out = df.select(
+        safe_div("deaths", "cases").alias("sd"),
+        pct("deaths", "cases").alias("p"),
+        per_capita("deaths", "pop").alias("pc"),
+        humanize_number("pop").alias("h"),
+    ).collect()
+    assert out[0]["sd"] == 0.01 and out[0]["p"] == 1.0 and out[0]["pc"] == 1.0
+    assert out[0]["h"] == "1.00M"
+    assert out[1]["sd"] is None and out[1]["p"] is None
+    assert out[1]["h"] == "1.23K"
+    assert out[2]["h"] is None
+
+
+def test_download_retries_with_backoff(tmp_path):
+    """Reference contract (data_extractor.py:52-91): 3 attempts,
+    2**attempt backoff, None after exhaustion."""
+    sleeps: list[float] = []
+    attempts = {"n": 0}
+
+    def failing_get(*a, **k):
+        attempts["n"] += 1
+        raise ConnectionError("boom")
+
+    target = tmp_path / "out.csv"
+    if http._HAVE_REQUESTS:
+        ctx = patch.object(http.requests, "get", side_effect=failing_get)
+    else:
+        ctx = patch.object(http.urllib.request, "urlopen", side_effect=failing_get)
+    with ctx:
+        result = http.download_file(
+            "http://example.invalid/x.csv", target, retries=3, sleep=sleeps.append
+        )
+    assert result is None
+    assert attempts["n"] == 3
+    assert sleeps == [1, 2]  # 2**0, 2**1 between attempts
+
+
+def test_download_success_streams_chunks(tmp_path):
+    payload = b"a,b\n1,2\n" * 3000  # > one 8 KiB chunk
+
+    class FakeResp:
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, chunk_size):
+            assert chunk_size == http.CHUNK_SIZE
+            for i in range(0, len(payload), chunk_size):
+                yield payload[i : i + chunk_size]
+
+        def read(self, n):  # urllib path
+            raise AssertionError("not used")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    target = tmp_path / "d" / "out.csv"
+    if http._HAVE_REQUESTS:
+        with patch.object(http.requests, "get", return_value=FakeResp()):
+            result = http.download_file("http://example.invalid/x.csv", target)
+        assert result == target
+        assert target.read_bytes() == payload
+
+
+def test_named_source_registry(tmp_path):
+    reg = http.SourceRegistry()
+    reg.register(
+        http.NamedSource("covid", "http://example.invalid/c.csv", "covid_{date}.csv")
+    )
+    assert reg.names() == ["covid"]
+    with patch.object(http, "download_file", return_value=Path("/x")) as dl:
+        reg.extract("covid", tmp_path, "20260813")
+        url, path = dl.call_args[0]
+        assert path == tmp_path / "covid_20260813.csv"
+
+
+def test_publish_star_schema_and_query(spark, tmp_path):
+    raw = spark.createDataFrame(
+        [
+            ("A", "AAA", "2021-01-01", "100", "1", "10", "1", "1000"),
+            ("A", "AAA", "2021-01-02", "110", "2", "10", "1", "1000"),
+            ("B", "BBB", "2021-01-01", "50", "0", "5", "0", "500"),
+        ],
+        ["location", "iso_code", "date", "total_cases", "total_deaths",
+         "new_cases", "new_deaths", "population"],
+    )
+    paths = publish_star_schema(spark, raw, str(tmp_path))
+    assert set(paths) == {"covid_cases", "aggregated_stats", "global_daily_stats"}
+    # ad-hoc SQL surface over the registered views (S9)
+    top = spark.sql(
+        "SELECT location, total_cases FROM aggregated_stats ORDER BY total_cases DESC"
+    ).collect()
+    assert top[0]["location"] == "A" and top[0]["total_cases"] == 110.0
+    daily = spark.sql("SELECT * FROM global_daily_stats ORDER BY date").collect()
+    assert daily[0]["countries_reporting"] == 2
+    # audit column stamped on every serving table
+    assert "created_at" in spark.table("covid_cases").columns
+    # fact is year-partitioned on disk
+    assert any(p.name == "year=2021" for p in (tmp_path / "covid_cases").iterdir())
