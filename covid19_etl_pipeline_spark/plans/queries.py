@@ -1150,3 +1150,72 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("price"))
     )
+
+
+@_register(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(avg(l_discount), 4) AS avg_disc
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "full cube: all grouping-set combinations in one pass "
+    "(SURVEY §2.4 gap — free from Spark)",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+@_register(
+    "winnowing_fingerprints",
+    f"""
+    WITH hs AS (
+        SELECT doc_id,
+               list_transform({_D_SHINGLES}, s -> md5(s)) AS hv
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               CASE WHEN len(hv) >= 4
+                    THEN list_distinct(list_transform(range(1, len(hv) - 2),
+                                       i -> list_min(hv[i:i+3])))
+                    ELSE [] END AS fps
+        FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fingerprints,
+           list_min(fps) AS min_fp,
+           list_max(fps) AS max_fp
+    FROM fp
+    """,
+    "winnowing document fingerprints: rolling min over windows of "
+    "shingle hashes (Schleimer et al. local fingerprinting; the "
+    "plagiarism/near-dup sketch the md5 whole-doc fingerprint can't give)",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = 4  # winnow window: min over every w consecutive shingle hashes
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    hv = F.transform(text.shingles(text.tokens("text")), F.md5)
+    out = docs.select(F.col("doc_id"), hv.alias("hv"))
+    n = F.size("hv")
+    fps = F.when(
+        n >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (w - 1)),
+                lambda i: F.array_min(F.slice(F.col("hv"), i, w)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return out.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )

@@ -1,0 +1,74 @@
+"""Property-based invariants (hypothesis) — the test layer the
+reference lacks entirely (SURVEY §5): semantics that must hold for ANY
+input, not just the curated fixtures.
+
+Settings are deliberately small (Spark round-trips per example are
+expensive); deadline disabled for JVM warmup jitter.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.operators.dedup import exact_dup_groups
+from covid19_etl_pipeline_spark.operators.setops import upsert_on_key
+from covid19_etl_pipeline_spark.operators.windows import moving_average
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=20
+)
+
+
+@_slow
+@given(current=kv_rows, updates=kv_rows)
+def test_upsert_keys_unique_and_updates_win(spark, current, updates):
+    cur = spark.createDataFrame([(k, v, "old") for k, v in current], ["k", "v", "src"])
+    upd = spark.createDataFrame([(k, v, "new") for k, v in updates], ["k", "v", "src"])
+    out = upsert_on_key(cur, upd, ["k"]).collect()
+    keys = [r["k"] for r in out]
+    assert len(keys) == len(set(keys))                      # one row per key
+    assert set(keys) == {k for k, _ in current} | {k for k, _ in updates}
+    update_keys = {k for k, _ in updates}
+    for r in out:
+        assert r["src"] == ("new" if r["k"] in update_keys else "old")
+
+
+@_slow
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=15,
+    ),
+    periods=st.integers(1, 5),
+)
+def test_moving_average_bounded_by_extremes(spark, values, periods):
+    df = spark.createDataFrame(list(enumerate(values)), ["t", "v"])
+    out = moving_average(df, ["v"], "t", partition_cols=(), periods=periods).collect()
+    lo, hi = min(values), max(values)
+    for r in out:
+        assert lo - 1e-6 <= r[f"v_{periods}day_avg"] <= hi + 1e-6
+
+
+@_slow
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=12))
+def test_exact_dedup_partitions_rows(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    groups = exact_dup_groups(df, "doc_id").collect()
+    # group sizes partition the corpus; one group per distinct text
+    assert sum(r["n_copies"] for r in groups) == len(texts)
+    assert len(groups) == len(set(texts))
+    # keeper is the minimum id of its group
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    keepers = {r["keeper_doc_id"] for r in groups}
+    assert keepers == {min(ids) for ids in by_text.values()}
