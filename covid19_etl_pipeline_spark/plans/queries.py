@@ -1219,3 +1219,85 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     )
+
+
+@_register(
+    "sim_ivf_topk",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+    sims AS (
+        SELECT c.vec_id, cent.cid,
+               list_dot_product(c.v, cent.cv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(cent.cv, cent.cv))) AS csim
+        FROM c, cent
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    members AS (SELECT a.vec_id, a.cid, c.v FROM assign a JOIN c USING (vec_id)),
+    q AS (SELECT vec_id AS query_id, cid AS qcid, v AS qv
+          FROM members WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, m.vec_id,
+               list_dot_product(q.qv, m.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(m.v, m.v))) AS sim
+        FROM q JOIN members m ON m.cid = q.qcid AND m.vec_id <> q.query_id
+    ),
+    r AS (
+        SELECT query_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS cosine_sim, rank
+    FROM r WHERE rank <= 10
+    """,
+    "IVF-flat ANN: deterministic coarse quantizer (first-C centroids), "
+    "cosine cell assignment, single-probe in-cell exact re-rank — the "
+    "inverted-file alternative to hyperplane LSH",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: assign every vector to its nearest of C fixed centroids
+    (broadcast nested-loop over C rows — no shuffle), then search only
+    the query's cell. At scale the assignment is written once
+    (partitioned by cell) and reused; a real deployment would k-means
+    the centroids — deterministic first-C keeps the oracle exact."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    c = emb.select("vec_id", F.col("embedding").alias("v"))
+    cent = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    sims = c.join(F.broadcast(cent)).withColumn(
+        "csim", similarity.cosine(F.col("v"), F.col("cv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    members = (
+        sims.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    q = members.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        members.join(F.broadcast(q), on=F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", similarity.cosine(F.col("qv"), F.col("v")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("sim", 6).alias("cosine_sim"), "rank")
+    )
