@@ -1301,3 +1301,86 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", F.round("sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+@_register(
+    "intersect_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "INTERSECT set op: customers holding both open and finished orders "
+    "(SURVEY §2.7 — set ops absent from reference)",
+)
+def intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    done_c = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_c.intersect(done_c)
+
+
+@_register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name)                                   AS name_upper,
+           substr(c_name, 1, 8)                            AS name_prefix,
+           CAST(length(c_name) AS INT)                     AS name_len,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+           replace(lower(c_name), 'customer', 'cust')      AS name_short,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0')       AS key_padded
+    FROM customer
+    """,
+    "string function surface: upper/substr/length/concat/replace/lpad "
+    "(SURVEY §2.8 breadth)",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat(
+            F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")
+        ).alias("seg_key"),
+        F.replace(F.lower("c_name"), F.lit("customer"), F.lit("cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@_register(
+    "date_arithmetic",
+    """
+    SELECT o_orderpriority,
+           round(avg(datediff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))), 4) AS avg_days_to_ship,
+           CAST(min(datediff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE))) AS INT) AS min_days,
+           CAST(max(datediff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE))) AS INT) AS max_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "date arithmetic: datediff order→ship latency per priority "
+    "(SURVEY §2.8 breadth; F1-F4 family)",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dd = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(dd), 4).alias("avg_days_to_ship"),
+            F.min(dd).alias("min_days"),
+            F.max(dd).alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
