@@ -1384,3 +1384,290 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-op / window / aggregate breadth — round-1 widening batch
+# (SURVEY §2.4-2.7 gaps the reference lacks; engine exposes as built-ins)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "except_customers",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "EXCEPT set op: customers with urgent orders but no finished orders "
+    "(SURVEY §2.7 — set ops absent from reference; complement of "
+    "intersect_customers)",
+)
+def except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # .subtract == EXCEPT DISTINCT; Catalyst plans it as a left-anti
+    # hash-aggregate join, broadcastable when the right side is small.
+    return urgent.subtract(finished)
+
+
+@_register(
+    "rank_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT)        AS quartile,
+           round(percent_rank() OVER w, 6)     AS pct_rank,
+           round(cume_dist() OVER w, 6)        AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    "distribution windows: ntile/percent_rank/cume_dist per segment "
+    "(SURVEY §2.5 gap — no ranking in reference; unique (acctbal, custkey) "
+    "tie-break)",
+)
+def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@_register(
+    "running_total_user",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INT) AS seq
+    FROM events
+    """,
+    "running total per entity: unbounded-preceding rows frame + sequence "
+    "number (SURVEY §2.5 gap; partitioned => scales with #users)",
+)
+def running_total_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_value"
+        ),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )
+
+
+@_register(
+    "user_range_7day_avg",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS event_date,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS unix_day,
+               sum(value) AS dv
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_date,
+           round(dv, 4) AS daily_value,
+           round(avg(dv) OVER (PARTITION BY user_id ORDER BY unix_day
+                               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+               AS value_7day_range_avg
+    FROM daily
+    """,
+    "VALUE-based range frame: 7 calendar-day average per entity — unlike "
+    "the rows frame (user_daily_7day_avg), gaps in the date series do not "
+    "widen the window (SURVEY §2.5: reference W1 is rows-only)",
+)
+def user_range_7day_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date("ts").alias("event_date"),
+        F.unix_date(F.to_date("ts")).alias("unix_day"),
+    ).agg(F.sum("value").alias("dv"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("unix_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "event_date",
+        F.round("dv", 4).alias("daily_value"),
+        F.round(F.avg("dv").over(w), 4).alias("value_7day_range_avg"),
+    )
+
+
+@_register(
+    "histogram_totalprice",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+           count(*)                                 AS n_orders,
+           round(sum(o_totalprice), 4)              AS sum_price,
+           round(min(o_totalprice), 4)              AS min_price,
+           round(max(o_totalprice), 4)              AS max_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    "histogram binning: fixed-width floor buckets over a measure "
+    "(engine breadth — width_bucket semantics via floor arithmetic, "
+    "identical IEEE division both engines)",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "minmax_by_priority",
+    """
+    SELECT o_orderpriority,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS max_price_orderkey,
+           min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS min_price_orderkey,
+           round(max(o_totalprice), 4) AS max_price,
+           round(min(o_totalprice), 4) AS min_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "argmax/argmin per group via lexicographic struct max — deterministic "
+    "(orderkey tie-break inside the struct), single hash-agg pass, no "
+    "window/self-join (SURVEY §2.4 breadth)",
+)
+def minmax_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pk = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max(pk).getField("k").alias("max_price_orderkey"),
+            F.min(pk).getField("k").alias("min_price_orderkey"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE                    AS hll_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "approx_count_distinct (HyperLogLog++, rsd=0.01) validated against the "
+    "exact distinct count within 5% — the sketch value itself is "
+    "engine-specific, so the contract checked is the error bound "
+    "(the 100 TB path: HLL is mergeable across partitions, exact "
+    "countDistinct is a full shuffle of the key space)",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            exact.alias("n_users_exact"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "events_before_purchase",
+    """
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_prior_events,
+           round(sum(e.value), 4) AS sum_prior_value
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase'
+     AND e.ts >= p.ts - INTERVAL 60 MINUTE
+     AND e.ts < p.ts
+    GROUP BY p.event_id
+    ORDER BY p.event_id
+    """,
+    "time-range (interval) self-join: activity in the 60 min before each "
+    "purchase. Spark plan: equi-join on user_id co-partitions both sides "
+    "(one shuffle, AQE-broadcastable), range predicate applied post-join — "
+    "at 100 TB, bucket events by user_id and partition by time so the "
+    "range filter prunes files (SURVEY §2.3: no range join in reference)",
+)
+def events_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select("user_id", F.col("ts").alias("e_ts"), "value")
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts")),
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_prior_events"),
+            F.round(F.sum("value"), 4).alias("sum_prior_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@_register(
+    "scalar_subquery_ratio",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice, 4) AS totalprice,
+           round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6)
+               AS price_ratio
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+    "uncorrelated scalar subquery: global average computed once and "
+    "broadcast to every row (Spark: 1-row agg + broadcast cross join — "
+    "no per-row recomputation, no driver collect; SURVEY §2.4 breadth)",
+)
+def scalar_subquery_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_global_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.8 * F.col("_global_avg"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round(F.col("o_totalprice") / F.col("_global_avg"), 6).alias("price_ratio"),
+        )
+    )
