@@ -36,6 +36,8 @@ HEADLINE = (
     "percentile_agg",
     "sessionize",
     "asof_join_orders",
+    "events_before_purchase",
+    "running_total_user",
 )
 
 

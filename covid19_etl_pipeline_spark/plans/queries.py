@@ -1671,3 +1671,102 @@ def scalar_subquery_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") / F.col("_global_avg"), 6).alias("price_ratio"),
         )
     )
+
+
+@_register(
+    "collect_orders_list",
+    """
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS orderkeys,
+           count(*)                    AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    "array-building aggregate: per-customer sorted order list — "
+    "collect_list is unordered across partitions, so array_sort makes "
+    "the result deterministic (SURVEY §2.4 breadth; array type surface)",
+)
+def collect_orders_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "stats_by_returnflag",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                  AS qty_stddev,
+           round(var_samp(l_quantity), 4)                     AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "statistical aggregates: stddev/variance/correlation/covariance per "
+    "group — single hash-agg pass, partial-aggregable (moment sketches "
+    "merge across partitions) so it scales like sum() (SURVEY §2.4 "
+    "breadth)",
+)
+def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "embedding_component_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT)                                   AS dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 4)                 AS max_comp,
+           round(CAST(list_min(embedding) AS DOUBLE), 4)                 AS min_comp,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / len(embedding), 4) + 0.0                              AS mean_comp,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT)          AS n_positive
+    FROM embeddings
+    """,
+    "higher-order array functions over the embedding column: size / "
+    "array_max / array_min / aggregate-fold mean / filter count — all "
+    "JVM-side (no UDF), the building blocks of the similarity operators "
+    "(extension surface; vector columns as array<float>)",
+)
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_comp"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_comp"),
+        # + 0.0 canonicalizes IEEE -0.0 to 0.0 (engines disagree on the
+        # sign of a zero rounding result)
+        (
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                )
+                / F.size("embedding"),
+                4,
+            )
+            + 0.0
+        ).alias("mean_comp"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )

@@ -61,6 +61,40 @@ def write_parquet(
     return path
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines scan. Same explicit-schema contract as CSV — without a
+    schema Spark samples the whole input to infer one (an extra scan at
+    100 TB). ``multiline`` handles one-document-per-file payloads."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+    compression: str | None = "gzip",
+) -> str:
+    """JSON-lines sink — the interchange format for downstream consumers
+    that cannot read parquet; compressed by default since raw JSON is
+    ~10x parquet's footprint."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return path
+
+
 def validate_source(df: DataFrame, sample_rows: int = 100) -> bool:
     """Ingest validation (S3): non-empty sample with at least one column.
 

@@ -120,3 +120,33 @@ def test_multimodal_metadata_filters_and_frames(spark):
     frames = frame_sample_plan(assets, every_ms=1000).collect()
     # 3500ms video at 1fps → frames at 0,1000,2000,3000
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    """JSON-lines sink/source round-trip with explicit schema; values,
+    including nested arrays, must survive."""
+    from covid19_etl_pipeline_spark.sources.io import read_json, write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.5, 2.5]), (2, "b", []), (3, None, None)],
+        "id long, name string, vals array<double>",
+    )
+    out = str(tmp_path / "j")
+    write_json(df, out)
+    back = read_json(spark, out, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_partitioned_write_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.sources.io import read_json, write_json
+
+    df = spark.createDataFrame([(1, 2020), (2, 2021), (3, 2021)], "id long, year int")
+    out = str(tmp_path / "jp")
+    write_json(df, out, partition_by=("year",))
+    back = read_json(spark, out, schema="id long, year int")
+    pruned = back.filter(F.col("year") == 2021)
+    assert pruned.count() == 2
+    files = pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("year=2021" in r["f"] for r in files)
