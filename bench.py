@@ -38,6 +38,8 @@ HEADLINE = (
     "asof_join_orders",
     "events_before_purchase",
     "running_total_user",
+    "top_unshipped_orders",
+    "regional_revenue",
 )
 
 

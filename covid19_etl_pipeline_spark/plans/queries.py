@@ -1770,3 +1770,123 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_comp"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@_register(
+    "top_unshipped_orders",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: 3-table join, segment+date filters pushed to the "
+    "scans, revenue rollup, top-10 (TakeOrderedAndProject — no global "
+    "sort). The dimension side (filtered customer) broadcasts; unique "
+    "l_orderkey tie-break",
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit("1998-03-15")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "regional_revenue",
+    """
+    SELECT r_name AS region, n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lineitems
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, revenue DESC, n_name
+    """,
+    "TPC-H Q5 shape: 5-table star join — region/nation broadcast as tiny "
+    "dims, customer broadcasts under AQE, the orders-to-lineitem fact join "
+    "is the only shuffle; per-(region, nation) revenue rollup",
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("region", F.col("revenue").desc(), "nation")
+    )
+
+
+@_register(
+    "price_quantity_regression",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "per-group OLS fit (price ~ quantity) from second-moment aggregates: "
+    "slope = covar_pop/var_pop, intercept = mean_y - slope*mean_x, "
+    "r2 = corr^2 — pure built-in partial-aggregable moments, no "
+    "applyInPandas needed (Spark-first answer to a per-group model fit)",
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    slope = F.covar_pop("l_quantity", "l_extendedprice") / F.var_pop("l_quantity")
+    intercept = F.avg("l_extendedprice") - slope * F.avg("l_quantity")
+    r2 = F.pow(F.corr("l_quantity", "l_extendedprice"), 2)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(slope, 4).alias("slope"),
+            F.round(intercept, 4).alias("intercept"),
+            F.round(r2, 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
