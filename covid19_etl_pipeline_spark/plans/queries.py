@@ -1890,3 +1890,31 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# One SQL text, two engines: the ad-hoc SQL surface (S9,
+# data_loader.py:406-416) demonstrated with a dialect-neutral statement
+# that Spark SQL and DuckDB both execute verbatim.
+_SQL_SURFACE = """
+    SELECT o_orderstatus,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 4) AS total_revenue,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+@_register(
+    "sql_surface_revenue",
+    _SQL_SURFACE,
+    "ad-hoc SQL surface (S9): register_tables + spark.sql running the "
+    "IDENTICAL SQL text the oracle runs — the engine's query entry point "
+    "is ANSI SQL over temp views, not a bespoke DSL",
+)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.catalog import query, register_tables
+
+    register_tables(spark, sf_dir, tables=("orders",))
+    return query(spark, _SQL_SURFACE)

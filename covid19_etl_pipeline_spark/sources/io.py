@@ -95,6 +95,23 @@ def write_json(
     return path
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = "gzip",
+) -> str:
+    """CSV sink — the egress twin of the S4 scan, for consumers that
+    need plain text. Arrays/maps/structs are not CSV-representable;
+    project them out (or JSON-encode) before writing."""
+    writer = df.write.mode(mode).option("header", str(header).lower())
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+    return path
+
+
 def validate_source(df: DataFrame, sample_rows: int = 100) -> bool:
     """Ingest validation (S3): non-empty sample with at least one column.
 

@@ -150,3 +150,14 @@ def test_json_partitioned_write_prunes(spark, tmp_path):
     assert pruned.count() == 2
     files = pruned.select(F.input_file_name().alias("f")).distinct().collect()
     assert all("year=2021" in r["f"] for r in files)
+
+
+def test_csv_write_roundtrip(spark, tmp_path):
+    from covid19_etl_pipeline_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b,with comma"), (3, None)],
+                               "id long, name string")
+    out = str(tmp_path / "c")
+    write_csv(df, out)
+    back = read_csv(spark, out, schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
