@@ -65,3 +65,23 @@ def global_daily_rollup(
 def table_count(df: DataFrame) -> int:
     """Scalar row count (A4/A5)."""
     return df.count()
+
+
+def null_profile(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Data-quality profile: total rows + null count per column in ONE
+    aggregation pass (reference parity: debugdb.py's per-table row-count
+    and NaN checks, which issue one SQL query per column — at 100 TB
+    that is N full scans; this is one).
+
+    Returns a single row: ``n_rows`` plus ``<col>_nulls`` per column.
+    NaN counts as null for float/double columns (pandas-NaN parity —
+    the reference's SQLite path stores NaN as NULL).
+    """
+    cols = list(columns) if columns is not None else df.columns
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        is_missing = F.col(c).isNull()
+        if dict(df.dtypes).get(c) in ("float", "double"):
+            is_missing = is_missing | F.isnan(c)
+        aggs.append(F.sum(is_missing.cast("bigint")).alias(f"{c}_nulls"))
+    return df.agg(*aggs)

@@ -1918,3 +1918,30 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, tables=("orders",))
     return query(spark, _SQL_SURFACE)
+
+
+@_register(
+    "null_profile_enriched",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+           CAST(sum(CASE WHEN user_value IS NULL OR isnan(user_value)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS user_value_nulls
+    FROM orders LEFT JOIN (
+        SELECT user_id, sum(value) AS user_value FROM events GROUP BY user_id
+    ) e ON o_custkey = user_id
+    """,
+    "one-pass null/NaN profile over a LEFT-JOIN enrichment (reference "
+    "parity: debugdb.py NaN checks, which scan once PER column; this is "
+    "one aggregation pass for all columns). Unmatched join keys surface "
+    "as user_value nulls — the standard post-enrichment quality gate",
+)
+def null_profile_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators.aggregates import null_profile
+
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("user_value"))
+    enriched = o.join(totals, o["o_custkey"] == totals["user_id"], "left")
+    return null_profile(enriched, ["o_totalprice", "user_value"])

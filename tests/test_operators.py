@@ -138,3 +138,20 @@ def test_spread_changes_partitioning_not_rows(spark):
     out = spread(df, "id", partitions=4)
     assert out.rdd.getNumPartitions() == 4
     assert out.count() == 10
+
+
+def test_null_profile_counts_nulls_and_nans(spark):
+    from covid19_etl_pipeline_spark.operators.aggregates import null_profile
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), "a"), (2, None, None), (3, 1.5, "c"), (None, 2.5, "d")],
+        "id long, x double, s string",
+    )
+    row = null_profile(df).first()
+    assert row["n_rows"] == 4
+    assert row["id_nulls"] == 1
+    assert row["x_nulls"] == 2   # one NULL + one NaN
+    assert row["s_nulls"] == 1
+    # column subset
+    sub = null_profile(df, ["s"]).columns
+    assert sub == ["n_rows", "s_nulls"]
