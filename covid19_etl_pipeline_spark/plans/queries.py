@@ -1945,3 +1945,35 @@ def null_profile_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ev.groupBy("user_id").agg(F.sum("value").alias("user_value"))
     enriched = o.join(totals, o["o_custkey"] == totals["user_id"], "left")
     return null_profile(enriched, ["o_totalprice", "user_value"])
+
+
+@_register(
+    "tumbling_6h_rollup",
+    """
+    SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+           count(*)                         AS n_events,
+           round(sum(value), 4)             AS total_value
+    FROM events
+    GROUP BY bucket_start
+    ORDER BY bucket_start
+    """,
+    "batch tumbling window: F.window('ts', '6 hours') — the SAME "
+    "operator the streaming daily rollup uses, epoch-aligned like "
+    "DuckDB's time_bucket, so batch and streaming share one "
+    "windowing semantics (SURVEY §2.9 bridge)",
+)
+def tumbling_6h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )

@@ -118,3 +118,33 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q3_shape_pushdown_and_topk(spark):
+    """TPC-H Q3 shape: segment filter reaches the customer scan; the
+    top-10 is a TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "top_unshipped_orders")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_shape_broadcasts_dims(spark):
+    """TPC-H Q5 shape: every dimension join is a broadcast."""
+    plan = _plan(spark, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_scalar_subquery_broadcasts(spark):
+    """The 1-row global aggregate reaches every row via broadcast, never
+    a shuffle or a driver collect."""
+    plan = _plan(spark, "scalar_subquery_ratio")
+    assert "BroadcastExchange" in plan
+
+
+def test_range_join_is_equi_not_cartesian(spark):
+    """The time-range self-join must extract user_id as the equi key —
+    a CartesianProduct/BroadcastNestedLoop here would be O(n^2) rows at
+    scale."""
+    plan = _plan(spark, "events_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
