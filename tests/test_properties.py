@@ -72,3 +72,64 @@ def test_exact_dedup_partitions_rows(spark, texts):
         by_text.setdefault(t, []).append(i)
     keepers = {r["keeper_doc_id"] for r in groups}
     assert keepers == {min(ids) for ids in by_text.values()}
+
+
+@_slow
+@given(
+    offsets=st.lists(st.integers(0, 7200), min_size=1, max_size=15),
+    n_users=st.integers(1, 3),
+)
+def test_session_rollup_partitions_events(spark, offsets, n_users):
+    """Sessions must PARTITION each user's events: counts sum to the
+    event count, bounds are consistent, and consecutive sessions of one
+    user are separated by at least the gap."""
+    import datetime as dt
+
+    from covid19_etl_pipeline_spark.streaming.stateful import session_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (uid, base + dt.timedelta(seconds=s), 1.0)
+        for uid in range(n_users)
+        for s in offsets
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    sessions = session_rollup(ev, gap="30 minutes").collect()
+    # counts: every event lands in exactly one session
+    total = sum(r["n_events"] for r in sessions)
+    assert total == len(rows)
+    by_user = {}
+    for r in sessions:
+        assert r["session_start"] < r["session_end"]
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, ss in by_user.items():
+        ss.sort(key=lambda r: r["session_start"])
+        for a, b in zip(ss, ss[1:]):
+            # session_window end = last event + gap; a following session
+            # must start at or after that point
+            assert b["session_start"] >= a["session_end"]
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.just(float("nan")), st.floats(-10, 10)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_null_profile_matches_python_count(spark, rows):
+    import math
+
+    from covid19_etl_pipeline_spark.operators.aggregates import null_profile
+
+    df = spark.createDataFrame(rows, "k long, x double")
+    r = null_profile(df).first()
+    assert r["n_rows"] == len(rows)
+    assert r["k_nulls"] == sum(1 for k, _ in rows if k is None)
+    assert r["x_nulls"] == sum(
+        1 for _, x in rows if x is None or (isinstance(x, float) and math.isnan(x))
+    )
