@@ -1977,3 +1977,49 @@ def tumbling_6h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@_register(
+    "gap_fill_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(d) AS dmin, max(d) AS dmax FROM daily GROUP BY 1),
+    cal AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    )
+    SELECT cal.user_id, cal.d AS event_date,
+           coalesce(round(dv, 4), 0.0) AS daily_value,
+           dv IS NOT NULL           AS observed
+    FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.d = daily.d
+    """,
+    "calendar gap-fill: densify each entity's daily series between its "
+    "own min/max date (sequence+explode calendar, left join, zero-fill). "
+    "The generated calendar is tiny (days x users) and co-keyed with the "
+    "daily rollup, so the left join shuffles only the small side — the "
+    "standard dense-time-series preparation before window/ML features",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("dv")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    cal = bounds.select(
+        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("d")
+    )
+    return (
+        cal.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.col("d").alias("event_date"),
+            F.coalesce(F.round("dv", 4), F.lit(0.0)).alias("daily_value"),
+            F.col("dv").isNotNull().alias("observed"),
+        )
+    )
