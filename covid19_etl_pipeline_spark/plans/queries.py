@@ -2023,3 +2023,72 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dv").isNotNull().alias("observed"),
         )
     )
+
+
+@_register(
+    "hash_split_documents",
+    """
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         BETWEEN '0' AND 'b'                          THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('c', 'd')                                THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM tagged GROUP BY split, lang ORDER BY split, lang
+    """,
+    "deterministic train/val/test assignment by content-key hash "
+    "(md5 of the stable doc key -> 12/2/2 sixteenths). Unlike "
+    "df.sample(), the split is reproducible across runs, engines, and "
+    "repartitioning — the required property for training-data splits; "
+    "embarrassingly parallel, no shuffle until the audit rollup",
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(first_hex.between("0", "b"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@_register(
+    "text_normalize_redact",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_fingerprint,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS INT) AS n_digits_redacted,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'))
+                AS INT) AS len_after_email_mask
+    FROM documents
+    """,
+    "text normalization + PII-style masking: whitespace collapse + "
+    "casefold (fingerprinted via md5 so the oracle compares content, "
+    "not layout), digit redaction count, email-pattern masking — "
+    "RE2-safe patterns, all JVM-side regexp (extension: the cleaning "
+    "pass before dedup/tokenization)",
+)
+def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_fingerprint"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("int").alias("n_digits_redacted"),
+        F.length(
+            F.regexp_replace("text", "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>")
+        ).cast("int").alias("len_after_email_mask"),
+    )
