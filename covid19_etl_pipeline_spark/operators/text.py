@@ -137,3 +137,13 @@ def shingles(toks: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def n_chunks(toks: Column, chunk_size: int = 50, stride: int = 25) -> Column:
+    """Number of overlapping token windows covering ``toks``: one chunk
+    when the doc fits, else 1 + ceil((n - chunk_size) / stride). Shared
+    formula with the chunking oracle — keep in lockstep."""
+    n = F.size(toks)
+    return F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - chunk_size) / F.lit(float(stride))).cast("int") + 1
+    )

@@ -2092,3 +2092,47 @@ def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>")
         ).cast("int").alias("len_after_email_mask"),
     )
+
+
+@_register(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_D_TOKS} AS toks FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) <= 50 THEN 1
+                    ELSE CAST(ceil((len(toks) - 50) / 25.0) AS INT) + 1
+               END AS n_chunks
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks FROM n
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx*25 + 1 : chunk_idx*25 + 50]) AS INT) AS chunk_len,
+           md5(array_to_string(toks[chunk_idx*25 + 1 : chunk_idx*25 + 50], ' '))
+               AS chunk_hash
+    FROM c
+    """,
+    "document chunking: overlapping 50-token windows with stride 25 via "
+    "sequence+explode+slice — one narrow pass, no shuffle, rows fan out "
+    "~n_tokens/stride per doc (the context-window preparation step for "
+    "training pipelines; chunk content compared by md5 fingerprint)",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = text.tokens("text")
+    with_chunks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), text.n_chunks(toks) - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice("toks", F.col("chunk_idx") * 25 + 1, 50)
+    return with_chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )
