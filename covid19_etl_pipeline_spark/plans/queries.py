@@ -1998,30 +1998,35 @@ def tumbling_6h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.d = daily.d
     """,
     "calendar gap-fill: densify each entity's daily series between its "
-    "own min/max date (sequence+explode calendar, left join, zero-fill). "
-    "The generated calendar is tiny (days x users) and co-keyed with the "
-    "daily rollup, so the left join shuffles only the small side — the "
-    "standard dense-time-series preparation before window/ML features",
+    "own min/max date. Spark side is the LEAD-window form: each daily "
+    "row explodes the INCLUSIVE day range [d, next_d) — its own day "
+    "(observed, real value) plus the gap days to its successor "
+    "(zero-filled). One branch, no self-join, no union: exactly two "
+    "shuffles (daily agg + per-entity window). The oracle states the "
+    "same result as the naive bounds+calendar LEFT JOIN, which would "
+    "cost a third shuffle and recompute the daily aggregate",
 )
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         F.sum("value").alias("dv")
     )
-    bounds = daily.groupBy("user_id").agg(
-        F.min("d").alias("dmin"), F.max("d").alias("dmax")
-    )
-    cal = bounds.select(
-        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("d")
-    )
-    return (
-        cal.join(daily, ["user_id", "d"], "left")
-        .select(
-            "user_id",
-            F.col("d").alias("event_date"),
-            F.coalesce(F.round("dv", 4), F.lit(0.0)).alias("daily_value"),
-            F.col("dv").isNotNull().alias("observed"),
+    w = Window.partitionBy("user_id").orderBy("d")
+    with_next = daily.withColumn("next_d", F.lead("d").over(w))
+    day = F.explode(
+        F.sequence(
+            "d", F.coalesce(F.date_sub("next_d", 1), F.col("d"))
         )
+    )
+    return with_next.select(
+        "user_id", F.col("d").alias("_d"), F.col("dv").alias("_dv"), day.alias("event_date")
+    ).select(
+        "user_id",
+        "event_date",
+        F.when(F.col("event_date") == F.col("_d"), F.round("_dv", 4))
+        .otherwise(F.lit(0.0))
+        .alias("daily_value"),
+        (F.col("event_date") == F.col("_d")).alias("observed"),
     )
 
 
