@@ -68,6 +68,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     divide would corrupt epoch-nanos > 2^53).
     """
     path = table_path(sf_dir, name)
+    # Pin UTC at runtime (the caller's session may be vanilla): parquet
+    # timestamps are instants, and every to_date()/window() bucketing —
+    # and the TZ-naive DuckDB oracle — assumes UTC wall time. A session
+    # in any other zone would shift date boundaries.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos = _nano_timestamp_fields(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

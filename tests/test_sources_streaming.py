@@ -161,3 +161,19 @@ def test_csv_write_roundtrip(spark, tmp_path):
     write_csv(df, out)
     back = read_csv(spark, out, schema=df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_load_table_pins_utc(spark, sf_dir):
+    """load_table must repair a non-UTC caller session — date bucketing
+    and the TZ-naive oracle both assume UTC wall time."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        ev = load_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        first_day = ev.agg(F.min(F.to_date("ts"))).first()[0]
+        assert str(first_day) == "2024-01-01"   # UTC date, not shifted to 2023-12-31
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
