@@ -2141,3 +2141,80 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
     )
+
+
+@_register(
+    "equidepth_deciles",
+    """
+    WITH ranked AS (
+        SELECT o_totalprice,
+               CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+                   AS decile
+        FROM orders
+    )
+    SELECT decile,
+           count(*)                    AS n_orders,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    "equi-depth histogram: ntile deciles with per-bucket bounds — the "
+    "statistics shape optimizers collect (equal COUNT per bucket, "
+    "variable width; complement of the equi-WIDTH histogram_totalprice). "
+    "Unique (price, orderkey) tie-break keeps bucket edges deterministic. "
+    "SCALE NOTE: the global ntile is single-task by definition — exact "
+    "equi-depth needs a total order. The 100 TB path derives approximate "
+    "edges from percentile_approx (see approx_percentile_check) and bins "
+    "with range predicates instead",
+)
+def equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "approx_percentile_check",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+           TRUE AS sketch_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "percentile_approx (mergeable quantile sketch, accuracy 10000) "
+    "validated within 2% of the exact interpolated percentile — like "
+    "the HLL check, the contract is the error bound, since the sketch "
+    "value is engine-specific. At 100 TB the sketch is the only option: "
+    "exact percentiles need a full sort of the key space per group",
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p50e = F.expr("percentile(o_totalprice, 0.5)")
+    p95e = F.expr("percentile(o_totalprice, 0.95)")
+    p50a = F.percentile_approx("o_totalprice", 0.5, 10000)
+    p95a = F.percentile_approx("o_totalprice", 0.95, 10000)
+    tol = 0.02
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(p50e, 4).alias("p50_exact"),
+            F.round(p95e, 4).alias("p95_exact"),
+            (
+                (F.abs(p50a - p50e) <= tol * p50e)
+                & (F.abs(p95a - p95e) <= tol * p95e)
+            ).alias("sketch_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
