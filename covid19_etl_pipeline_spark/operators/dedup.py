@@ -209,3 +209,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) 
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two integer signatures via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Undirected connected components by iterative min-label
+    propagation: every node starts labeled with itself; each round takes
+    the min label over its neighborhood; fixed point = components. The
+    step after candidate-pair generation in a dedup pipeline — pairs
+    become clusters, then one representative per cluster survives.
+
+    Genuinely iterative (no closed SQL form at scale): the driver loop
+    only CONTROLS iteration — each round is one distributed
+    join+groupBy, converging in O(graph diameter) rounds (dup clusters
+    are near-cliques, so typically 2-3). ``localCheckpoint`` cuts the
+    exponential lineage; a cluster deployment would use a reliable
+    checkpoint dir instead.
+
+    Returns (node, label) with label = min node id of the component.
+    """
+    bi = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bi.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(bi, labels["node"] == bi["s"])
+            .groupBy(F.col("d").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = labels.join(
+            nbr_min, labels["node"] == nbr_min["nbr_node"], "left"
+        ).select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        updated = updated.localCheckpoint()
+        if updated.filter(F.col("label") < F.col("_old")).limit(1).count() == 0:
+            return updated.select("node", "label")
+        labels = updated.select("node", "label")
+    return labels

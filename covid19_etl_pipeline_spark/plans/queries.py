@@ -2218,3 +2218,47 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "dup_clusters",
+    """
+    WITH RECURSIVE c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    ),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labels ORDER BY vec_id
+    """,
+    "dup-cluster formation: near-dup candidate pairs -> undirected "
+    "connected components (iterative distributed min-label propagation, "
+    "O(diameter) join+agg rounds — see dedup.connected_components) -> "
+    "one cluster id + size per member. The step between pair generation "
+    "and survivor selection in every dedup pipeline; oracle is the "
+    "recursive-CTE transitive closure, tractable at test scale only",
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    labels = dedup.connected_components(pairs, "vec_id_a", "vec_id_b")
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("vec_id"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", F.count("*").over(w))
+        .orderBy("vec_id")
+    )

@@ -108,3 +108,26 @@ def test_cosine_zero_norm_guard(spark):
     )
     row = df.select(similarity.cosine(F.col("a"), F.col("b")).alias("c")).first()
     assert row["c"] is None
+
+
+def test_connected_components_known_graph(spark):
+    """Hand-computed components: {1,2,3} via chain, {10,11}, and the
+    label is the min member id."""
+    from covid19_etl_pipeline_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(edges, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph has maximal diameter — the worst case for label
+    propagation; must still converge within the iteration cap."""
+    from covid19_etl_pipeline_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
+    got = {r["node"]: r["label"] for r in connected_components(edges, "a", "b").collect()}
+    assert got == {i: 0 for i in range(n + 1)}
