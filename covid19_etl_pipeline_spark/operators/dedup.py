@@ -259,3 +259,26 @@ def connected_components(
             return updated.select("node", "label")
         labels = updated.select("node", "label")
     return labels
+
+
+def drop_near_dups(
+    df: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Survivor selection: keep every row not in any dup cluster, plus
+    the min-id representative of each cluster (``labels`` from
+    ``connected_components``). Left join + filter — one broadcastable
+    shuffle; the labels table is #clustered-docs rows, tiny relative to
+    the corpus.
+    """
+    lbl = labels.select(
+        F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
+    )
+    return (
+        df.join(lbl, df[id_col] == F.col("__node"), "left")
+        .filter(F.col("__node").isNull() | (F.col("__node") == F.col("__label")))
+        .drop("__node", "__label")
+    )

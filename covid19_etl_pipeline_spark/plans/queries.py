@@ -2262,3 +2262,45 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count("*").over(w))
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "near_dedup_survivors",
+    """
+    WITH RECURSIVE c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    ),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT e.vec_id, e.label AS class_label
+    FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.node
+    WHERE l.node IS NULL OR l.node = l.cluster_id
+    ORDER BY e.vec_id
+    """,
+    "end of the dedup chain: survivors = unclustered rows + the min-id "
+    "representative per dup cluster (pairs -> components -> "
+    "drop_near_dups). What actually ships to training after near-dedup",
+)
+def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    labels = dedup.connected_components(pairs, "vec_id_a", "vec_id_b")
+    return (
+        dedup.drop_near_dups(emb, "vec_id", labels)
+        .select("vec_id", F.col("label").alias("class_label"))
+        .orderBy("vec_id")
+    )
