@@ -10,10 +10,14 @@ Each module maps to a SURVEY.md §2 inventory section:
 - joins       — §2.3 (broadcast dim joins, equi, semi/anti)
 - sorts       — O1-O5 (global sorts, top-k)
 - setops      — §2.7 (unionByName, incremental upsert/dedup-on-key)
-- dedup       — extension: exact / MinHash-LSH / SimHash / n-gram Jaccard
+- asof        — §2.3 extension: as-of join (union-merge + last ignorenulls)
+- partitioning— physical layout: spread, salted skew join, bucketed
+                co-located join
+- dedup       — extension: exact / MinHash-LSH / SimHash / n-gram Jaccard /
+                connected-components clustering / survivor selection
 - similarity  — extension: cosine top-k brute force + LSH-bucketed ANN
 - text        — extension: tokenization, quality scoring, language ID,
-                fingerprinting
+                fingerprinting, chunking
 - multimodal  — extension: binary-column decode/feature plumbing (stubbed
                 codecs, real Spark plumbing)
 """
