@@ -2304,3 +2304,46 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("label").alias("class_label"))
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "supplier_nation_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON p_partkey   = l_partkey
+    JOIN supplier ON s_suppkey   = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_retailprice > 950
+    GROUP BY n_name, ship_year
+    ORDER BY nation, ship_year
+    """,
+    "TPC-H Q9 shape: fact joined to TWO broadcast dimension chains "
+    "(part via l_partkey; supplier→nation via l_suppkey) with the part "
+    "filter pushed below the join, profit rolled up per supplier-nation "
+    "and ship year — completes catalog coverage (part + supplier)",
+)
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.to_date("l_shipdate")).alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("nation", "ship_year")
+    )
