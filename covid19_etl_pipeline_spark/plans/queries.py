@@ -2347,3 +2347,38 @@ def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "ship_year")
     )
+
+
+@_register(
+    "unpivot_measures",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 4)      AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price,
+               round(sum(l_discount), 4)      AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL SELECT l_returnflag, 'sum_disc',  sum_disc  FROM agg
+    ORDER BY l_returnflag, measure
+    """,
+    "unpivot/melt — the inverse of pivot_linestatus: wide per-flag "
+    "measures to long (flag, measure, value) rows via df.unpivot "
+    "(Catalyst Expand node: one pass, rows x n_measures output, no "
+    "join or union re-scan; the oracle states it as UNION ALL)",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")

@@ -73,16 +73,21 @@ def test_batch_session_rollup_matches_pandas_oracle(spark, sf_dir):
     assert got == expected
 
 
-def _stage_stream_dir(spark, df, tmp_path, name, n_files=1):
+def _stage_stream_dir(spark, df, tmp_path, name, n_files=1, chrono=False):
     """Write `df` as exactly `n_files` parquet files into the staging
     area and copy them into the stream dir with increasing mtimes so the
-    file source picks them up in a deterministic order."""
+    file source picks them up in a deterministic order. ``chrono``
+    range-partitions on ts so micro-batches arrive in event-time order
+    (how a real stream behaves)."""
     stream_dir = tmp_path / name
     stream_dir.mkdir(exist_ok=True)
     stage = tmp_path / f"_stage_{name}_{len(os.listdir(stream_dir))}"
     # repartition (not coalesce): the source may have fewer partitions
     # than n_files, and coalesce can only shrink
-    write_parquet(df.repartition(n_files), str(stage))
+    parted = (
+        df.repartitionByRange(n_files, "ts") if chrono else df.repartition(n_files)
+    )
+    write_parquet(parted, str(stage))
     t = 1_700_000_000 + len(os.listdir(stream_dir)) * 10
     for i, f in enumerate(sorted(p for p in os.listdir(stage) if p.endswith(".parquet"))):
         dst = stream_dir / f"{len(os.listdir(stream_dir)):03d}.parquet"
@@ -178,3 +183,93 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     # multiple micro-batches => at least one user saw >1 update
     n_updates = spark.sql("SELECT count(*) AS n FROM t_totals").first()["n"]
     assert n_updates > len(expected)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream join == the batch range join on the
+    same data (purchases x prior-60min events per user)."""
+    from covid19_etl_pipeline_spark.streaming.joins import purchase_context_join
+
+    ev = _events(spark, sf_dir, max_user=6)
+    src = _stage_stream_dir(spark, ev, tmp_path, "ssj", n_files=2)
+
+    def reader():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    purchases = reader().filter(F.col("event_type") == "purchase")
+    joined = purchase_context_join(purchases, reader())
+    _drain(joined, "t_ssj", "append")
+
+    got = spark.sql(
+        "SELECT purchase_id, count(*) AS n, round(sum(value), 4) AS sv "
+        "FROM t_ssj GROUP BY purchase_id"
+    ).collect()
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.select("user_id", F.col("ts").alias("e_ts"), "value")
+    expected = (
+        p.join(
+            e,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 60 MINUTES"))
+            & (F.col("e_ts") < F.col("p_ts")),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .collect()
+    )
+    as_map = lambda rows: {r["purchase_id"]: (r["n"], r["sv"]) for r in rows}
+    assert as_map(got) == as_map(expected)
+    assert len(got) > 0
+
+
+def test_foreach_batch_upsert_latest_per_user(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE sink: after draining the stream, the keyed
+    table holds exactly the batch-wide latest event per user."""
+    from covid19_etl_pipeline_spark.streaming.joins import (
+        foreach_batch_upsert,
+        latest_per_key,
+    )
+
+    ev = _events(spark, sf_dir, max_user=7)
+    src = _stage_stream_dir(spark, ev, tmp_path, "fbu", n_files=3, chrono=True)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.sql("DROP TABLE IF EXISTS t_latest")
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(
+            foreach_batch_upsert(
+                "t_latest",
+                keys=("user_id",),
+                reduce_batch=lambda b: latest_per_key(b, "user_id", ("ts", "event_id")),
+                path=str(tmp_path / "t_latest_data"),
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in spark.table("t_latest").collect()
+    }
+    expected = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in latest_per_key(ev, "user_id", ("ts", "event_id")).collect()
+    }
+    assert got == expected
+    spark.sql("DROP TABLE IF EXISTS t_latest")
