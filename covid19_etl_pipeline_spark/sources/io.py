@@ -121,3 +121,38 @@ def validate_source(df: DataFrame, sample_rows: int = 100) -> bool:
     if not df.columns:
         return False
     return df.limit(sample_rows).count() > 0
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merging: unions the schemas of all
+    files so datasets written before a column existed still read
+    (columns missing in older files come back null) — the scan-level
+    half of the engine's schema-drift contract (SURVEY §1.3; the
+    projection half is ``cast_if_exists``). Merging reads every file
+    footer, so reserve it for evolving datasets."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+) -> int:
+    """Compact a small-file parquet directory to ``target_partitions``
+    files: read → repartition → write to a staging sibling → atomic
+    directory swap. Small files are the chronic failure mode of
+    incremental/streaming writers (every scan pays per-file open +
+    footer cost; at 100 TB a 1000-file directory beats a 1M-file one by
+    orders of magnitude in planning time). Returns the file count after
+    compaction."""
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__compacting"
+    backup = path.rstrip("/") + "__precompact"
+    df = spark.read.parquet(path)
+    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

@@ -177,3 +177,35 @@ def test_load_table_pins_utc(spark, sf_dir):
         assert str(first_day) == "2024-01-01"   # UTC date, not shifted to 2023-12-31
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    """Old files lack the new column; merged read unions the schemas
+    and backfills nulls."""
+    from covid19_etl_pipeline_spark.sources.io import read_parquet_merged
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.parquet(out)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.mode(
+        "append"
+    ).parquet(out)
+    back = read_parquet_merged(spark, out)
+    assert set(back.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from covid19_etl_pipeline_spark.sources.io import compact_parquet
+
+    out = str(tmp_path / "fragmented")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(out)
+    import os
+    before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert before == 16
+    after = compact_parquet(spark, out, target_partitions=2)
+    assert after == 2
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(1000))
