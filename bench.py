@@ -40,6 +40,10 @@ HEADLINE = (
     "running_total_user",
     "top_unshipped_orders",
     "regional_revenue",
+    "supplier_nation_profit",
+    "gap_fill_daily",
+    "chunk_documents",
+    "hash_split_documents",
 )
 
 
