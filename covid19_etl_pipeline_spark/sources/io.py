@@ -156,3 +156,28 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Range-clustered parquet write: ``repartitionByRange`` on the
+    cluster columns + sort within each partition, so every output file
+    covers a narrow, near-disjoint value range. Parquet footers then
+    carry tight min/max stats and any scan filtered on the cluster
+    columns skips whole files — the single-dimension form of data
+    clustering (the partition-pruning complement for high-cardinality
+    columns where ``partitionBy`` would explode the directory count).
+    """
+    cols = list(cluster_by)
+    parted = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+    return path
