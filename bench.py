@@ -44,6 +44,7 @@ HEADLINE = (
     "gap_fill_daily",
     "chunk_documents",
     "hash_split_documents",
+    "training_corpus",
 )
 
 

@@ -2382,3 +2382,90 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).orderBy("l_returnflag", "measure")
+
+
+@_register(
+    "training_corpus",
+    f"""
+    WITH RECURSIVE
+    norm AS (
+        SELECT doc_id, lang, text,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS ntext
+        FROM documents
+    ),
+    qual AS (SELECT * FROM norm WHERE len({_D_TOKS}) >= 5),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(ntext)),
+    docs1 AS (SELECT q.* FROM qual q JOIN exact_keep e ON q.doc_id = e.doc_id),
+    sigs AS (
+        SELECT doc_id,
+               {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
+               {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
+               {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
+               {_d_minhash(6)} AS mh6, {_d_minhash(7)} AS mh7
+        FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM docs1)
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS sig FROM sigs
+        UNION ALL SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs
+        UNION ALL SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs
+        UNION ALL SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs
+    ),
+    filt AS (SELECT * FROM bands WHERE sig IS NOT NULL AND sig <> ''),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        FROM filt a JOIN filt b ON a.band = b.band AND a.sig = b.sig
+                                AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang,
+           CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                     BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                     IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS n_tokens,
+           md5(d.ntext) AS fingerprint
+    FROM docs1 d LEFT JOIN labels l ON d.doc_id = l.node
+    WHERE l.node IS NULL OR l.node = l.cluster_id
+    ORDER BY d.doc_id
+    """,
+    "CAPSTONE — the full training-corpus preparation chain in one "
+    "composed plan: normalize -> quality gate (>=5 tokens) -> exact "
+    "dedup on the normalized fingerprint -> MinHash-LSH near-dup pairs "
+    "-> connected-components clustering -> survivor selection -> "
+    "deterministic train/val/test split. Every stage is an operator "
+    "verified standalone elsewhere; this proves they COMPOSE, against "
+    "one composed oracle (recursive CTE for the iterative stage). "
+    "Narrow stages fuse; the only shuffles are the two dedup "
+    "aggregations, the LSH band join, and the O(diameter) cluster "
+    "rounds on the (tiny) clustered subset",
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qual = docs.withColumn("__ntext", text.normalized_text("text")).filter(
+        text.token_count("text") >= 5
+    )
+    docs1 = dedup.drop_exact_dups(qual, "doc_id", "__ntext")
+    pairs = dedup.lsh_candidate_pairs(docs1, "doc_id", "text")
+    labels = dedup.connected_components(pairs, "doc_id_a", "doc_id_b")
+    survivors = dedup.drop_near_dups(docs1, "doc_id", labels)
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(first_hex.between("0", "b"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return survivors.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        text.token_count("text").alias("n_tokens"),
+        F.md5(F.col("__ntext").cast("binary")).alias("fingerprint"),
+    ).orderBy("doc_id")
