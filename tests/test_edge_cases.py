@@ -1,0 +1,68 @@
+"""Empty- and degenerate-input behavior: operators must return empty
+(or identity) results, never crash — the contract that matters when a
+daily partition is missing or a filter eliminates everything upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from covid19_etl_pipeline_spark.operators.aggregates import null_profile
+from covid19_etl_pipeline_spark.operators.dedup import (
+    connected_components,
+    drop_exact_dups,
+    drop_near_dups,
+    lsh_candidate_pairs,
+)
+from covid19_etl_pipeline_spark.operators.setops import upsert_on_key
+from covid19_etl_pipeline_spark.streaming.stateful import session_rollup
+
+EVENTS = "event_id long, ts timestamp, user_id long, event_type string, value double"
+DOCS = "doc_id long, text string"
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_session_rollup_empty(spark):
+    assert session_rollup(_empty(spark, EVENTS)).count() == 0
+
+
+def test_null_profile_empty(spark):
+    row = null_profile(_empty(spark, DOCS)).first()
+    assert row["n_rows"] == 0
+    # sum over zero rows is null — count-style semantics preserved as null
+    assert row["doc_id_nulls"] is None and row["text_nulls"] is None
+
+
+def test_lsh_pairs_empty_and_single_doc(spark):
+    assert lsh_candidate_pairs(_empty(spark, DOCS), "doc_id").count() == 0
+    one = spark.createDataFrame([(1, "only one document here")], DOCS)
+    assert lsh_candidate_pairs(one, "doc_id").count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    edges = _empty(spark, "a long, b long")
+    assert connected_components(edges, "a", "b").count() == 0
+
+
+def test_drop_near_dups_empty_labels_keeps_all(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], DOCS)
+    labels = _empty(spark, "node long, label long")
+    assert drop_near_dups(docs, "doc_id", labels).count() == 2
+
+
+def test_drop_exact_dups_all_identical(spark):
+    docs = spark.createDataFrame([(i, "same text") for i in range(5)], DOCS)
+    out = drop_exact_dups(docs, "doc_id").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 0
+
+
+def test_upsert_empty_sides(spark):
+    cur = spark.createDataFrame([(1, "x")], "k long, v string")
+    empty = _empty(spark, "k long, v string")
+    assert upsert_on_key(cur, empty, ("k",)).count() == 1
+    assert upsert_on_key(empty, cur, ("k",)).count() == 1
+    assert upsert_on_key(empty, empty, ("k",)).count() == 0
