@@ -2469,3 +2469,53 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count("text").alias("n_tokens"),
         F.md5(F.col("__ntext").cast("binary")).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "anomaly_mad_events",
+    """
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (user_id)
+    ),
+    mad AS (
+        SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id,
+           round(d.value, 4) AS value,
+           round((d.value - d.med) / (1.4826 * t.mad), 4) AS robust_z
+    FROM dev d JOIN mad t USING (user_id)
+    WHERE t.mad > 0 AND abs(d.value - d.med) > 3 * 1.4826 * t.mad
+    ORDER BY d.event_id
+    """,
+    "robust per-entity anomaly detection: median absolute deviation "
+    "(MAD) flags events >3 robust sigmas from the user's median — "
+    "outlier-resistant where mean/stddev are not. Two percentile "
+    "aggregations + broadcastable per-user stats joins, all built-in "
+    "(no UDF; exact percentiles swap for percentile_approx at 100 TB)",
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .filter((F.col("mad") > 0) & (F.col("adev") > 3 * 1.4826 * F.col("mad")))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(
+                (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 4
+            ).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
