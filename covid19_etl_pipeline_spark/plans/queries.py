@@ -2519,3 +2519,90 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)   AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (t_signup IS NOT NULL) AS n_signup,
+           count(*) FILTER (t_click > t_signup)   AS n_click_after_signup,
+           count(*) FILTER (t_purchase > t_click AND t_click > t_signup)
+               AS n_full_funnel
+    FROM firsts
+    """,
+    "funnel analysis: ordered signup -> click -> purchase conversion "
+    "via conditional-min first-touch timestamps — ONE pass over events "
+    "(conditional aggregation), one tiny per-user row set, no "
+    "per-step self-joins (the naive N-step funnel is N-1 joins)",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+
+    def count_if(cond):
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0).cast("long"))
+
+    return firsts.agg(
+        count_if(F.col("t_signup").isNotNull()).alias("n_signup"),
+        count_if(F.col("t_click") > F.col("t_signup")).alias("n_click_after_signup"),
+        count_if(
+            (F.col("t_purchase") > F.col("t_click"))
+            & (F.col("t_click") > F.col("t_signup"))
+        ).alias("n_full_funnel"),
+    )
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(floor(datediff('day', DATE '2024-01-01', first_day) / 7) AS INT)
+               AS cohort_week,
+           CAST(floor(datediff('day', c.first_day, CAST(e.ts AS DATE)) / 7) AS INT)
+               AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "cohort retention: users bucketed by first-activity week, activity "
+    "counted per week offset since their cohort start — first-touch "
+    "agg + broadcastable cohort join + distinct-count rollup (the "
+    "standard retention triangle; distinct goes approx at 100 TB)",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .select(
+            F.floor(
+                F.datediff("first_day", F.lit("2024-01-01")) / 7
+            ).cast("int").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7
+            ).cast("int").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
