@@ -2606,3 +2606,62 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@_register(
+    "interpolate_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    nxt AS (
+        SELECT user_id, d, dv,
+               lead(d)  OVER (PARTITION BY user_id ORDER BY d) AS next_d,
+               lead(dv) OVER (PARTITION BY user_id ORDER BY d) AS next_dv
+        FROM daily
+    ),
+    expanded AS (
+        SELECT user_id, d, dv, next_d, next_dv,
+               CAST(unnest(generate_series(d, coalesce(next_d - INTERVAL 1 DAY, d),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM nxt
+    )
+    SELECT user_id, day AS event_date,
+           round(CASE WHEN day = d THEN dv
+                      ELSE dv + (next_dv - dv) * datediff('day', d, day)
+                                / datediff('day', d, next_d) END, 4) AS value_interp,
+           day = d AS observed
+    FROM expanded
+    ORDER BY user_id, event_date
+    """,
+    "resample with LINEAR interpolation: gap days get the straight-line "
+    "value between the surrounding observations (vs gap_fill_daily's "
+    "zero-fill) — same single-branch lead-window explode, two shuffles, "
+    "identical IEEE interpolation formula both engines",
+)
+def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("dv")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    nxt = daily.withColumn("next_d", F.lead("d").over(w)).withColumn(
+        "next_dv", F.lead("dv").over(w)
+    )
+    expanded = nxt.withColumn(
+        "day",
+        F.explode(F.sequence("d", F.coalesce(F.date_sub("next_d", 1), F.col("d")))),
+    )
+    interp = F.when(F.col("day") == F.col("d"), F.col("dv")).otherwise(
+        F.col("dv")
+        + (F.col("next_dv") - F.col("dv"))
+        * F.datediff("day", "d")
+        / F.datediff("next_d", "d")
+    )
+    return expanded.select(
+        "user_id",
+        F.col("day").alias("event_date"),
+        F.round(interp, 4).alias("value_interp"),
+        (F.col("day") == F.col("d")).alias("observed"),
+    ).orderBy("user_id", "event_date")
