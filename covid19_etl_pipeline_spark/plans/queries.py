@@ -2665,3 +2665,34 @@ def interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 4).alias("value_interp"),
         (F.col("day") == F.col("d")).alias("observed"),
     ).orderBy("user_id", "event_date")
+
+
+@_register(
+    "sliding_window_rollup",
+    """
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL 12 HOUR, ts) AS w_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 12 HOUR, ts) - INTERVAL 12 HOUR, value
+        FROM events
+    )
+    SELECT w_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM starts GROUP BY w_start ORDER BY w_start
+    """,
+    "sliding (hopping) window: 1-day windows every 12 hours — each "
+    "event lands in windowLength/slide = 2 windows (Spark's Expand "
+    "node duplicates rows per window; the oracle states the same via "
+    "UNION ALL of the two shifted bucket families). The overlap factor "
+    "is the scale knob: cost = overlap x input",
+)
+def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
+        .orderBy("w_start")
+    )
