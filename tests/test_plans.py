@@ -148,3 +148,18 @@ def test_range_join_is_equi_not_cartesian(spark):
     plan = _plan(spark, "events_before_purchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sliding_window_uses_expand(spark):
+    """Hopping windows must be the Expand-node form (each row duplicated
+    per overlapping window), not a join against a window table."""
+    plan = _plan(spark, "sliding_window_rollup")
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_capstone_stays_jvm_side(spark):
+    """The composed training-corpus chain must contain no Python eval
+    nodes anywhere — every stage is built-in expressions."""
+    plan = _plan(spark, "training_corpus")
+    assert "EvalPython" not in plan
