@@ -2696,3 +2696,97 @@ def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), "n_events", "total_value")
         .orderBy("w_start")
     )
+
+
+@_register(
+    "locf_fill_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    nxt AS (
+        SELECT user_id, d, dv,
+               lead(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM daily
+    )
+    SELECT user_id,
+           CAST(unnest(generate_series(d, coalesce(next_d - INTERVAL 1 DAY, d),
+                                       INTERVAL 1 DAY)) AS DATE) AS event_date,
+           round(dv, 4) AS value_filled,
+           CAST(unnest(generate_series(d, coalesce(next_d - INTERVAL 1 DAY, d),
+                                       INTERVAL 1 DAY)) AS DATE) = d AS observed
+    FROM nxt
+    ORDER BY user_id, event_date
+    """,
+    "LOCF resample (last observation carried forward): gap days repeat "
+    "the previous observed value — completing the fill-strategy family "
+    "(zero-fill gap_fill_daily / linear interpolate_daily / LOCF). Same "
+    "two-shuffle lead-window explode; LOCF is the right fill for "
+    "state-like series (prices, counters) where zero/linear fabricate",
+)
+def locf_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum("value").alias("dv")
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    nxt = daily.withColumn("next_d", F.lead("d").over(w))
+    return (
+        nxt.withColumn(
+            "event_date",
+            F.explode(F.sequence("d", F.coalesce(F.date_sub("next_d", 1), F.col("d")))),
+        )
+        .select(
+            "user_id",
+            "event_date",
+            F.round("dv", 4).alias("value_filled"),
+            (F.col("event_date") == F.col("d")).alias("observed"),
+        )
+        .orderBy("user_id", "event_date")
+    )
+
+
+@_register(
+    "winsorize_values",
+    """
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(sum(least(greatest(e.value, q.p05), q.p95)), 4) AS winsorized_sum,
+           round(sum(e.value), 4) AS raw_sum,
+           CAST(count(*) FILTER (e.value < q.p05 OR e.value > q.p95) AS BIGINT)
+               AS n_clamped
+    FROM events e JOIN q USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    "per-group winsorization: clamp values to the [p05, p95] band "
+    "before aggregating — the outlier-robust cleaning pass (exact "
+    "percentiles here; percentile_approx at 100 TB). Broadcastable "
+    "per-group bounds join + one aggregation",
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    outlier = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(clamped), 4).alias("winsorized_sum"),
+            F.round(F.sum("value"), 4).alias("raw_sum"),
+            F.coalesce(F.sum(outlier.cast("long")), F.lit(0).cast("long")).alias(
+                "n_clamped"
+            ),
+        )
+        .orderBy("event_type")
+    )
