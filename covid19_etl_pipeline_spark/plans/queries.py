@@ -2790,3 +2790,33 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "sample_k_per_group",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, rk FROM ranked WHERE rk <= 3 ORDER BY lang, rk
+    """,
+    "deterministic K-per-group sampling: rank by content-key hash and "
+    "keep the first K — a reproducible 'pick 3 examples per language' "
+    "(eval sets, few-shot prompts) that is stable across runs, engines, "
+    "and partitioning, unlike df.sample(). One partitioned window pass",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )
