@@ -29,9 +29,13 @@ def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
 
 def most_recent_days(df: DataFrame, date_col: str, days: int) -> DataFrame:
     """Rows within ``days`` of the max date — the set-based form of the
-    dashboard's ``head(days_back)`` slice (O5). One extra scan to find
-    max(date); at scale prefer partition-pruned literal bounds."""
-    max_date = df.agg(F.max(date_col).alias("m")).collect()[0]["m"]
-    if max_date is None:
-        return df
-    return df.filter(F.col(date_col) >= F.date_sub(F.lit(max_date), days - 1))
+    dashboard's ``head(days_back)`` slice (O5). The max date is a 1-row
+    broadcast aggregate, not a driver collect, so the operator stays
+    fully lazy/distributed; at scale prefer partition-pruned literal
+    bounds when the cutoff is known up front."""
+    max_d = df.agg(F.max(date_col).alias("__maxd"))
+    return (
+        df.crossJoin(F.broadcast(max_d))
+        .filter(F.col(date_col) >= F.date_sub(F.col("__maxd"), days - 1))
+        .drop("__maxd")
+    )

@@ -273,12 +273,14 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most-recent-N-days as a date-range predicate (O5; dashboard.py:359)",
 )
 def recent_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    max_d = ev.agg(F.max(F.to_date("ts")).alias("__maxd"))
+    from covid19_etl_pipeline_spark.operators.sorts import most_recent_days
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
     return (
-        ev.crossJoin(F.broadcast(max_d))
-        .filter(F.to_date("ts") >= F.date_sub(F.col("__maxd"), 6))
-        .select("event_id", "user_id", "event_type", F.to_date("ts").alias("event_date"))
+        most_recent_days(ev, "event_date", 7)
+        .select("event_id", "user_id", "event_type", "event_date")
     )
 
 

@@ -155,3 +155,42 @@ def test_null_profile_counts_nulls_and_nans(spark):
     # column subset
     sub = null_profile(df, ["s"]).columns
     assert sub == ["n_rows", "s_nulls"]
+
+
+def test_quality_score_features(spark):
+    from covid19_etl_pipeline_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat."), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_score(df).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["n_chars_measured"] == 12
+    # "The"=3 "cat"=3 "sat."=4 → mean 10/3
+    assert abs(out[1]["mean_token_len"] - 10 / 3) < 1e-9
+    assert out[2]["n_chars_measured"] == 0
+
+
+def test_global_daily_rollup_count_semantics(spark):
+    """count(reporting_col) must be non-null count (reference A2
+    semantics), not distinct."""
+    from covid19_etl_pipeline_spark.operators.aggregates import global_daily_rollup
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1.0, "a"), ("2024-01-01", 2.0, "a"), ("2024-01-01", 3.0, None)],
+        "d string, v double, loc string",
+    )
+    row = global_daily_rollup(df, "d", ["v"], reporting_col="loc").first()
+    assert row["global_v"] == 6.0
+    assert row["countries_reporting"] == 2   # non-null, duplicates counted
+
+
+def test_table_count_and_decode_stub(spark):
+    from covid19_etl_pipeline_spark.operators.aggregates import table_count
+    from covid19_etl_pipeline_spark.operators.multimodal import decode_image
+
+    assert table_count(spark.range(5)) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
