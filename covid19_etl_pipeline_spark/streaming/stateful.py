@@ -113,3 +113,25 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str | None = "1 day",
+) -> DataFrame:
+    """Streaming deduplication: drop rows whose key was already seen —
+    the streaming twin of the batch exact-dedup operator, for at-least-
+    once sources that re-deliver (training pipelines dedup the stream
+    BEFORE it lands, not after).
+
+    With a watermark, per-key state is evicted once the key's event
+    time passes out of the horizon (``dropDuplicatesWithinWatermark``)
+    — bounded state, the 100 TB form. ``watermark=None`` keeps state
+    forever (exact, unbounded — test/small-stream only).
+    """
+    if watermark is None:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -273,3 +273,23 @@ def test_foreach_batch_upsert_latest_per_user(spark, sf_dir, tmp_path):
     }
     assert got == expected
     spark.sql("DROP TABLE IF EXISTS t_latest")
+
+
+def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
+    """Rows re-delivered in a LATER micro-batch must be dropped: feed
+    the same file twice, expect each event exactly once."""
+    from covid19_etl_pipeline_spark.streaming.stateful import streaming_dedup
+
+    ev = _events(spark, sf_dir, max_user=5)
+    src = _stage_stream_dir(spark, ev, tmp_path, "dedup")
+    _stage_stream_dir(spark, ev, tmp_path, "dedup")   # exact re-delivery
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _drain(streaming_dedup(stream, keys=("event_id",)), "t_dedup", "append")
+
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").first()
+    assert got["n"] == got["d"] == ev.count()
