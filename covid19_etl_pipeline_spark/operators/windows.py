@@ -78,3 +78,34 @@ def with_lag_delta(
         w = Window.partitionBy(*partition_cols).orderBy(order_col)
     name = delta_col or f"{value_col}_delta"
     return df.withColumn(name, F.col(value_col) - F.lag(value_col, 1).over(w))
+
+
+def ewma_by_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per group — the one
+    sequential recurrence (y_t = (1-a)·y_{t-1} + a·x_t) that Spark's
+    window functions cannot express, so it is the legitimate
+    ``applyInPandas`` grouped-map case: each group's ordered series is
+    folded in one Arrow-batched pandas pass. State is per-group and
+    groups are independent, so it scales with the number of entities;
+    a group's whole series must fit one executor (fine for per-entity
+    daily series; chunk by time for unbounded histories).
+    """
+    import pandas as pd  # noqa: F401  (Arrow path)
+
+    fields = df.schema.fields
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_schema += f", {out_col} double"
+
+    def _fold(pdf):
+        pdf = pdf.sort_values(order_col)
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_fold, schema=out_schema)

@@ -2822,3 +2822,51 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("lang", "rk")
     )
+
+
+@_register(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS dv
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT user_id, d, dv,
+               CAST(row_number() OVER w - 1 AS INT) AS t,
+               first_value(dv) OVER w AS x0
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    acc AS (
+        SELECT user_id, d, dv, t, x0,
+               sum(CASE WHEN t > 0 THEN dv * pow(0.8, -t) ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM idx
+    )
+    SELECT user_id, d AS event_date, round(dv, 4) AS daily_value,
+           round(pow(0.8, t) * x0 + 0.2 * pow(0.8, t) * s, 4) AS ewma
+    FROM acc ORDER BY user_id, event_date
+    """,
+    "per-entity EWMA (alpha=0.2) via applyInPandas — the sequential "
+    "recurrence no Spark window expresses, Arrow-batched per group. "
+    "The oracle uses the closed form (y_t = (1-a)^t x_0 + "
+    "a * sum (1-a)^(t-i) x_i), valid at 4dp for bounded series — the "
+    "ONE Pandas-path query on the surface, and it still carries a full "
+    "value-level oracle",
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators.windows import ewma_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.sum("value").alias("dv")
+    )
+    out = ewma_by_group(daily, "user_id", "event_date", "dv", alpha=0.2)
+    return out.select(
+        "user_id",
+        "event_date",
+        F.round("dv", 4).alias("daily_value"),
+        F.round("ewma", 4).alias("ewma"),
+    ).orderBy("user_id", "event_date")
