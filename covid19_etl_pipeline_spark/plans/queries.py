@@ -12,7 +12,14 @@ the DuckDB hash-compare deterministic:
   deterministic);
 - every top-k / rank has a unique tie-break key;
 - regexes are RE2-safe (no lookarounds) so Spark (Java regex) and DuckDB
-  (RE2) agree.
+  (RE2) agree;
+- a rounded value that can be zero gets `+ 0.0` appended on BOTH sides
+  (engines disagree on the sign of an IEEE -0.0 rounding result);
+- DuckDB returns BIGINT from year/week/row_number/ntile (CAST AS INT to
+  match Spark) and HUGEINT from sum(int) (CAST AS BIGINT);
+- engine-specific sketch values (HLL, quantile sketches) are never
+  hash-compared — the checked contract is an error bound against the
+  exact value, which IS deterministic.
 """
 
 from __future__ import annotations
