@@ -2877,3 +2877,40 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dv", 4).alias("daily_value"),
         F.round("ewma", 4).alias("ewma"),
     ).orderBy("user_id", "event_date")
+
+
+@_register(
+    "humanized_revenue",
+    """
+    SELECT o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           CASE WHEN abs(sum(o_totalprice)) >= 1e9
+                    THEN printf('%.2f', sum(o_totalprice) / 1e9) || 'B'
+                WHEN abs(sum(o_totalprice)) >= 1e6
+                    THEN printf('%.2f', sum(o_totalprice) / 1e6) || 'M'
+                WHEN abs(sum(o_totalprice)) >= 1e3
+                    THEN printf('%.2f', sum(o_totalprice) / 1e3) || 'K'
+                ELSE printf('%.2f', sum(o_totalprice)) END AS revenue_human
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "engine-side number humanization (F10 — the reference formats "
+    "f'{x/1e6:.2f}M' client-side, dashboard.py:200-202): "
+    "scalars.humanize_number emits '757.70M'-style strings in the "
+    "serving plan, so dashboards need no client formatting pass",
+)
+def humanized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.functions.scalars import humanize_number
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("__t"))
+        .select(
+            "o_orderpriority",
+            F.round("__t", 2).alias("revenue"),
+            humanize_number("__t").alias("revenue_human"),
+        )
+        .orderBy("o_orderpriority")
+    )
