@@ -2914,3 +2914,45 @@ def humanized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "source_mixture_weights",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs,
+               sum(n_chars) AS n_chars_total
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6)
+               AS mixture_weight,
+           CAST(round(1000 * pow(n_docs, 0.7)
+                      / sum(pow(n_docs, 0.7)) OVER (), 0) AS BIGINT)
+               AS docs_at_budget_1k,
+           CAST(n_chars_total AS BIGINT) AS n_chars_total
+    FROM counts
+    ORDER BY source
+    """,
+    "temperature-scaled source mixing (w_s proportional to n_s^0.7, the "
+    "standard upweight-the-tail recipe for multi-source training "
+    "corpora): per-source counts -> normalized sampling weights -> "
+    "expected docs at a fixed budget. One aggregation + a global window "
+    "over #sources rows (tiny)",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    w_all = Window.partitionBy()
+    raw = F.pow("n_docs", 0.7)
+    weight = raw / F.sum(raw).over(w_all)
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(weight, 6).alias("mixture_weight"),
+        F.round(1000 * weight, 0).cast("bigint").alias("docs_at_budget_1k"),
+        F.col("n_chars_total").cast("bigint").alias("n_chars_total"),
+    ).orderBy("source")
