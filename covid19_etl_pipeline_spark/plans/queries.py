@@ -39,7 +39,7 @@ from covid19_etl_pipeline_spark.operators.joins import (
     equi_join,
     semi_join_membership,
 )
-from covid19_etl_pipeline_spark.operators.partitioning import spread
+from covid19_etl_pipeline_spark.operators.partitioning import salted_equi_join, spread
 from covid19_etl_pipeline_spark.operators.projection import guarded_ratio
 from covid19_etl_pipeline_spark.operators.setops import upsert_on_key
 from covid19_etl_pipeline_spark.operators.windows import moving_average, top_n_per_group
@@ -2956,3 +2956,248 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1000 * weight, 0).cast("bigint").alias("docs_at_budget_1k"),
         F.col("n_chars_total").cast("bigint").alias("n_chars_total"),
     ).orderBy("source")
+
+
+@_register(
+    "salted_brand_revenue",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    "skew-resistant fact-dim join via explicit salting "
+    "(operators/partitioning.salted_equi_join): the big side gets a "
+    "per-row salt, the dim side is replicated salt ways, the join key "
+    "becomes (partkey, salt) — a power-law hot key that would pin one "
+    "shuffle partition is scattered across 8. Results are IDENTICAL to "
+    "the plain join (the oracle is the unsalted join), which is the "
+    "point: salting changes the physical distribution only. At 100 TB "
+    "this is the fallback when even AQE's skew split leaves a "
+    "straggler (SURVEY §7.4)",
+)
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice", "l_discount"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_equi_join(li, pt, "p_partkey", salt=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "order_count_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "TPC-H Q13 shape — customer order-count distribution: left outer "
+    "join with a join-side predicate (priority filter must live in the "
+    "ON clause, not WHERE, or zero-order customers vanish), count per "
+    "customer, then histogram the counts. Plan: one shuffle to "
+    "co-partition customer and orders on custkey, the per-customer "
+    "aggregate reuses that partitioning (no extra exchange), and the "
+    "second aggregate is over #distinct-counts rows (tiny). The "
+    "reference has no outer joins (SURVEY §2.3) — this is the "
+    "capability-parity demo for them",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+@_register(
+    "sole_returner_suppliers",
+    """
+    WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem)
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+    FROM supplier s
+    JOIN l l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+    WHERE EXISTS (
+            SELECT 1 FROM l l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM l l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY n_orders DESC, s.s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape — suppliers who are the SOLE returner in "
+    "multi-supplier orders: correlated EXISTS (another supplier in the "
+    "order) + NOT EXISTS (no other supplier returned) composed as "
+    "left-semi + left-anti self-joins on lineitem, then a broadcast "
+    "supplier join and distinct-count rollup. All three lineitem scans "
+    "shuffle on l_orderkey, so AQE plans them into one co-partitioned "
+    "exchange reuse; the reference has no semi/anti joins (SURVEY "
+    "§2.3) — this composes both in one query with a unique "
+    "(n_orders desc, s_name) tie-break",
+)
+def sole_returner_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    r_lines = li.filter(F.col("l_returnflag") == "R")
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        F.col("l_returnflag").alias("o_flag"),
+    )
+    multi_cond = (F.col("l_orderkey") == F.col("o_key")) & (
+        F.col("l_suppkey") != F.col("o_supp")
+    )
+    in_multi = r_lines.join(others, multi_cond, "left_semi")
+    sole = in_multi.join(
+        others.filter(F.col("o_flag") == "R"), multi_cond, "left_anti"
+    )
+    return (
+        sole.join(F.broadcast(sup), sole["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@_register(
+    "multimodal_asset_stats",
+    """
+    WITH assets AS (
+        SELECT doc_id,
+               CASE CAST(substr(source, 4, 10) AS INT) % 3
+                    WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime_type,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    )
+    SELECT mime_type,
+           count(*) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(n_bytes), 4) AS avg_bytes,
+           min(payload_md5) AS min_payload_md5
+    FROM assets
+    GROUP BY mime_type
+    ORDER BY mime_type
+    """,
+    "multimodal-column plumbing, oracle-checked end: documents ingested "
+    "as opaque binary assets (payload = utf-8 bytes standing in for "
+    "image/audio blobs, mime type as typed metadata per "
+    "operators/multimodal.ASSET_SCHEMA), then a metadata-only rollup — "
+    "byte sizes and content hashes computed FROM the binary column, "
+    "grouped by mime. The decode/featurize half (mapInPandas over "
+    "Arrow batches, stubbed codec) is exercised by the multimodal "
+    "operator tests; this query pins the part an oracle CAN check: "
+    "binary payload round-trip, octet counting, hash stability. At "
+    "100 TB the mime/size predicates are plain columns, so Catalyst "
+    "prunes files before any blob is read",
+)
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int") % 3
+    assets = docs.select(
+        "doc_id",
+        F.when(src_num == 0, "image/png")
+        .when(src_num == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return (
+        assets.groupBy("mime_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
+            F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+            F.min(F.md5("payload")).alias("min_payload_md5"),
+        )
+        .orderBy("mime_type")
+    )
+
+
+@_register(
+    "heavy_hitters_cms",
+    """
+    SELECT event_type,
+           count(*) AS n_events_exact,
+           TRUE     AS cms_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "count-min-sketch heavy hitters validated against exact counts: the "
+    "CMS estimate is engine-specific (seeded, mergeable across "
+    "partitions), so — like the HLL query — the checked contract is "
+    "the CMS guarantee: estimate >= exact and estimate <= exact + "
+    "eps * N (eps=0.001, confidence 0.99). The sketch is built "
+    "distributed (one pass, partial sketches merged tree-wise) and "
+    "probed on the driver against the tiny per-type rollup — the "
+    "100 TB pattern for frequency serving without a full groupBy "
+    "of the hot-key space",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    eps, confidence, seed = 0.001, 0.99, 42
+    raw = ev.agg(
+        F.expr(
+            f"count_min_sketch(event_type, {eps}d, {confidence}d, {seed})"
+        ).alias("s")
+    ).head()["s"]
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(raw))
+    )
+    exact = (
+        ev.groupBy("event_type").agg(F.count("*").alias("n_events_exact")).collect()
+    )
+    total = sum(r["n_events_exact"] for r in exact)
+    rows = [
+        (
+            r["event_type"],
+            r["n_events_exact"],
+            r["n_events_exact"]
+            <= sketch.estimateCount(r["event_type"])
+            <= r["n_events_exact"] + eps * total,
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_events_exact bigint, cms_ok boolean"
+    ).orderBy("event_type")
