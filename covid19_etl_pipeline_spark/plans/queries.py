@@ -3201,3 +3201,152 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, n_events_exact bigint, cms_ok boolean"
     ).orderBy("event_type")
+
+
+@_register(
+    "scd2_customer_tiers",
+    """
+    WITH h AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(least(floor(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) / 250000), 5) AS INT)
+                   AS tier
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_custkey, order_date, tier,
+               lag(tier) OVER (PARTITION BY o_custkey
+                               ORDER BY order_date, tier) AS prev_tier
+        FROM h
+    ),
+    versions AS (
+        SELECT o_custkey, tier, order_date AS valid_from,
+               lead(order_date) OVER (PARTITION BY o_custkey
+                                      ORDER BY order_date, tier) AS valid_to
+        FROM changes
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT o_custkey, tier, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM versions
+    ORDER BY o_custkey, valid_from
+    """,
+    "SCD2 (type-2 slowly-changing dimension) build from history: "
+    "cumulative customer spend -> derived tier attribute -> "
+    "change-detection (lag) keeps only rows where the tier moves -> "
+    "validity intervals (lead) + is_current flag. The warehouse-"
+    "standard versioned-dimension pattern the reference's "
+    "truncate-and-reload serving layer (data_loader.py:252-262) cannot "
+    "express. Plan: one shuffle on custkey; all three windows share "
+    "the same partitioning, so Catalyst plans them into a single "
+    "sort+exchange. The running sum is ordered by the unique "
+    "(o_orderdate, o_orderkey) key, so float accumulation order — and "
+    "therefore every tier boundary — is engine-deterministic",
+)
+def scd2_customer_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w_cum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.least(
+            F.floor(F.sum("o_totalprice").over(w_cum) / 250000), F.lit(5)
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    w_chg = Window.partitionBy("o_custkey").orderBy("order_date", "tier")
+    changes = h.withColumn("prev_tier", F.lag("tier").over(w_chg)).filter(
+        F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier"))
+    )
+    w_ver = Window.partitionBy("o_custkey").orderBy("order_date", "tier")
+    return (
+        changes.select(
+            "o_custkey",
+            "tier",
+            F.col("order_date").alias("valid_from"),
+            F.lead("order_date").over(w_ver).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("o_custkey", "valid_from")
+    )
+
+
+@_register(
+    "stratified_sample_documents",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <=
+          CASE lang WHEN 'en' THEN '7' WHEN 'de' THEN '3' ELSE '1' END
+    ORDER BY doc_id
+    """,
+    "deterministic stratified sampling: per-language rates (en 8/16, "
+    "de 4/16, others 2/16) applied as a content-key hash threshold — "
+    "downsample the over-represented stratum, keep the tail. Unlike "
+    "df.sample(fraction, seed) the selection is reproducible across "
+    "engines, runs, and repartitioning (the property training-data "
+    "curation needs for auditable corpus composition); "
+    "embarrassingly parallel — a pure filter, no shuffle, and the "
+    "hash predicate pushes to the scan",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    thresh = (
+        F.when(F.col("lang") == "en", "7")
+        .when(F.col("lang") == "de", "3")
+        .otherwise("1")
+    )
+    return (
+        docs.filter(first_hex <= thresh)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "fuzzy_name_matches",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS block_key FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    ORDER BY name_a, name_b
+    """,
+    "blocked fuzzy matching (entity resolution): candidate pairs only "
+    "within a blocking key (the product noun), then edit-distance "
+    "filter — the record-linkage pattern for catalog/author/entity "
+    "dedup in training-data curation. Blocking turns the O(n^2) "
+    "all-pairs comparison into per-block quadratic on distinct keys "
+    "(dedup to DISTINCT names first — the 100 TB move: compare "
+    "canonical strings, not rows); levenshtein is a JVM built-in, no "
+    "UDF. Same shape scales to token-sort keys or phonetic blocks",
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    blocked = names.withColumn("block_key", F.split("p_name", " ").getItem(1))
+    a = blocked.select(
+        F.col("p_name").alias("name_a"), F.col("block_key").alias("bk_a")
+    )
+    b = blocked.select(
+        F.col("p_name").alias("name_b"), F.col("block_key").alias("bk_b")
+    )
+    return (
+        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 5)
+        .select("name_a", "name_b", "edit_dist")
+        .orderBy("name_a", "name_b")
+    )
