@@ -155,3 +155,68 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine_sim", "rank")
     )
+
+
+def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) -> DataFrame:
+    """Assign each point to its nearest centroid (squared euclidean,
+    expanded as ||v||² − 2·v·c + ||c||² so both engines evaluate the
+    same dot products in the same element order). Centroids are
+    broadcast — the assignment is a map-side nested loop, no shuffle.
+    Ties break on centroid id."""
+    d2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    scored = pts.join(F.broadcast(cent)).withColumn("d2", d2)
+    w = Window.partitionBy("pid").orderBy("d2", "cid")
+    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    cols = ["pid", "cid", "v"] + (["d2"] if keep_dist else [])
+    return out.select(*cols)
+
+
+def lloyd_iterations(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-iteration Lloyd k-means refinement with deterministic
+    first-k init — the centroid-training step `sim_ivf_topk` defers.
+
+    Each round: broadcast nested-loop assignment (no shuffle), then a
+    per-(cluster, dimension) mean via posexplode + two aggregations —
+    the shuffle is on (cid, pos), k×dim cells regardless of corpus
+    size, so the reduction is tiny even at 100 TB. Centroid components
+    are rounded to 6 decimals after every update: the mean's summation
+    order is engine/partition dependent, and rounding canonicalizes
+    the next round's inputs so the whole iteration stays
+    oracle-comparable. Driver loop only CONTROLS iteration (like
+    ``dedup.connected_components``); all data movement is distributed.
+
+    Returns (final_assignment with d2, final_centroids).
+    """
+    pts = emb.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.filter(F.col("pid") < k).select(
+        F.col("pid").alias("cid"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
+    )
+    for _ in range(iters):
+        assigned = _nearest_centroid(pts, cent)
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cv")
+            )
+        )
+    return _nearest_centroid(pts, cent, keep_dist=True), cent

@@ -3350,3 +3350,94 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "edit_dist")
         .orderBy("name_a", "name_b")
     )
+
+
+@_register(
+    "kmeans_refined_centroids",
+    """
+    WITH pts AS (
+        SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS cv
+        FROM pts WHERE pid < 8
+    ),
+    s1 AS (
+        SELECT p.pid, c.cid, p.v,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c0 c
+    ),
+    a1 AS (
+        SELECT pid, cid, v FROM (
+            SELECT pid, cid, v,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s1) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, g.pos, round(avg(a.v[g.pos]), 6) AS m
+            FROM a1 a, generate_series(1, 64) g(pos)
+            GROUP BY a.cid, g.pos) GROUP BY cid
+    ),
+    s2 AS (
+        SELECT p.pid, c.cid, p.v,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c1 c
+    ),
+    a2 AS (
+        SELECT pid, cid, v FROM (
+            SELECT pid, cid, v,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s2) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+            SELECT a.cid, g.pos, round(avg(a.v[g.pos]), 6) AS m
+            FROM a2 a, generate_series(1, 64) g(pos)
+            GROUP BY a.cid, g.pos) GROUP BY cid
+    ),
+    s3 AS (
+        SELECT p.pid, c.cid,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c2 c
+    ),
+    a3 AS (
+        SELECT pid, cid, d2 FROM (
+            SELECT pid, cid, d2,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s3) WHERE rn = 1
+    )
+    SELECT a3.cid, count(*) AS n_members,
+           round(sqrt(list_dot_product(c2.cv, c2.cv)), 4) + 0.0 AS centroid_norm,
+           round(avg(a3.d2), 4) + 0.0 AS inertia
+    FROM a3 JOIN c2 ON a3.cid = c2.cid
+    GROUP BY a3.cid, c2.cv
+    ORDER BY a3.cid
+    """,
+    "fixed-iteration Lloyd k-means (2 rounds, deterministic first-k "
+    "init) refining the coarse quantizer `sim_ivf_topk` stubs: "
+    "broadcast nested-loop assignment (no shuffle), per-(cluster,dim) "
+    "mean update whose shuffle is k*dim cells regardless of corpus "
+    "size, centroids re-rounded to 6dp each round so float summation "
+    "order cannot drift the next assignment — which is what makes a "
+    "genuinely iterative ML algorithm oracle-comparable (the oracle "
+    "unrolls both rounds as CTEs). Driver loop controls iteration "
+    "only, like connected_components",
+)
+def kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    assigned, cent = similarity.lloyd_iterations(emb, k=8, iters=2)
+    norm = F.round(F.sqrt(similarity.dot(F.col("cv"), F.col("cv"))), 4) + 0.0
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.round(F.avg("d2"), 4) + 0.0).alias("inertia"),
+        )
+        .join(cent.select("cid", norm.alias("centroid_norm")), "cid")
+        .select("cid", "n_members", "centroid_norm", "inertia")
+        .orderBy("cid")
+    )
