@@ -3441,3 +3441,109 @@ def kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_members", "centroid_norm", "inertia")
         .orderBy("cid")
     )
+
+
+@_register(
+    "repetition_quality",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, lang, {_D_SHINGLES} AS tri FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(tri) AS INT) AS n_trigrams,
+           round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 4)
+               AS dup_trigram_frac,
+           (1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)) > 0.2
+               AS flagged
+    FROM sh
+    WHERE len(tri) >= 1
+    ORDER BY doc_id
+    """,
+    "intra-document repetition scoring (the Gopher-style quality "
+    "filter): fraction of duplicate token trigrams within each doc — "
+    "boilerplate/spam/generation loops score high and get flagged "
+    "(>0.2). Reuses the dedup shingle machinery (text.shingles); "
+    "embarrassingly parallel narrow compute, no shuffle before the "
+    "final sort, and per-row integer-ratio arithmetic so both engines "
+    "agree exactly",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tri = text.shingles(text.tokens("text"), k=3)
+    frac = 1.0 - F.size(F.array_distinct(F.col("tri"))).cast("double") / F.size("tri")
+    return (
+        docs.withColumn("tri", tri)
+        .filter(F.size("tri") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.size("tri").alias("n_trigrams"),
+            F.round(frac, 4).alias("dup_trigram_frac"),
+            (frac > 0.2).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                     t -> lower(t))) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term, n
+    ),
+    r AS (
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rank
+    FROM r WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    "per-document TF-IDF top terms: explode tokens -> term frequency "
+    "per doc -> document frequency (count over the already-distinct "
+    "doc-term pairs, no second distinct pass) -> tf * ln(N/df) -> "
+    "top-3 per doc. The doc-count scalar joins in as a broadcast "
+    "1-row aggregate (no driver round-trip); scores are rounded "
+    "BEFORE ranking so the (tfidf desc, term) order is engine-"
+    "deterministic. The keyword-extraction primitive for corpus "
+    "labeling/retrieval indexing",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.transform(text.tokens("text"), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )

@@ -96,3 +96,36 @@ def run_to_memory_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_sliding_rollup(
+    events: DataFrame,
+    watermark: str = "1 day",
+    window_size: str = "6 hours",
+    slide: str = "3 hours",
+) -> DataFrame:
+    """Sliding-window rollup over a streaming events DataFrame —
+    completes the window family (tumbling: ``streaming_daily_rollup``,
+    session: ``streaming.stateful.streaming_session_rollup``).
+
+    Each event lands in window_size/slide overlapping windows; Spark
+    plans this as an Expand (one output row per covering window) before
+    the windowed aggregation, the same physical shape as the batch
+    `sliding_window_rollup` query. State is bounded by the watermark:
+    windows whose end < max(event time) - watermark are finalized and
+    evicted.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide).alias("w"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "total_value",
+            "n_events",
+        )
+    )

@@ -240,3 +240,32 @@ def test_write_clustered_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
         assert hi_a <= lo_b   # disjoint (range partitioner boundaries)
     # rows survive
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_streaming_sliding_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding windows overlap (6h window, 3h slide) — the streamed
+    result must agree with the batch F.window aggregation bucket-for-
+    bucket, including events counted in two windows."""
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        streaming_sliding_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sliding")
+    write_parquet(events, src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    run_to_memory_sink(streaming_sliding_rollup(stream), query_name="s_stream")
+    got = {
+        (r["window_start"], r["window_end"]): (round(r["total_value"], 4), r["n_events"])
+        for r in spark.sql("SELECT * FROM s_stream").collect()
+    }
+    expected = {
+        (r["w"]["start"], r["w"]["end"]): (round(r["tv"], 4), r["n"])
+        for r in events.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(F.sum("value").alias("tv"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    # every event is in exactly two overlapping 6h/3h windows
+    assert sum(v[1] for v in got.values()) == 2 * events.count()
