@@ -45,6 +45,13 @@ HEADLINE = (
     "chunk_documents",
     "hash_split_documents",
     "training_corpus",
+    "salted_brand_revenue",
+    "order_count_distribution",
+    "sole_returner_suppliers",
+    "scd2_customer_tiers",
+    "kmeans_refined_centroids",
+    "repetition_quality",
+    "tfidf_top_terms",
 )
 
 

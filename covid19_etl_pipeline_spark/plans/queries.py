@@ -3447,16 +3447,18 @@ def kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition_quality",
     f"""
     WITH sh AS (
-        SELECT doc_id, lang, {_D_SHINGLES} AS tri FROM documents
+        SELECT doc_id, lang,
+               len({_D_TOKS}) - 2 AS n_tri,
+               len(list_distinct({_D_SHINGLES})) AS n_distinct
+        FROM documents
+        WHERE len({_D_TOKS}) >= 3
     )
     SELECT doc_id, lang,
-           CAST(len(tri) AS INT) AS n_trigrams,
-           round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 4)
+           CAST(n_tri AS INT) AS n_trigrams,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tri, 4)
                AS dup_trigram_frac,
-           (1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)) > 0.2
-               AS flagged
+           (1.0 - CAST(n_distinct AS DOUBLE) / n_tri) > 0.2 AS flagged
     FROM sh
-    WHERE len(tri) >= 1
     ORDER BY doc_id
     """,
     "intra-document repetition scoring (the Gopher-style quality "
@@ -3468,21 +3470,30 @@ def kmeans_refined_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agree exactly",
 )
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The quality gate filters on the CHEAP token count (>=3 tokens <=>
+    # >=1 trigram): Catalyst substitutes filter expressions through
+    # projections and pushes them below the spread() exchange, so a
+    # filter phrased on the shingle array would rebuild every trigram
+    # string on the (single-split) pre-spread side. n_trigrams is
+    # likewise derived arithmetically (n_toks - 2) so the trigram array
+    # is constructed exactly once, in the post-spread parallel project.
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_toks = F.size(text.tokens("text"))
     tri = text.shingles(text.tokens("text"), k=3)
-    frac = 1.0 - F.size(F.array_distinct(F.col("tri"))).cast("double") / F.size("tri")
-    return (
-        docs.withColumn("tri", tri)
-        .filter(F.size("tri") >= 1)
-        .select(
-            "doc_id",
-            "lang",
-            F.size("tri").alias("n_trigrams"),
-            F.round(frac, 4).alias("dup_trigram_frac"),
-            (frac > 0.2).alias("flagged"),
-        )
-        .orderBy("doc_id")
+    sized = docs.filter(n_toks >= 3).select(
+        "doc_id",
+        "lang",
+        (n_toks - 2).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct"),
     )
+    frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_trigrams")
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_trigrams",
+        F.round(frac, 4).alias("dup_trigram_frac"),
+        (frac > 0.2).alias("flagged"),
+    ).orderBy("doc_id")
 
 
 @_register(
