@@ -3558,3 +3558,128 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@_register(
+    "semantic_doc_retrieval",
+    r"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (
+        SELECT query_id, vec_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS sim
+        FROM q JOIN c ON vec_id <> query_id
+    ),
+    r AS (
+        SELECT query_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS INT) AS rank
+        FROM s
+    )
+    SELECT r.query_id, r.rank, d.doc_id, d.lang,
+           round(r.sim, 6) AS cosine_sim,
+           CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS INT) AS n_tokens
+    FROM r JOIN documents d ON r.vec_id = d.doc_id
+    WHERE r.rank <= 5
+    ORDER BY r.query_id, r.rank
+    """,
+    "retrieval pipeline (the RAG serving shape): ANN top-k over the "
+    "embedding column, then hydrate the hit list by joining doc ids "
+    "back to the documents table for text metadata. The hydration join "
+    "input is |Q| x k rows — tiny — so it broadcasts against the "
+    "(partition-pruned) documents scan; the expensive half is the "
+    "similarity search, which swaps to the LSH/IVF variants at scale "
+    "without touching the hydration stage",
+)
+def semantic_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    hits = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5
+    )
+    return (
+        docs.join(
+            F.broadcast(hits), hits["vec_id"] == docs["doc_id"]
+        )
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "lang",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            F.size(text.tokens("text")).alias("n_tokens"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@_register(
+    "small_order_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    "TPC-H Q17 shape — correlated scalar aggregate subquery "
+    "(per-part average quantity), decorrelated the way Catalyst "
+    "rewrites it: pre-aggregate per key, join back, filter against "
+    "the correlated bound. Both the agg and the join hash on "
+    "l_partkey, so AQE reuses one exchange; the per-part averages "
+    "table is fact-key-sized but two columns — broadcastable after "
+    "AQE sees its true size. The anti-pattern it replaces (per-row "
+    "subquery execution) is O(n) scans",
+)
+def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "price_percentile_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6)
+               AS price_percent_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6)
+               AS price_cume_dist
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_orderkey
+    """,
+    "relative-standing window functions (percent_rank, cume_dist) per "
+    "priority class — the remaining ranking-family members after "
+    "row_number/rank/dense_rank (`rank_distribution`) and ntile "
+    "(`equidepth_deciles`). Both are exact integer ratios "
+    "((rank-1)/(n-1), n_le/n), so engine-deterministic; the unique "
+    "(o_totalprice, o_orderkey) ordering pins tie behavior identically "
+    "on both sides. One shuffle on the partition key",
+)
+def price_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    ).orderBy("o_orderkey")
