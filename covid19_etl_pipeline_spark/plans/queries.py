@@ -3683,3 +3683,105 @@ def price_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     ).orderBy("o_orderkey")
+
+
+@_register(
+    "referential_integrity_audit",
+    """
+    SELECT 'customer_pk_dups' AS check_name,
+           (SELECT count(*) FROM (
+               SELECT c_custkey FROM customer
+               GROUP BY c_custkey HAVING count(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_null_keys',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NULL OR l_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_orphans',
+           (SELECT count(*) FROM lineitem l
+            LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'orders_orphan_customers',
+           (SELECT count(*) FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)
+    ORDER BY check_name
+    """,
+    "referential-integrity audit — the constraint checks a lakehouse "
+    "must run itself (parquet enforces nothing): PK uniqueness, "
+    "NOT-NULL key columns, and FK orphan detection in both fact "
+    "directions. Orphan checks are left-ANTI joins (only the key "
+    "column shuffles, and a broadcast when the parent side is small); "
+    "the four audit scalars union into one tiny report. The engine "
+    "twin of the reference's NaN/row-count diagnostics (debugdb.py)",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    pk_dups = (
+        c.groupBy("c_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    )
+    null_keys = li.filter(
+        F.col("l_orderkey").isNull() | F.col("l_partkey").isNull()
+    )
+    li_orphans = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_anti",
+    )
+    o_orphans = o.join(
+        c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti"
+    )
+    return (
+        one("customer_pk_dups", pk_dups)
+        .unionByName(one("lineitem_null_keys", null_keys))
+        .unionByName(one("lineitem_orphans", li_orphans))
+        .unionByName(one("orders_orphan_customers", o_orphans))
+        .orderBy("check_name")
+    )
+
+
+@_register(
+    "join_key_skew_profile",
+    """
+    WITH k AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_rows_per_key,
+           round(avg(cnt), 4) AS avg_rows_per_key,
+           round(CAST(quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS DOUBLE), 4)
+               AS p99_rows_per_key,
+           round(CAST(max(cnt) AS DOUBLE) / avg(cnt), 4) AS skew_factor
+    FROM k
+    """,
+    "join-key skew diagnostic — the measurement that decides between a "
+    "plain shuffle join, AQE skew split, and explicit salting "
+    "(`salted_brand_revenue`): per-key row counts, p99, and the "
+    "max/avg skew factor. Two partial-aggregable passes (key rollup, "
+    "then a 1-row profile); at 100 TB this runs on a sample or on the "
+    "key rollup you were about to shuffle anyway. Run it BEFORE "
+    "picking a join strategy, not after the straggler shows up",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_rows_per_key"),
+        F.round(F.avg("cnt"), 4).alias("avg_rows_per_key"),
+        F.round(F.percentile(F.col("cnt").cast("double"), 0.99), 4).alias(
+            "p99_rows_per_key"
+        ),
+        F.round(F.max("cnt").cast("double") / F.avg("cnt"), 4).alias("skew_factor"),
+    )

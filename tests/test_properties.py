@@ -133,3 +133,55 @@ def test_null_profile_matches_python_count(spark, rows):
     assert r["x_nulls"] == sum(
         1 for _, x in rows if x is None or (isinstance(x, float) and math.isnan(x))
     )
+
+
+@_slow
+@given(
+    big=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=1, max_size=30),
+    small=st.lists(st.integers(0, 4), min_size=1, max_size=5, unique=True),
+    salt=st.integers(2, 6),
+)
+def test_salted_join_equals_plain_join(spark, big, small, salt):
+    """Salting is physical-only: for ANY input and salt width the
+    salted join returns exactly the plain join's multiset of rows."""
+    from covid19_etl_pipeline_spark.operators.partitioning import salted_equi_join
+
+    b = spark.createDataFrame(big, ["k", "v"])
+    s = spark.createDataFrame([(k, f"d{k}") for k in small], ["k", "name"])
+    salted = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_equi_join(b, s, "k", salt=salt).collect()
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["name"]) for r in b.join(s, "k").collect()
+    )
+    assert salted == plain
+
+
+@_slow
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=12,
+    ),
+    k=st.integers(2, 3),
+)
+def test_lloyd_assignment_invariants(spark, vecs, k):
+    """Every point lands on exactly one live centroid, d2 is
+    non-negative, and no more than k clusters exist — for ANY input."""
+    from covid19_etl_pipeline_spark.operators.similarity import lloyd_iterations
+
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    assigned, cent = lloyd_iterations(emb, k=k, iters=1)
+    rows = assigned.collect()
+    cids = {r["cid"] for r in cent.collect()}
+    assert len(rows) == len(vecs)                       # total assignment
+    assert len({r["pid"] for r in rows}) == len(vecs)   # exactly once
+    assert {r["cid"] for r in rows} <= cids             # onto live centroids
+    assert len(cids) <= k
+    assert all(r["d2"] >= -1e-9 for r in rows)
