@@ -3785,3 +3785,108 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("cnt").cast("double") / F.avg("cnt"), 4).alias("skew_factor"),
     )
+
+
+@_register(
+    "nation_pair_trade_volume",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(CAST(l.l_shipdate AS DATE)) AS INT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+      AND year(CAST(l.l_shipdate AS DATE)) BETWEEN 1996 AND 1997
+    GROUP BY sn.n_name, cn.n_name, year(CAST(l.l_shipdate AS DATE))
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 0
+    ORDER BY volume DESC, supp_nation, cust_nation, ship_year
+    LIMIT 25
+    """,
+    "TPC-H Q7 shape — cross-border trade volume with the SAME "
+    "dimension (nation) joined in TWO roles (supplier's vs customer's "
+    "nation): one fact⋈fact shuffle (lineitem⋈orders on orderkey), "
+    "every dimension chain broadcast, the inequality filter applied "
+    "after both roles resolve. Year-banded predicate prunes at the "
+    "scan. Completes the multi-join matrix (Q3/Q5/Q9/Q13/Q17/Q21 "
+    "elsewhere); unique tie-broken top-25",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ship_year = F.year(F.to_date("l_shipdate"))
+    joined = (
+        li.withColumn("ship_year", ship_year)
+        .filter(F.col("ship_year").between(1996, 1997))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+            )),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    vol = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.round(vol, 4).alias("volume"), F.count("*").alias("n_lines"))
+        .filter(F.col("volume") > 0)
+        .orderBy(
+            F.col("volume").desc(), "supp_nation", "cust_nation", "ship_year"
+        )
+        .limit(25)
+    )
+
+
+@_register(
+    "price_extremes_window",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(first_value(o_totalprice) OVER w, 4) AS cheapest_in_class,
+           round(last_value(o_totalprice) OVER w, 4)  AS priciest_in_class,
+           round(nth_value(o_totalprice, 2) OVER w, 4) AS second_cheapest
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    "value-navigation window family (first_value / last_value / "
+    "nth_value) with an explicit unbounded-both ROWS frame — "
+    "last_value under the DEFAULT frame is the notorious footgun (it "
+    "sees only up to CURRENT ROW); pinning the frame makes the "
+    "semantics explicit and engine-identical. Unique (price, orderkey) "
+    "ordering; one shuffle on the partition key",
+)
+def price_extremes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.first("o_totalprice").over(w), 4).alias("cheapest_in_class"),
+        F.round(F.last("o_totalprice").over(w), 4).alias("priciest_in_class"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 4).alias("second_cheapest"),
+    ).orderBy("o_orderkey")
