@@ -163,3 +163,64 @@ def test_capstone_stays_jvm_side(spark):
     nodes anywhere — every stage is built-in expressions."""
     plan = _plan(spark, "training_corpus")
     assert "EvalPython" not in plan
+
+
+def test_q7_shape_broadcasts_all_dims(spark):
+    """nation_pair_trade_volume: both nation roles + customer +
+    supplier broadcast; the only join that may shuffle is
+    lineitem⋈orders."""
+    plan = _plan(spark, "nation_pair_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_scatters_key(spark):
+    """salted_brand_revenue: the join key must be the composite
+    (partkey, salt) — the physical partitioning no longer keys on the
+    raw (skewable) partkey alone."""
+    plan = _plan(spark, "salted_brand_revenue")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_shape_semi_and_anti(spark):
+    plan = _plan(spark, "sole_returner_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    """The priority predicate must live in the join, not a post-filter
+    that would turn the outer join inner: plan keeps LeftOuter and no
+    Filter on o_orderpriority sits above the join."""
+    plan = _plan(spark, "order_count_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """All three SCD2 windows partition by custkey — exactly one
+    hashpartitioning exchange on custkey may appear."""
+    plan = _plan(spark, "scd2_customer_tiers")
+    n_cust_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(o_custkey" in line
+    )
+    assert n_cust_exchanges == 1, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    plan = _plan(spark, "kmeans_refined_centroids")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """No shuffle at all before the final sort: sampling must not
+    repartition."""
+    plan = _plan(spark, "stratified_sample_documents")
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_retrieval_hydration_broadcasts_hits(spark):
+    plan = _plan(spark, "semantic_doc_retrieval")
+    assert "BroadcastHashJoin" in plan
