@@ -3890,3 +3890,105 @@ def price_extremes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("o_totalprice").over(w), 4).alias("priciest_in_class"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 4).alias("second_cheapest"),
     ).orderBy("o_orderkey")
+
+
+@_register(
+    "cdc_latest_user_state",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           round(value, 4) AS last_value,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "CDC log compaction: collapse an append-only change log to the "
+    "current snapshot — one row per key, the latest by (ts, event_id). "
+    "The batch twin of streaming.joins.latest_per_key (which uses the "
+    "single-pass struct-argmax form); here the window form, one "
+    "shuffle on the key. At 100 TB this is the materialization step "
+    "between a CDC feed and a serving table, run incrementally via "
+    "foreachBatch MERGE (streaming/joins.py)",
+)
+def cdc_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 4).alias("last_value"),
+            F.unix_micros("ts").alias("last_ts_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "revenue_contribution",
+    """
+    WITH nat AS (
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               sum(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name,
+           round(rev, 4) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY region_name), 6) + 0.0
+               AS share_of_region,
+           round(rev / sum(rev) OVER (), 6) + 0.0 AS share_of_total
+    FROM nat
+    ORDER BY region_name, nation_name
+    """,
+    "contribution analysis (percent-of-parent at two grains): "
+    "per-nation revenue as a share of its region and of the world — "
+    "aggregate once, then two window sums over the tiny rollup (25 "
+    "nations), so the expensive pass is the single fact aggregation; "
+    "dims broadcast. The BI 'share of wallet' pattern generalizing the "
+    "reference's per-country aggregates (data_transformer.py:219-256)",
+)
+def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer is fact-key-sized — NOT broadcast (AQE may still choose
+    # to at small SF); only the true dims (25 nations, 5 regions) ship.
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_region = Window.partitionBy("region_name")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "region_name",
+        "nation_name",
+        F.round("rev", 4).alias("revenue"),
+        (F.round(F.col("rev") / F.sum("rev").over(w_region), 6) + 0.0).alias(
+            "share_of_region"
+        ),
+        (F.round(F.col("rev") / F.sum("rev").over(w_all), 6) + 0.0).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region_name", "nation_name")

@@ -66,3 +66,40 @@ def test_upsert_empty_sides(spark):
     assert upsert_on_key(cur, empty, ("k",)).count() == 1
     assert upsert_on_key(empty, cur, ("k",)).count() == 1
     assert upsert_on_key(empty, empty, ("k",)).count() == 0
+
+
+def test_lloyd_fewer_points_than_k(spark):
+    """n < k: only centroids that exist get members; no crash, every
+    point still assigned exactly once."""
+    from covid19_etl_pipeline_spark.operators.similarity import lloyd_iterations
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assigned, cent = lloyd_iterations(emb, k=8, iters=2)
+    rows = assigned.collect()
+    assert len(rows) == 2
+    assert len({r["pid"] for r in rows}) == 2
+    assert cent.count() <= 2
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from covid19_etl_pipeline_spark.operators.partitioning import salted_equi_join
+
+    big = spark.createDataFrame([(1, "x"), (9, "orphan")], ["k", "v"])
+    small = spark.createDataFrame([(1, "dim")], ["k", "name"])
+    out = salted_equi_join(big, small, "k", salt=4, how="left").collect()
+    assert len(out) == 2
+    by_k = {r["k"]: r["name"] for r in out}
+    assert by_k[1] == "dim" and by_k[9] is None
+
+
+def test_latest_per_key_single_and_tied_rows(spark):
+    from covid19_etl_pipeline_spark.streaming.joins import latest_per_key
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (2, 5, "c")], ["k", "ts", "payload"]
+    )
+    out = {r["k"]: r["payload"] for r in latest_per_key(df, "k", ("ts",)).collect()}
+    # tie on ts resolved by lexicographic max over remaining payload
+    assert out == {1: "b", 2: "c"}
