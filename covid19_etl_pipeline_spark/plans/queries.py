@@ -3533,16 +3533,22 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "labeling/retrieval indexing",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df (document frequency) is a WINDOW count over the tf rollup, not
+    # a groupBy + join-back: the join-back form duplicates the whole
+    # tokenize->explode->tf subtree in the physical plan (expression
+    # ids differ, so ReusedExchange never kicks in) — at 100 TB that
+    # doubles the dominant cost. The window adds one exchange on term
+    # but tokenizes once. The doc-count scalar reads the UNspread
+    # table: it needs no parallel compute, so no repartition branch.
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.transform(text.tokens("text"), F.lower)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
+    n = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -3631,19 +3637,26 @@ def semantic_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE l.l_quantity < 0.5 * pa.avg_qty
     """,
     "TPC-H Q17 shape — correlated scalar aggregate subquery "
-    "(per-part average quantity), decorrelated the way Catalyst "
-    "rewrites it: pre-aggregate per key, join back, filter against "
-    "the correlated bound. Both the agg and the join hash on "
-    "l_partkey, so AQE reuses one exchange; the per-part averages "
-    "table is fact-key-sized but two columns — broadcastable after "
-    "AQE sees its true size. The anti-pattern it replaces (per-row "
-    "subquery execution) is O(n) scans",
+    "(per-part average quantity) decorrelated as a WINDOW: the "
+    "correlated bound is avg OVER (PARTITION BY l_partkey), so the "
+    "fact scans once and shuffles once (the pre-agg + join-back "
+    "form, which the oracle uses, duplicates the scan subtree; the "
+    "per-row-subquery anti-pattern is O(n) scans). Engines agree "
+    "exactly: integer quantities sum exactly in double, so the "
+    "window avg equals the grouped avg bit-for-bit",
 )
 def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window form, not pre-agg + join-back: the join-back duplicates
+    # the lineitem scan subtree (no exchange reuse across expression
+    # ids), while avg OVER (PARTITION BY l_partkey) computes the
+    # correlated bound in the SAME shuffle that would feed the join —
+    # one scan, one exchange. Determinism: quantities are small
+    # integers, their double sum is exact in any order, so the window
+    # avg equals the oracle's grouped avg bit-for-bit.
     li = load_table(spark, sf_dir, "lineitem")
-    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(pa, "l_partkey")
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
