@@ -1289,10 +1289,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "csim", similarity.cosine(F.col("v"), F.col("cv"))
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    # the assignment is consumed twice (query selection + cell search);
+    # materialize it once — the docstring's "written once, partitioned
+    # by cell, reused" policy, realized locally as a checkpoint.
     members = (
         sims.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "v")
+        .localCheckpoint()
     )
     q = members.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -2461,7 +2465,10 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = docs.withColumn("__ntext", text.normalized_text("text")).filter(
         text.token_count("text") >= 5
     )
-    docs1 = dedup.drop_exact_dups(qual, "doc_id", "__ntext")
+    # docs1 feeds BOTH the LSH pair generation and the survivor join;
+    # a barrier keeps the scan + normalize + exact-dedup from running
+    # twice (at 100 TB: a reliable checkpoint / staging write).
+    docs1 = dedup.drop_exact_dups(qual, "doc_id", "__ntext").localCheckpoint()
     pairs = dedup.lsh_candidate_pairs(docs1, "doc_id", "text")
     labels = dedup.connected_components(pairs, "doc_id_a", "doc_id_b")
     survivors = dedup.drop_near_dups(docs1, "doc_id", labels)
@@ -2510,7 +2517,16 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    # dev is consumed twice (the MAD aggregate and the final join);
+    # without a barrier each consumer re-runs the per-user median
+    # aggregation over the full fact. localCheckpoint materializes the
+    # TINY per-user stats once (#users rows) — the duplicated part
+    # left is a bare scan + broadcast join, which is the cheap half.
+    med = (
+        ev.groupBy("user_id")
+        .agg(F.expr("percentile(value, 0.5)").alias("med"))
+        .localCheckpoint()
+    )
     dev = ev.join(F.broadcast(med), "user_id").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
