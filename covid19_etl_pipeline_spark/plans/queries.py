@@ -4021,3 +4021,63 @@ def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     ).orderBy("region_name", "nation_name")
+
+
+@_register(
+    "cheapest_supplier_per_part",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, min(unit_cost) AS best_cost
+        FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey, s.s_name,
+           round(c.unit_cost, 4) AS unit_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE p.p_size > 45
+    ORDER BY unit_cost, partkey, s.s_name
+    LIMIT 20
+    """,
+    "TPC-H Q2 shape — min-cost supplier per part via join-back on "
+    "(key, min): unlike the struct-argmin (`minmax_by_priority`, which "
+    "keeps ONE winner), the equality join back to the minimum keeps "
+    "ALL tied suppliers — Q2's correlated `= (SELECT min ...)` "
+    "semantics. The min-join-back equality is on a double both "
+    "engines derived from identical per-row divisions, so it is "
+    "exact; part dim broadcasts, both aggregates hash on partkey. "
+    "Unique (cost, partkey, name) tie-broken top-20",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cost.join(
+            best.withColumnRenamed("l_partkey", "b_partkey"),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+        .join(
+            F.broadcast(part.filter(F.col("p_size") > 45)),
+            F.col("l_partkey") == part["p_partkey"],
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy("unit_cost", "partkey", "s_name")
+        .limit(20)
+    )
