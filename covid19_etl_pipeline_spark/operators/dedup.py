@@ -149,9 +149,16 @@ def jaccard_pairs(
     """
     if candidates is None:
         candidates = lsh_candidate_pairs(df, id_col, text_col, shingle_k=shingle_k)
-    sets = spread(df, id_col).select(
-        F.col(id_col),
-        F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+    # both sides of the pair join read the shingle sets — materialize
+    # them once (the staged shingle-set table of a real pipeline);
+    # without the barrier the tokenize+shingle subtree runs twice.
+    sets = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+        )
+        .localCheckpoint()
     )
     out = (
         candidates.join(sets.withColumnRenamed(id_col, f"{id_col}_a"), on=f"{id_col}_a")

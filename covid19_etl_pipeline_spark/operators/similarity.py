@@ -197,10 +197,16 @@ def lloyd_iterations(
 
     Returns (final_assignment with d2, final_centroids).
     """
+    # pts is read by EVERY round's assignment — materialize it once
+    # (MLlib caches its training set for the same reason; at 100 TB
+    # this is a .persist() of the feature table). Each round's
+    # centroid table is likewise checkpointed: it is k×dim TINY, and
+    # without the barrier round r's lineage re-executes rounds
+    # 1..r-1 on every reference.
     pts = emb.select(
         F.col(id_col).alias("pid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).localCheckpoint()
     cent = pts.filter(F.col("pid") < k).select(
         F.col("pid").alias("cid"),
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
@@ -218,5 +224,6 @@ def lloyd_iterations(
                     lambda s: s.getField("m"),
                 ).alias("cv")
             )
+            .localCheckpoint()
         )
     return _nearest_centroid(pts, cent, keep_dist=True), cent
