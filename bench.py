@@ -52,6 +52,10 @@ HEADLINE = (
     "kmeans_refined_centroids",
     "repetition_quality",
     "tfidf_top_terms",
+    "nation_pair_trade_volume",
+    "returned_item_top_customers",
+    "late_shipment_priority_count",
+    "large_volume_customers",
 )
 
 

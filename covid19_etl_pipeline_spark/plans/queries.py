@@ -4081,3 +4081,399 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("unit_cost", "partkey", "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decision-support shapes, second batch (SURVEY §2.3/§2.4: the
+# reference has no joins; these complete the standard multi-join matrix
+# so every canonical join/agg strategy has a named, oracle-checked query).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "late_shipment_priority_count",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    "TPC-H Q4 shape — order-priority checking: EXISTS over lineitem "
+    "becomes a LEFT SEMI join with a non-equi residual (shipped >60 "
+    "days after order date), then a tiny per-priority count. The date "
+    "band prunes the orders scan; the semi join never widens rows "
+    "(each order emitted once no matter how many late lines) — the "
+    "property that makes EXISTS safe at 100 TB where an inner join "
+    "would double-count. (reference has no subqueries: SURVEY §2.3)",
+)
+def late_shipment_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    banded = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = banded.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "returned_item_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape — returned-item reporting: lineitem filtered to "
+    "returns joins orders (fact⋈fact shuffle on orderkey), then the "
+    "customer and nation dimensions broadcast; per-customer revenue "
+    "rollup, unique-tie-broken top-20 (TakeOrderedAndProject — no "
+    "global sort). Return-flag + date predicates push to the scans "
+    "so the shuffle carries only returned lines",
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.round(rev, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "priority_class_line_counts",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate <  DATE '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    "TPC-H Q12 shape — shipping-mode priority matrix as conditional "
+    "aggregation: ONE pass over the fact⋈fact join computes both the "
+    "high- and low-priority counts via sum(CASE ...) — no second scan, "
+    "no pivot shuffle. The year band pushes to the lineitem scan. "
+    "(count-if as partial-aggregable sum: SURVEY §2.4 A1 note)",
+)
+def priority_class_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "promo_revenue_ratio",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) + 0.0
+               AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-09-01'
+      AND l.l_shipdate <  DATE '1996-10-01'
+    """,
+    "TPC-H Q14 shape — promotion-revenue share: broadcast part dim "
+    "onto the month-banded lineitem scan, numerator and denominator "
+    "as two partial-aggregable sums in one grand aggregate (no "
+    "separate promo subquery, no second join). Month predicate is the "
+    "partition-pruning hook at scale",
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+    return joined.agg(
+        (F.round(100.0 * promo / F.sum(disc), 4) + 0.0).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@_register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           round(o.o_totalprice, 4) AS total_price,
+           round(b.total_qty, 4) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    "TPC-H Q18 shape — large-volume customers: the HAVING-filtered "
+    "per-order quantity rollup (map-side partial agg shrinks the "
+    "shuffle to one row per order) joins back to orders ON the SAME "
+    "key it was grouped on — with orderkey-bucketed tables this join "
+    "needs no exchange at all — then the customer dim broadcasts. "
+    "Unique-tie-broken top-20 via TakeOrderedAndProject",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape — disjunctive (OR-of-ANDs) join predicate: the "
+    "quantity disjuncts union to l_quantity BETWEEN 1 AND 30 and the "
+    "brand disjuncts to an IN-list, so Catalyst derives pushable "
+    "per-side filters from the OR (constraint propagation) while the "
+    "full mixed predicate evaluates post-join; part side broadcasts. "
+    "The classic case where naive engines fall back to cross-join "
+    "filtering",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return joined.filter(cond).agg(
+        F.round(rev, 4).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+@_register(
+    "supplier_value_concentration",
+    """
+    WITH sv AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS supply_value
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    sh AS (
+        SELECT l_suppkey, supply_value,
+               100.0 * supply_value / sum(supply_value) OVER () AS pct,
+               avg(supply_value) OVER () AS avg_value
+        FROM sv
+    )
+    SELECT s.s_name, sh.l_suppkey AS s_suppkey,
+           round(sh.supply_value, 4) AS supply_value,
+           round(sh.pct, 4) AS pct_of_total
+    FROM sh JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    WHERE sh.supply_value > 1.05 * sh.avg_value
+    ORDER BY supply_value DESC, s_suppkey
+    """,
+    "TPC-H Q11 shape — value concentration: per-supplier revenue "
+    "rollup kept IF above a fraction-of-global-average threshold "
+    "(1.05x mean — scale-free, unlike Q11's literal fraction which "
+    "empties as supplier count grows). The global sum and avg are "
+    "unpartitioned window aggs over the already-tiny rollup (one row "
+    "per supplier) — NOT a second scan of lineitem and not a "
+    "join-back; the same window feeds both the threshold and the "
+    "reported share. Supplier dim broadcasts",
+)
+def supplier_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "supply_value"
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        sv.withColumn("total_value", F.sum("supply_value").over(w))
+        .withColumn("avg_value", F.avg("supply_value").over(w))
+        .filter(F.col("supply_value") > 1.05 * F.col("avg_value"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("supply_value", 4).alias("supply_value"),
+            F.round(100.0 * F.col("supply_value") / F.col("total_value"), 4).alias(
+                "pct_of_total"
+            ),
+        )
+        .orderBy(F.col("supply_value").desc(), "s_suppkey")
+    )
+
+
+@_register(
+    "dormant_premium_customers",
+    """
+    WITH ab AS (
+        SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, count(*) AS n_custs,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    "TPC-H Q22 shape — dormant premium accounts: an uncorrelated "
+    "scalar subquery (global positive-balance average, 1 row, "
+    "broadcast) gates the customer scan, then NOT EXISTS over urgent "
+    "orders becomes a LEFT ANTI join (the filter pushes into the "
+    "orders scan BEFORE the anti join, so the join state holds only "
+    "urgent orders), finishing in a tiny per-segment rollup. "
+    "(every-customer-has-orders gotcha: the anti join must be on the "
+    "filtered orders, not all orders)",
+)
+def dormant_premium_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -224,3 +224,65 @@ def test_stratified_sample_is_pure_filter(spark):
 def test_retrieval_hydration_broadcasts_hits(spark):
     plan = _plan(spark, "semantic_doc_retrieval")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q4_shape_semi_join_with_residual(spark):
+    """late_shipment_priority_count: EXISTS compiles to ONE LeftSemi
+    join carrying the non-equi lateness residual — no inner join that
+    would multiply orders by their late lines, and the date band is
+    pushed into the orders scan."""
+    plan = _plan(spark, "late_shipment_priority_count")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q10_shape_dims_broadcast_topk(spark):
+    """returned_item_top_customers: customer + nation broadcast; the
+    returnflag filter reaches the lineitem scan; top-20 avoids a
+    global sort."""
+    plan = _plan(spark, "returned_item_top_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q12_shape_single_pass_conditional_agg(spark):
+    """priority_class_line_counts: both counts come from ONE aggregate
+    over ONE scan of each side (no per-class re-scan)."""
+    plan = _plan(spark, "priority_class_line_counts")
+    assert plan.count("Scan parquet") == 2
+
+
+def test_q14_shape_broadcasts_part(spark):
+    plan = _plan(spark, "promo_revenue_ratio")
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q19_shape_derives_pushable_disjunct_bounds(spark):
+    """disjunctive_brand_revenue: Catalyst must derive pushable
+    per-side bounds from the OR-of-ANDs predicate — the quantity
+    disjunct union reaches the lineitem scan and the brand/size
+    disjunct union reaches the part scan."""
+    plan = _plan(spark, "disjunctive_brand_revenue")
+    # each scan gets the union of its own disjunct bounds pushed down
+    assert "PushedFilters: [IsNotNull(p_size), GreaterThanOrEqual(p_size,1)" in plan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q11_shape_scans_lineitem_once(spark):
+    """supplier_value_concentration: threshold AND share both come from
+    window aggs over the per-supplier rollup — lineitem is scanned
+    exactly once (no second scan for the global total)."""
+    plan = _plan(spark, "supplier_value_concentration")
+    assert plan.count("Scan parquet") == 2  # lineitem + supplier dim
+
+
+def test_q22_shape_anti_join_on_filtered_orders(spark):
+    """dormant_premium_customers: the urgent-priority filter must push
+    into the orders scan (the anti-join build holds only urgent
+    orders, not all orders)."""
+    plan = _plan(spark, "dormant_premium_customers")
+    assert "LeftAnti" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
