@@ -4477,3 +4477,366 @@ def dormant_premium_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions, third batch: multi-level aggregation matrix,
+# time-series autocorrelation, mergeable-sketch union, BM25 retrieval.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "grouping_sets_matrix",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+    "explicit GROUPING SETS with grouping_id disambiguation — the "
+    "general form behind `rollup_grouping_sets`/`cube_agg`: all three "
+    "granularities (pair, flag subtotal, grand total) computed in ONE "
+    "Expand+hash-agg pass over one scan, with gid telling a NULL key "
+    "from a subtotal row. (SURVEY §2.4: reference lacks multi-level "
+    "aggregation entirely)",
+)
+def grouping_sets_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "autocorr_lag1_users",
+    """
+    WITH dd AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, sum(value) AS v
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    lg AS (
+        SELECT user_id, v,
+               lag(v) OVER (PARTITION BY user_id ORDER BY d) AS pv
+        FROM dd
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(v, pv), 4) + 0.0 AS autocorr_lag1
+    FROM lg
+    WHERE pv IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) >= 10
+    ORDER BY user_id
+    """,
+    "per-entity lag-1 autocorrelation of the daily value series — the "
+    "seasonality/momentum diagnostic: daily rollup, lag window, then "
+    "corr as partial-aggregable moments per user. The rollup and the "
+    "window partition on the SAME key (user_id), so one exchange "
+    "serves both; corr never leaves the JVM. Pair floor keeps the "
+    "estimate meaningful (and sidesteps n<2 NULL-vs-NaN engine "
+    "disagreement)",
+)
+def autocorr_lag1_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition on user_id ALONE up front: HashPartitioning(user_id)
+    # satisfies the (user_id, d) rollup's clustering requirement AND
+    # the lag window's, so the whole chain runs on ONE exchange
+    # (same single-exchange discipline as scd2_customer_tiers).
+    ev = load_table(spark, sf_dir, "events").repartition("user_id")
+    dd = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    lg = dd.withColumn("pv", F.lag("v").over(w)).filter(F.col("pv").isNotNull())
+    return (
+        lg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            (F.round(F.corr("v", "pv"), 4) + 0.0).alias("autocorr_lag1"),
+        )
+        .filter(F.col("n_pairs") >= 10)
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "hll_union_event_types",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS union_ok
+    FROM events
+    """,
+    "mergeable-sketch union: one HLL sketch per event_type (the "
+    "per-partition / per-day rollup you'd store at 100 TB), then "
+    "hll_union_agg merges the 5 sketches into the global "
+    "distinct-user estimate WITHOUT re-scanning events — the "
+    "re-aggregability property that lets pre-computed daily sketches "
+    "answer any date-range distinct query. Sketch bytes are "
+    "engine-specific, so the checked contract is the union estimate "
+    "within 5% of the exact global distinct (same convention as "
+    "`approx_distinct_users`/`heavy_hitters_cms`)",
+)
+def hll_union_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_type_exact"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"),
+        F.sum("n_type_exact").alias("_ignore"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+    return (
+        exact.crossJoin(F.broadcast(merged))
+        .select(
+            F.col("n_users_exact").cast("bigint").alias("n_users_exact"),
+            (
+                F.abs(F.col("n_users_est") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("union_ok"),
+        )
+    )
+
+
+@_register(
+    "bm25_doc_retrieval",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t)) AS toks
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM base
+    ),
+    hits AS (
+        SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM hits WHERE term IN ('join', 'window', 'scan')
+        GROUP BY doc_id, dl, term
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+                   AS score
+        FROM tf
+        JOIN (SELECT term, count(*) AS df FROM tf GROUP BY term) dfc
+          ON tf.term = dfc.term, stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25_score,
+           CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                AS INT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 10
+    """,
+    "BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term query — "
+    "the lexical side of a retrieval stack (pairs with "
+    "`semantic_doc_retrieval`'s dense side). Doc length comes "
+    "arithmetically from the token array (no pre-filter explode of "
+    "the whole corpus reaches the shuffle: the IN-list on term cuts "
+    "the exploded stream to query terms only); corpus stats (N, "
+    "avgdl) ride in as ONE broadcast 1-row aggregate; df is a window "
+    "over the tf rollup (single tokenize, same trick as "
+    "`tfidf_top_terms`). Scores round before ranking for "
+    "engine-stable order",
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["join", "window", "scan"]
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id", F.transform(text.tokens("text"), F.lower).alias("toks")
+    )
+    stats = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.transform(text.tokens("text"), F.lower).alias("toks"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.size("toks")).alias("avgdl"),
+        )
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode(F.filter("toks", lambda t: t.isin(terms))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * 2.2
+            / (
+                F.col("tf")
+                + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25_score"))
+    )
+    w = Window.orderBy(F.col("bm25_score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+        .limit(10)
+    )
+
+
+@_register(
+    "minhash_estimate_accuracy",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source, {_D_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, source, list_distinct(sh) AS shd,
+               {", ".join(_d_minhash(i) + f" AS mh{i}" for i in range(8))}
+        FROM s
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0
+                   AS est_jaccard,
+               len(list_intersect(a.shd, b.shd)) * 1.0
+                   / len(list_distinct(list_cat(a.shd, b.shd))) AS exact_jaccard
+        FROM sig a JOIN sig b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_cat(a.shd, b.shd))) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs(est_jaccard - exact_jaccard)), 4) + 0.0 AS avg_abs_err,
+           round(max(abs(est_jaccard - exact_jaccard)), 4) + 0.0 AS max_abs_err,
+           round(corr(est_jaccard, exact_jaccard), 4) + 0.0 AS est_exact_corr
+    FROM pairs
+    """,
+    "sketch-accuracy audit for the MinHash pipeline: on source-blocked "
+    "pairs, the 8-component signature-match fraction (the estimate LSH "
+    "banding acts on) against the exact shingle Jaccard — one summary "
+    "row of avg/max absolute error + estimate-truth correlation. "
+    "md5-derived hashes make the estimate bit-identical in both "
+    "engines, so this is full value parity, not a tolerance contract. "
+    "The measurement that justifies num_hashes/bands settings before "
+    "a 100 TB dedup run; signatures are materialized once and joined "
+    "twice (same barrier discipline as jaccard_pairs)",
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = (
+        dedup.minhash_signatures(docs, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+    )
+    pairs = (
+        sigs.alias("a")
+        .join(sigs.alias("b"), "source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            (
+                sum(
+                    F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+                    for i in range(8)
+                )
+                / 8.0
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = dedup.jaccard_pairs(
+        docs, "doc_id", candidates=pairs.select("doc_id_a", "doc_id_b")
+    ).filter(F.col("jaccard").isNotNull())
+    joined = pairs.join(exact, ["doc_id_a", "doc_id_b"])
+    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.round(F.avg(err), 4) + 0.0).alias("avg_abs_err"),
+        (F.round(F.max(err), 4) + 0.0).alias("max_abs_err"),
+        (F.round(F.corr("est_jaccard", "jaccard"), 4) + 0.0).alias("est_exact_corr"),
+    )
+
+
+@_register(
+    "multimodal_feature_extract",
+    """
+    WITH assets AS (
+        SELECT doc_id,
+               CASE CAST(substr(source, 4, 10) AS INT) % 3
+                    WHEN 0 THEN 'image/png'
+                    WHEN 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime_type,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT mime_type,
+           count(*) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           TRUE AS features_ok
+    FROM assets
+    GROUP BY mime_type
+    ORDER BY mime_type
+    """,
+    "the decode/featurize half of the multimodal path as a driver-"
+    "checkable query: binary assets -> mapInPandas featurizer (Arrow "
+    "batches, deterministic byte-histogram stub standing in for a "
+    "codec+CNN; operators/multimodal.extract_features) -> per-mime "
+    "rollup. The oracle pins what SQL can see (asset counts, byte "
+    "totals through the UDF — proving no rows/bytes are lost in the "
+    "Arrow round-trip); features_ok asserts the featurizer contract "
+    "engine-side: every non-empty payload yields a dim-length "
+    "histogram summing to ~1. At 100 TB this is THE pattern for "
+    "media: metadata prunes first, blobs decode once, per-batch "
+    "memory is bounded by the Arrow batch size",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int") % 3
+    assets = spread(docs, "doc_id").select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(src_num == 0, "image/png")
+        .when(src_num == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_features(assets)
+    dim_ok = F.size("features") == multimodal.FEATURE_DIM
+    mass = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    sum_ok = (F.col("n_bytes") == 0) | (F.abs(mass - 1.0) <= 1e-3)
+    return (
+        feats.groupBy("mime_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min(dim_ok & sum_ok).alias("features_ok"),
+        )
+        .orderBy("mime_type")
+    )

@@ -286,3 +286,31 @@ def test_q22_shape_anti_join_on_filtered_orders(spark):
     plan = _plan(spark, "dormant_premium_customers")
     assert "LeftAnti" in plan
     assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """grouping_sets_matrix: all three granularities come from ONE
+    Expand + aggregate over ONE scan — not a UNION of re-scans."""
+    plan = _plan(spark, "grouping_sets_matrix")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_autocorr_single_user_exchange(spark):
+    """autocorr_lag1_users: the daily rollup and the lag window share
+    one hashpartitioning(user_id) exchange (subset-partitioning
+    satisfies the (user_id, d) clustering)."""
+    plan = _plan(spark, "autocorr_lag1_users")
+    n = sum(
+        1 for line in plan.splitlines() if "hashpartitioning(user_id" in line
+    )
+    assert n == 1, plan
+
+
+def test_bm25_single_corpus_tokenize(spark):
+    """bm25_doc_retrieval: the doc-side tokenize+explode subtree exists
+    once (df comes from a window over tf, not a join-back); only the
+    tiny 1-row stats aggregate reads documents a second time."""
+    plan = _plan(spark, "bm25_doc_retrieval")
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Generate explode") == 1
