@@ -4840,3 +4840,155 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime_type")
     )
+
+
+@_register(
+    "pack_training_sequences",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+                    % 8 AS INT) AS pack_group,
+               md5(CAST(doc_id AS VARCHAR)) AS ord_key
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, pack_group,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY pack_group ORDER BY ord_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS toks_before
+        FROM d
+    ),
+    b AS (
+        SELECT pack_group,
+               CAST(toks_before // 512 AS INT) AS bin_id,
+               doc_id, n_tokens
+        FROM c
+    )
+    SELECT pack_group, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM b
+    GROUP BY pack_group, bin_id
+    ORDER BY pack_group, bin_id
+    """,
+    "token-budget sequence packing (the batch-construction step of an "
+    "LLM training pipeline): documents are hashed into independent "
+    "pack groups, deterministically ordered by content-free md5 "
+    "within each, and assigned to 512-token bins by the RUNNING token "
+    "count before each doc (a doc straddling a boundary starts a new "
+    "bin's overflow — the streaming-friendly first-fit-in-order "
+    "discipline). Greedy global packing is inherently sequential; "
+    "hash-grouping makes it embarrassingly parallel with bounded "
+    "per-group state — the 100 TB answer (one window per group, no "
+    "global order). Reproducible across engines AND repartitioning",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ord_key = F.md5(F.col("doc_id").cast("string"))
+    d = docs.select(
+        "doc_id",
+        F.size(text.tokens("text")).alias("n_tokens"),
+        F.conv(F.substring(ord_key, 1, 2), 16, 10).cast("int").__mod__(8)
+        .cast("int").alias("pack_group"),
+        ord_key.alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "toks_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+    )
+    return (
+        c.withColumn(
+            "bin_id", F.floor(F.col("toks_before") / F.lit(512)).cast("int")
+        )
+        .groupBy("pack_group", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("pack_group", "bin_id")
+    )
+
+
+@_register(
+    "quantize_embeddings_int8",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        FROM embeddings WHERE vec_id < 200
+    ),
+    s AS (
+        SELECT vec_id, x,
+               list_max(list_transform(x, e -> abs(e))) AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(x, e -> CAST(floor(e * 127.0 / scale + 0.5)
+                                           AS BIGINT)) AS qv,
+               x
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           round(list_max(list_transform(range(1, len(x) + 1),
+                 i -> abs(x[i] - qv[i] * scale / 127.0))), 6) + 0.0
+               AS max_abs_err
+    FROM q
+    ORDER BY vec_id
+    """,
+    "int8 symmetric per-vector quantization of the embedding column — "
+    "the 4x storage/bandwidth compression step before an ANN index "
+    "ships to serving. Per-vector absmax scale, floor(x*127/scale+0.5) "
+    "code assignment (floor-form, NOT round(): both engines agree on "
+    "floor while round() half-case conventions differ), and the "
+    "reconstruction-error audit max|x - q*scale/127| <= scale/254. "
+    "Pure higher-order array functions — JVM-side, narrow, zero "
+    "shuffle before the final sort; at 100 TB this runs as a "
+    "map-only rewrite of the vector store",
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = spread(emb, "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda e: e.cast("double")).alias("x"),
+    )
+    s = v.withColumn(
+        "scale", F.array_max(F.transform("x", lambda e: F.abs(e)))
+    ).filter(F.col("scale") > 0)
+    q = s.withColumn(
+        "qv",
+        F.transform(
+            "x", lambda e: F.floor(e * 127.0 / F.col("scale") + 0.5).cast("bigint")
+        ),
+    )
+    err = F.array_max(
+        F.zip_with(
+            "x", "qv", lambda e, c: F.abs(e - c * F.col("scale") / 127.0)
+        )
+    )
+    # two selects, NOT one: aliasing round(scale) AS "scale" in the same
+    # select as `err` would shadow the input column via lateral column
+    # alias resolution — err would silently use the ROUNDED scale.
+    raw = q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "q_checksum"
+        ),
+        err.alias("raw_err"),
+    )
+    return raw.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_checksum",
+        (F.round("raw_err", 6) + 0.0).alias("max_abs_err"),
+    ).orderBy("vec_id")
