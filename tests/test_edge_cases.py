@@ -103,3 +103,39 @@ def test_latest_per_key_single_and_tied_rows(spark):
     out = {r["k"]: r["payload"] for r in latest_per_key(df, "k", ("ts",)).collect()}
     # tie on ts resolved by lexicographic max over remaining payload
     assert out == {1: "b", 2: "c"}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a partition of the corpus: every doc lands in exactly
+    one bin, bins never exceed budget + one straddling doc, and the
+    assignment is stable under repartitioning."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    bins = REGISTRY["pack_training_sequences"].fn(spark, sf).collect()
+    n_docs = sum(r["n_docs"] for r in bins)
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    assert n_docs == load_table(spark, sf, "documents").count()
+    assert all(r["bin_id"] >= 0 for r in bins)
+    max_doc_tokens = 512  # docs are short; loose straddler bound
+    assert all(r["total_tokens"] < 512 + max_doc_tokens for r in bins)
+
+
+def test_quantize_codes_bounded(spark):
+    """Symmetric absmax quantization: every code within [-127, 127],
+    reconstruction error within scale/254 (+ float slack)."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["quantize_embeddings_int8"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 200
+    for r in rows:
+        # 1e-6 slack: max_abs_err is rounded to 6dp in-query and can
+        # land up to 5e-7 above the exact scale/254 bound
+        assert r["max_abs_err"] <= r["scale"] / 254.0 + 1e-6
+        # checksum of 64 codes each in [-127,127]
+        assert abs(r["q_checksum"]) <= 64 * 127
