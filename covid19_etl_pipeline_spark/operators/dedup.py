@@ -239,32 +239,52 @@ def connected_components(
 
     Returns (node, label) with label = min node id of the component.
     """
-    bi = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        bi.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    )
+    # the caller's edge list (often a whole LSH pipeline) is consumed
+    # by BOTH direction-selects below — materialize it once, or the
+    # candidate-generation subtree executes 2x (and 4x through adj).
+    edges_m = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint()
+    bi = edges_m.union(
+        edges_m.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    nodes = bi.select(F.col("s").alias("node")).distinct()
+    # self-loops fold "keep your own label" into the neighborhood min:
+    # each round is ONE join + ONE min-agg (no join-back against the
+    # previous labels). Convergence detection rides a monotone
+    # invariant instead of a row-level diff: labels only ever
+    # decrease, so sum(label) is strictly decreasing until the fixed
+    # point — a scalar comparison per round, not a join.
+    adj = bi.union(
+        nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))
+    ).localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node"))
+    prev_sum = None
     for _ in range(max_iter):
         nbr_min = (
-            labels.join(bi, labels["node"] == bi["s"])
-            .groupBy(F.col("d").alias("nbr_node"))
-            .agg(F.min("label").alias("nbr_min"))
+            adj.join(labels, adj["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
-        updated = labels.join(
-            nbr_min, labels["node"] == nbr_min["nbr_node"], "left"
-        ).select(
-            "node",
-            F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        # path halving (pointer jumping): label <- label[label]. One
+        # extra self-join per round turns O(diameter) rounds into
+        # O(log diameter) — on a chain-shaped component of diameter
+        # 1000 that is ~10 rounds instead of ~1000. The parent lookup
+        # reads the PREVIOUS round's materialized labels (slightly
+        # staler than nbr_min, still monotone-safe) so the nbr_min
+        # subtree is not executed twice.
+        parent = labels.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        updated = updated.localCheckpoint()
-        if updated.filter(F.col("label") < F.col("_old")).limit(1).count() == 0:
-            return updated.select("node", "label")
-        labels = updated.select("node", "label")
+        labels = (
+            nbr_min.join(parent, nbr_min["label"] == parent["pnode"])
+            .select("node", F.least("label", "plabel").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels
 
 
