@@ -5031,3 +5031,251 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_checksum",
         (F.round("raw_err", 6) + 0.0).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation batch: decontamination, entropy quality, collocations,
+# vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decontaminate_eval_overlap",
+    f"""
+    WITH s AS (
+        SELECT doc_id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval,
+               list_distinct({_D_SHINGLES}) AS sh
+        FROM documents
+    ),
+    tr AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+        FROM s WHERE NOT is_eval AND len(sh) > 0
+    ),
+    ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE is_eval)
+    SELECT tr.doc_id,
+           count(DISTINCT tr.g) AS shared_shingles,
+           count(DISTINCT ev.eval_id) AS matched_eval_docs,
+           round(count(DISTINCT tr.g) * 1.0 / min(tr.n_sh), 4) + 0.0
+               AS contamination
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    ORDER BY shared_shingles DESC, doc_id
+    """,
+    "benchmark decontamination: flag training documents sharing 3-token "
+    "shingles with a held-out eval set (here a deterministic md5 1/16 "
+    "slice stands in for the benchmark suite). Eval shingles are "
+    "BROADCAST — eval sets stay small while the training corpus scales "
+    "to 100 TB, so the overlap probe is a map-side hash join against "
+    "the full shingle stream, no shuffle of the corpus. Output = per "
+    "contaminated doc: distinct shared shingles, distinct eval docs "
+    "hit, and the contaminated fraction of its shingle set "
+    "(extension: the n-gram-overlap decontamination step every "
+    "training pipeline runs before a data release)",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0").alias(
+            "is_eval"
+        ),
+        F.array_distinct(text.shingles(text.tokens("text"))).alias("sh"),
+    ).localCheckpoint()  # shingle sets feed BOTH the eval and train branches
+    ev = base.filter("is_eval").select(
+        F.col("doc_id").alias("eval_id"), F.explode("sh").alias("g")
+    )
+    tr = (
+        base.filter(~F.col("is_eval"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("shared_shingles"),
+            F.countDistinct("eval_id").alias("matched_eval_docs"),
+            (
+                F.round(F.countDistinct("g") / F.min("n_sh"), 4) + 0.0
+            ).alias("contamination"),
+        )
+        .orderBy(F.col("shared_shingles").desc(), "doc_id")
+    )
+
+
+@_register(
+    "token_entropy_quality",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tok, count(*) AS n
+        FROM t WHERE tok <> '' GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS distinct_tokens,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) + 0.0
+               AS token_entropy
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+    "per-document Shannon entropy of the token distribution — the "
+    "lexical-diversity quality signal (near-zero entropy = a document "
+    "that repeats one token; complements repetition_quality's "
+    "duplicate-trigram fraction). H = ln N - sum(n ln n)/N from the "
+    "per-(doc, token) counts: two partial-aggregable hash aggs on the "
+    "same doc_id key (one Exchange), no window, no UDF",
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    c = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count("*").alias("distinct_tokens"),
+            (
+                F.round(
+                    F.log(F.sum("n"))
+                    - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+                    4,
+                )
+                + 0.0
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "bigram_pmi_collocations",
+    r"""
+    WITH t AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    u AS (SELECT tok, count(*) AS c FROM t WHERE tok <> '' GROUP BY tok),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM u),
+    toks AS (
+        SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+    ),
+    bg AS (
+        SELECT unnest(CASE WHEN len(tk) >= 2
+                      THEN list_transform(range(1, len(tk)),
+                                          i -> tk[i] || ' ' || tk[i+1])
+                      ELSE [] END) AS bigram
+        FROM toks
+    ),
+    bc AS (
+        SELECT bigram, count(*) AS cab
+        FROM bg GROUP BY bigram HAVING count(*) >= 3
+    )
+    SELECT bc.bigram,
+           bc.cab AS pair_count,
+           round(ln(bc.cab * 1.0 * (SELECT total FROM n)
+                    / (ua.c * 1.0 * ub.c)), 4) + 0.0 AS pmi
+    FROM bc
+    JOIN u ua ON split_part(bc.bigram, ' ', 1) = ua.tok
+    JOIN u ub ON split_part(bc.bigram, ' ', 2) = ub.tok
+    ORDER BY pmi DESC, bigram LIMIT 25
+    """,
+    "top bigram collocations by pointwise mutual information: "
+    "PMI = ln(c_ab * N / (c_a * c_b)) over corpus-wide unigram/bigram "
+    "counts with a frequency floor (c_ab >= 3). The unigram vocabulary "
+    "is materialized once and BROADCAST to both join roles (a "
+    "vocabulary is millions of rows while the corpus is billions — the "
+    "classic small-side of a 100 TB text job); the scalar token total "
+    "rides a broadcast 1-row cross join. Round-before-rank keeps the "
+    "top-25 engine-stable (extension: phrase mining / tokenizer-merge "
+    "candidate discovery)",
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    u = (
+        docs.select(F.explode(text.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # feeds the total AND both unigram join roles
+    )
+    total = u.agg(F.sum("c").alias("total"))
+    bc = (
+        docs.select(
+            F.explode(text.shingles(text.tokens("text"), k=2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    w = F.split(F.col("bigram"), " ")
+    ua = u.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    ub = u.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    return (
+        bc.join(F.broadcast(ua), w.getItem(0) == F.col("tok_a"))
+        .join(F.broadcast(ub), w.getItem(1) == F.col("tok_b"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            F.col("cab").alias("pair_count"),
+            (
+                F.round(
+                    F.log(F.col("cab") * 1.0 * F.col("total") / (F.col("ca") * 1.0 * F.col("cb"))),
+                    4,
+                )
+                + 0.0
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(25)
+    )
+
+
+@_register(
+    "vocab_growth_by_source",
+    r"""
+    WITH f AS (
+        SELECT source, doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    )
+    SELECT source,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS total_tokens,
+           count(DISTINCT tok) AS distinct_tokens,
+           round(count(DISTINCT tok) * 1.0 / count(*), 4) + 0.0
+               AS type_token_ratio
+    FROM f WHERE tok <> ''
+    GROUP BY source ORDER BY source
+    """,
+    "per-source vocabulary growth profile: document count, token "
+    "volume, distinct vocabulary, and type-token ratio — the "
+    "source-level diversity diagnostic that feeds mixture weighting "
+    "(source_mixture_weights) and flags template-heavy sources (low "
+    "TTR). Multiple COUNT(DISTINCT) in one pass rides Spark's Expand "
+    "rewrite — still a single scan of the exploded token stream",
+)
+def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select("source", "doc_id", F.explode(text.tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("tok").alias("distinct_tokens"),
+            (
+                F.round(F.countDistinct("tok") / F.count("*"), 4) + 0.0
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )

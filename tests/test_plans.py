@@ -314,3 +314,32 @@ def test_bm25_single_corpus_tokenize(spark):
     plan = _plan(spark, "bm25_doc_retrieval")
     assert plan.count("Scan parquet") == 2
     assert plan.count("Generate explode") == 1
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """decontaminate_eval_overlap: the eval shingle set is the small
+    (broadcast) side — the training shingle stream must NOT shuffle
+    into a SortMergeJoin for the overlap probe."""
+    plan = _plan(spark, "decontaminate_eval_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_broadcasts_vocab_both_roles(spark):
+    """bigram_pmi_collocations: unigram vocabulary joins in both word
+    roles plus the scalar total — all three as broadcasts, so the
+    bigram count stream never shuffles for a join."""
+    plan = _plan(spark, "bigram_pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_entropy_single_exchange(spark):
+    """token_entropy_quality: spread() hash-partitions the scan by
+    doc_id, and BOTH hash aggs ((doc_id, tok), then (doc_id)) are
+    satisfied by that one partitioning via the subset rule — the only
+    other exchange is the final sort's range partitioning."""
+    plan = _plan(spark, "token_entropy_quality")
+    n = sum(1 for line in plan.splitlines() if "hashpartitioning(doc_id" in line)
+    assert n == 1, plan
