@@ -5279,3 +5279,299 @@ def vocab_growth_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H batch 3: Q6, Q8, Q15, Q16, Q20 shapes
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "discount_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4)
+               AS forecast_revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape — what-if revenue from dropping small discounts: "
+    "a pure scan-and-aggregate with every predicate (date band, "
+    "discount band, quantity cap) pushed to the parquet scan and a "
+    "2-column ReadSchema beyond the filter columns — the query whose "
+    "entire cost at 100 TB is I/O after partition pruning on the "
+    "ship-date band. No join, no shuffle beyond the 1-row final agg "
+    "(reference parity: the what-if aggregate in "
+    "data_transformer.py's summary stats, src/transform/"
+    "data_transformer.py:219-256, generalized to a banded filter)",
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "forecast_revenue_delta"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "national_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) + 0.0
+               AS mkt_share,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS region_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN part p     ON l.l_partkey  = p.p_partkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
+    GROUP BY o_year ORDER BY o_year
+    """,
+    "TPC-H Q8 shape — national market share: one supplier nation's "
+    "slice of a region's ECONOMY-part revenue per year. The widest "
+    "join tree in the registry (lineitem + orders + customer + part + "
+    "supplier + nation x2 roles + region): the two facts meet in one "
+    "shuffle join while part/supplier/nation/region broadcast, and the "
+    "share is a conditional-sum-over-sum in the same grand aggregate — "
+    "no per-nation subquery. The part + region filters are the "
+    "selectivity levers Catalyst pushes below the joins",
+)
+def national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1998-12-31").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_rev = F.sum(F.when(F.col("sn_name") == "NATION_3", rev).otherwise(F.lit(0.0)))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.round(nat_rev / F.sum(rev), 4) + 0.0).alias("mkt_share"),
+            F.round(F.sum(rev), 4).alias("region_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "top_revenue_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    "TPC-H Q15 shape — top supplier by quarterly revenue: the CREATE "
+    "VIEW + scalar-max of the original becomes a window max OVER the "
+    "per-supplier rollup (one pass, ties kept), so the revenue rollup "
+    "is computed ONCE instead of once for the view and once for the "
+    "subquery. The global window is safe because its input is already "
+    "one row per supplier — the same deliberate tiny-rollup exception "
+    "as supplier_value_concentration. Revenue is rounded BEFORE the "
+    "max comparison so the tie set is engine-stable",
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_rev"
+            )
+        )
+    )
+    top = rev.withColumn(
+        "__max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("__max_rev"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "supplier_part_variety",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape — supplier variety per part segment: the "
+    "part-supplier relationship is DERIVED as distinct (partkey, "
+    "suppkey) pairs from lineitem (this catalog has no partsupp "
+    "table), the NOT-IN complaint-supplier exclusion runs as a "
+    "broadcast anti join BEFORE the expensive distinct-count, and the "
+    "brand/size filters broadcast with the part dim. The distinct on "
+    "the fact pairs is the one big shuffle; count(DISTINCT) then "
+    "reuses its clustering",
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(excl), ps["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@_register(
+    "promo_heavy_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    heavy AS (
+        SELECT DISTINCT sh.l_suppkey
+        FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
+        WHERE p.p_type = 'PROMO' AND sh.qty > 60
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s.s_suppkey
+    """,
+    "TPC-H Q20 shape — suppliers shipping promo parts in volume: the "
+    "correlated availqty subquery of the original becomes a per-(supp, "
+    "part) year-banded quantity rollup (partsupp is derived from "
+    "lineitem in this catalog), gated by the broadcast promo-part "
+    "filter, collapsed to a distinct supplier set, and applied to the "
+    "EUROPE supplier dim as a broadcast LEFT SEMI join — the nested "
+    "IN-subqueries never materialize a row wider than a key",
+)
+def promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    heavy = (
+        shipped.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        sup.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

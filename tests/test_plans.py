@@ -343,3 +343,37 @@ def test_token_entropy_single_exchange(spark):
     plan = _plan(spark, "token_entropy_quality")
     n = sum(1 for line in plan.splitlines() if "hashpartitioning(doc_id" in line)
     assert n == 1, plan
+
+
+def test_q6_all_filters_pushed(spark):
+    """discount_revenue_forecast: the date/discount/quantity bands all
+    reach the parquet scan as PushedFilters — at scale this query is
+    pure pruned I/O."""
+    plan = _plan(spark, "discount_revenue_forecast")
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q8_broadcasts_all_dims(spark):
+    """national_market_share: 7 joins — the orders⋈lineitem fact join
+    may shuffle, but part/supplier/nation(x2)/region broadcast."""
+    plan = _plan(spark, "national_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_q16_anti_join_before_distinct_count(spark):
+    """supplier_part_variety: the complaint-supplier exclusion is a
+    broadcast anti join; no shuffled anti join."""
+    plan = _plan(spark, "supplier_part_variety")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_q20_semi_join_on_key_set(spark):
+    """promo_heavy_suppliers: the heavy-supplier set applies as a
+    broadcast LEFT SEMI join against the supplier dim."""
+    plan = _plan(spark, "promo_heavy_suppliers")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
