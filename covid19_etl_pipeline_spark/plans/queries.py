@@ -5575,3 +5575,106 @@ def promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-modeling prep: temporal split, next-event transition pairs
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "temporal_split_events",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn
+        FROM events
+    ),
+    labeled AS (
+        SELECT event_type,
+               CASE WHEN rn <= 2 THEN 'test' ELSE 'train' END AS split
+        FROM ranked
+    )
+    SELECT split, event_type, count(*) AS n_events
+    FROM labeled GROUP BY split, event_type ORDER BY split, event_type
+    """,
+    "temporal (leave-last-out) train/test split: each user's 2 most "
+    "recent events become the held-out set — the time-respecting split "
+    "sequence models need (a random split would leak future events "
+    "into training). One row_number window per user on the epoch-us "
+    "timeline (micros on BOTH engines, event_id tie-break), then a "
+    "split x event_type audit rollup that shares the user_id "
+    "exchange's output. At 100 TB the window is per-user state — "
+    "scales with executors like every raw-grain window here",
+)
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id", "event_type", "event_id", t_us.alias("t_us")
+    ).withColumn("rn", F.row_number().over(w))
+    labeled = ranked.select(
+        "event_type",
+        F.when(F.col("rn") <= 2, F.lit("test")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )
+    return (
+        labeled.groupBy("split", "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("split", "event_type")
+    )
+
+
+@_register(
+    "next_event_training_pairs",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS to_type
+        FROM events
+    ),
+    pairs AS (SELECT from_type, to_type FROM seq WHERE to_type IS NOT NULL),
+    c AS (
+        SELECT from_type, to_type, count(*) AS n FROM pairs
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) + 0.0
+               AS transition_p
+    FROM c ORDER BY from_type, to_type
+    """,
+    "next-event prediction pairs: each user's event stream becomes "
+    "(current, next) training pairs via a lead window, rolled into the "
+    "event-type transition matrix with per-source-state probabilities "
+    "— the label-generation step for next-action models AND a Markov "
+    "baseline in one query. The transition-probability window runs "
+    "over the tiny type x type rollup, not the event stream; the only "
+    "full-data shuffle is the per-user lead window",
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("from_type"), t_us.alias("t_us"), "event_id"
+    ).withColumn("to_type", F.lead("from_type").over(w))
+    c = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.round(F.col("n") / F.sum("n").over(wp), 4) + 0.0).alias("transition_p"),
+    ).orderBy("from_type", "to_type")
