@@ -269,3 +269,46 @@ def test_streaming_sliding_rollup_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
     # every event is in exactly two overlapping 6h/3h windows
     assert sum(v[1] for v in got.values()) == 2 * events.count()
+
+
+def test_streaming_distinct_users_matches_batch_and_exact(spark, sf_dir, tmp_path):
+    """HLL sketch state merges register-wise (order-insensitive), so the
+    streaming per-window estimate must EQUAL the batch
+    approx_count_distinct on the same data — and both must sit within
+    the 5% contract of the exact distinct count."""
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_distinct_users_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_stream_hll")
+    write_parquet(events, src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    run_to_memory_sink(
+        streaming_distinct_users_rollup(stream), query_name="t_stream_hll"
+    )
+    got = {
+        r["event_date"]: (r["approx_users"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_stream_hll").collect()
+    }
+    batch = {
+        r["event_date"]: (r["au"], r["n"])
+        for r in events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("au"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == batch
+    exact = {
+        r["event_date"]: r["x"]
+        for r in events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for d, (au, _) in got.items():
+        assert abs(au - exact[d]) <= max(1, 0.05 * exact[d]) + 2
