@@ -56,6 +56,12 @@ HEADLINE = (
     "returned_item_top_customers",
     "late_shipment_priority_count",
     "large_volume_customers",
+    "national_market_share",
+    "supplier_part_variety",
+    "decontaminate_eval_overlap",
+    "bigram_pmi_collocations",
+    "token_entropy_quality",
+    "temporal_split_events",
 )
 
 
