@@ -139,3 +139,74 @@ def test_quantize_codes_bounded(spark):
         assert r["max_abs_err"] <= r["scale"] / 254.0 + 1e-6
         # checksum of 64 codes each in [-127,127]
         assert abs(r["q_checksum"]) <= 64 * 127
+
+
+def test_token_entropy_bounds(spark):
+    """Shannon entropy of a token distribution is bounded by
+    [0, ln(distinct_tokens)]; token totals dominate distinct counts."""
+    import math
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["token_entropy_quality"].fn(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] >= r["distinct_tokens"] >= 1
+        assert -1e-4 <= r["token_entropy"] <= math.log(r["distinct_tokens"]) + 1e-4
+
+
+def test_transition_probabilities_normalize(spark):
+    """Per from-state transition probabilities sum to 1 (rounding
+    slack), and total pair count = total events - one per user (each
+    user's last event has no successor)."""
+    from collections import defaultdict
+
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["next_event_training_pairs"].fn(spark, sf).collect()
+    by_from = defaultdict(float)
+    n_pairs = 0
+    for r in rows:
+        by_from[r["from_type"]] += r["transition_p"]
+        n_pairs += r["n"]
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 0.005, (ft, s)
+    ev = load_table(spark, sf, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_pairs == n_events - n_users
+
+
+def test_temporal_split_holds_out_two_per_user(spark):
+    """The leave-last-out split holds out exactly 2 events per user
+    (every sf0.001 user has >= 2 events) and partitions the table."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["temporal_split_events"].fn(spark, sf).collect()
+    test_n = sum(r["n_events"] for r in rows if r["split"] == "test")
+    total = sum(r["n_events"] for r in rows)
+    ev = load_table(spark, sf, "events")
+    assert total == ev.count()
+    assert test_n == 2 * ev.select("user_id").distinct().count()
+
+
+def test_decontamination_fraction_bounded(spark):
+    """Contamination is a fraction of the doc's own distinct shingle
+    set — always in (0, 1]; match counts are positive."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["decontaminate_eval_overlap"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0.0 < r["contamination"] <= 1.0
+        assert r["shared_shingles"] >= 1 and r["matched_eval_docs"] >= 1
