@@ -5678,3 +5678,61 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.round(F.col("n") / F.sum("n").over(wp), 4) + 0.0).alias("transition_p"),
     ).orderBy("from_type", "to_type")
+
+
+@_register(
+    "dup_cluster_size_distribution",
+    """
+    WITH RECURSIVE c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS pa, b.vec_id AS pb
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+    ),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           cluster_size * count(*) AS n_members,
+           (cluster_size - 1) * count(*) AS n_removable
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    "dedup audit: the cluster-size histogram of the near-dup graph — "
+    "how much of the corpus is duplicated, at what multiplicity, and "
+    "how many rows survivor-selection will drop (n_removable). The "
+    "capacity-planning number a 100 TB dedup run reports before anyone "
+    "commits to the rewrite. Spark side reuses the distributed "
+    "connected-components labels; after the per-cluster count the "
+    "histogram aggregates rows = #clusters, then #distinct-sizes — "
+    "cost collapses with each step",
+)
+def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_id_a", "vec_id_b")
+    labels = dedup.connected_components(pairs, "vec_id_a", "vec_id_b")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_members"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
