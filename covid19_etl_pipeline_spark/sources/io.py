@@ -181,3 +181,47 @@ def write_clustered(
     )
     parted.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
     return path
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive/Trino
+    ecosystems). Same pushdown/pruning behavior as parquet: predicates
+    and column projections reach the stripe reader."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> str:
+    """ORC sink with the same partitioned-layout contract as
+    ``write_parquet`` — zlib-striped columnar files readable by any
+    Hive-compatible engine."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return path
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+) -> DataFrame:
+    """Raw-text corpus source: one row per line (or per FILE with
+    ``whole_file`` — one document per file, the common crawl-dump
+    layout). Single ``value: string`` column; pair with
+    ``input_file_name()`` downstream for provenance. The ingestion
+    front door for text that hasn't been structured yet."""
+    return spark.read.option("wholetext", str(whole_file).lower()).text(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Raw-text sink: requires exactly one string column (Spark's text
+    writer contract) — the export shape for line-oriented tokenizer
+    pipelines."""
+    df.write.mode(mode).text(path)
+    return path

@@ -312,3 +312,37 @@ def test_streaming_distinct_users_matches_batch_and_exact(spark, sf_dir, tmp_pat
     }
     for d, (au, _) in got.items():
         assert abs(au - exact[d]) <= max(1, 0.05 * exact[d]) + 2
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    """ORC sink/scan round-trip with a partitioned layout; partition
+    pruning works like parquet (one directory read)."""
+    from covid19_etl_pipeline_spark.sources.io import read_orc, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path, partition_by=("n_regionkey",))
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert {r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in nation.collect()
+    }
+    one = back.filter(F.col("n_regionkey") == 0)
+    files = {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
+    assert files and all("n_regionkey=0" in f for f in files)
+
+
+def test_text_lines_roundtrip(spark, tmp_path):
+    """Text sink requires one string column; the scan reads one row per
+    line in any order."""
+    from covid19_etl_pipeline_spark.sources.io import (
+        read_text_lines,
+        write_text_lines,
+    )
+
+    lines = ["alpha beta", "gamma", "delta epsilon zeta"]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    path = str(tmp_path / "corpus_txt")
+    write_text_lines(df, path)
+    back = read_text_lines(spark, path)
+    assert sorted(r["value"] for r in back.collect()) == sorted(lines)
