@@ -346,3 +346,42 @@ def test_text_lines_roundtrip(spark, tmp_path):
     write_text_lines(df, path)
     back = read_text_lines(spark, path)
     assert sorted(r["value"] for r in back.collect()) == sorted(lines)
+
+
+def test_streaming_parquet_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """Stop the checkpointed file-sink query, add more input, restart
+    with the SAME checkpoint: the second run picks up only unprocessed
+    files, and the final output has every input row exactly once."""
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import read_events_stream
+    from covid19_etl_pipeline_spark.streaming.sinks import stream_to_parquet
+
+    events = load_table(spark, sf_dir, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.repartition(3).write.mode("append").parquet(src)
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    proj = stream.select("event_id", "user_id", "event_type")
+    q = stream_to_parquet(proj, out, ckpt, query_name="t_pq_sink_1")
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.parquet(out).count()
+    assert first == half1.count()
+
+    half2.repartition(3).write.mode("append").parquet(src)
+    q2 = stream_to_parquet(
+        read_events_stream(spark, src, max_files_per_trigger=2).select(
+            "event_id", "user_id", "event_type"
+        ),
+        out,
+        ckpt,
+        query_name="t_pq_sink_2",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()                  # no loss
+    assert got.select("event_id").distinct().count() == events.count()  # no dupes
