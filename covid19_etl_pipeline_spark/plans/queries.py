@@ -5784,3 +5784,139 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         (F.round(med, 4) + 0.0).alias("rolling_median_7"),
     ).orderBy("user_id", "d")
+
+
+@_register(
+    "ivf_multiprobe_recall",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+    sims AS (
+        SELECT c.vec_id, cent.cid,
+               list_dot_product(c.v, cent.cv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(cent.cv, cent.cv))) AS csim
+        FROM c, cent
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rn
+        FROM sims
+    ),
+    members AS (
+        SELECT r.vec_id, r.cid, c.v FROM ranked r JOIN c USING (vec_id)
+        WHERE r.rn = 1
+    ),
+    probes AS (SELECT vec_id AS query_id, cid AS pcid FROM ranked
+               WHERE rn <= 2 AND vec_id < 5),
+    qv AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, m.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(q.qv, m.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(m.v, m.v))) DESC,
+                             m.vec_id) AS rank
+            FROM probes p
+            JOIN qv q ON q.query_id = p.query_id
+            JOIN members m ON m.cid = p.pcid AND m.vec_id <> p.query_id
+        ) WHERE rank <= 10
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, c.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(c.v, c.v))) DESC,
+                             c.vec_id) AS rank
+            FROM qv q JOIN c ON c.vec_id <> q.query_id
+        ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           count(i.vec_id) AS ivf_hits,
+           round(count(i.vec_id) / 10.0, 4) + 0.0 AS recall_at_10
+    FROM exact e
+    LEFT JOIN ivf i ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+    "ANN quality audit: IVF recall@10 at probe=2 against the exact "
+    "brute-force top-10 — the measurement that sizes the probe count "
+    "(the recall/cost knob every IVF deployment tunes; probe=1 is "
+    "sim_ivf_topk's shape, full-probe is brute force). Queries search "
+    "their TWO nearest cells: probing rides the same centroid-rank "
+    "window as assignment (rn=1 assigns members, rn<=2 probes), so "
+    "multi-probe costs one extra window filter, not a second "
+    "assignment pass. The exact baseline is the small-n oracle only — "
+    "at 100 TB recall is estimated on a query sample exactly like "
+    "this one",
+)
+def ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    c = emb.select("vec_id", F.col("embedding").alias("v"))
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    # one centroid-rank pass feeds BOTH member assignment (rn=1) and
+    # query probing (rn<=2) — materialize it once.
+    ranked = (
+        c.join(F.broadcast(cent))
+        .withColumn("csim", similarity.cosine(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .select("vec_id", "cid", "rn")
+        .localCheckpoint()
+    )
+    members = (
+        ranked.filter(F.col("rn") == 1)
+        .join(c, "vec_id")
+        .select("vec_id", "cid", "v")
+    )
+    qv = c.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        ranked.filter((F.col("rn") <= 2) & (F.col("vec_id") < 5))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("pcid"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    ivf = (
+        members.join(F.broadcast(probes), on=F.col("cid") == F.col("pcid"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", similarity.cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    exact = (
+        c.join(F.broadcast(qv), on=F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", similarity.cosine(F.col("qv"), F.col("v")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = F.count(ivf["vec_id"])
+    return (
+        exact.alias("e")
+        .join(
+            ivf.alias("i"),
+            (F.col("e.query_id") == F.col("i.query_id"))
+            & (F.col("e.vec_id") == F.col("i.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("i.vec_id")).alias("ivf_hits"),
+            (F.round(F.count(F.col("i.vec_id")) / 10.0, 4) + 0.0).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
