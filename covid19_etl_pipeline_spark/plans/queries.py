@@ -5920,3 +5920,109 @@ def ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@_register(
+    "lsh_banding_recall",
+    f"""
+    WITH s AS (
+        SELECT doc_id, source, {_D_SHINGLES} AS sh
+        FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, source, list_distinct(sh) AS shd,
+               {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
+               {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
+               {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
+               {_d_minhash(6)} AS mh6, {_d_minhash(7)} AS mh7
+        FROM s
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS sig FROM sigs
+        UNION ALL SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs
+        UNION ALL SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs
+        UNION ALL SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs
+    ),
+    filt AS (SELECT * FROM bands WHERE sig IS NOT NULL AND sig <> ''),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM filt a JOIN filt b ON a.band = b.band AND a.sig = b.sig
+                                AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM sigs a JOIN sigs b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_cat(a.shd, b.shd))) > 0
+          AND len(list_intersect(a.shd, b.shd)) * 1.0
+              / len(list_distinct(list_cat(a.shd, b.shd))) >= 0.5
+    )
+    SELECT count(*) AS n_true_pairs,
+           count(c.doc_id_a) AS n_captured,
+           round(CASE WHEN count(*) > 0
+                      THEN count(c.doc_id_a) * 1.0 / count(*) END, 4) + 0.0
+               AS recall
+    FROM truth t
+    LEFT JOIN cand c ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b
+    """,
+    "dedup-pipeline quality audit: banding recall — what fraction of "
+    "true near-dup pairs (exact Jaccard >= 0.5, measured on the "
+    "tractable source-blocked sample) the 4-band x 2-row LSH "
+    "candidate join captures. The companion to "
+    "minhash_estimate_accuracy (sketch error) and "
+    "ivf_multiprobe_recall (ANN recall): together they size "
+    "num_hashes, bands, and probes — the three knobs a 100 TB "
+    "dedup/similarity deployment tunes. At scale the truth set is "
+    "exactly this kind of blocked sample; the candidate set is the "
+    "full banding join",
+)
+def lsh_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sets = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(text.shingles(text.tokens("text"))).alias("shd"),
+        )
+        .localCheckpoint()  # feeds both truth-join sides
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_id_a"), "source", F.col("shd").alias("sh_a")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_id_b"), "source", F.col("shd").alias("sh_b")
+    )
+    union_sz = F.size(F.array_union("sh_a", "sh_b"))
+    # when()-guarded: a bare union_sz > 0 pre-filter is NOT enough —
+    # Catalyst may reorder conjunctive predicates and evaluate the
+    # division first, which under ANSI mode throws on empty unions.
+    jac = F.when(
+        union_sz > 0, F.size(F.array_intersect("sh_a", "sh_b")) / union_sz
+    )
+    truth = (
+        a.join(b, on=["source"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(jac >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    cand = dedup.lsh_candidate_pairs(docs, "doc_id", num_hashes=8, bands=4).select(
+        F.col("doc_id_a").alias("c_a"), F.col("doc_id_b").alias("c_b")
+    )
+    return (
+        truth.join(
+            cand,
+            (F.col("doc_id_a") == F.col("c_a")) & (F.col("doc_id_b") == F.col("c_b")),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.count("c_a").alias("n_captured"),
+            (
+                F.round(
+                    F.when(F.count("*") > 0, F.count("c_a") / F.count("*")), 4
+                )
+                + 0.0
+            ).alias("recall"),
+        )
+    )
