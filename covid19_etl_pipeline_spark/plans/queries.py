@@ -6026,3 +6026,69 @@ def lsh_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@_register(
+    "simhash_near_pairs",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(trim(norm), '\s+')))
+                   AS tok
+        FROM (SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+              FROM documents)
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT unnest(range(0, 32)) AS bit) b
+    ),
+    votes AS (SELECT doc_id, bit, sum(vote) AS v FROM bits GROUP BY 1, 2),
+    sig AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    j AS (SELECT s.doc_id, d.source, s.simhash
+          FROM sig s JOIN documents d USING (doc_id))
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    "SimHash near-dup pairs: source-blocked signature pairs within "
+    "Hamming distance 4 — the verification-free fast path of the "
+    "SimHash family (signatures: simhash_signatures; this is the pair "
+    "stage MinHash runs as LSH banding). bit_count(xor) is a 2-cycle "
+    "integer op per pair — the cheapest near-dup compare there is; at "
+    "100 TB the blocking key becomes the signature's high bits "
+    "(near-identical docs share them), turning the pair join into an "
+    "equi-join exactly like LSH bands",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # signature build is one pipeline; the self-join consumes it twice
+    sig = (
+        dedup.simhash(docs, "doc_id", bits=32)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_a"), "source", F.col("simhash").alias("sig_a")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_b"), "source", F.col("simhash").alias("sig_b")
+    )
+    hd = dedup.hamming_distance(F.col("sig_a"), F.col("sig_b"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .withColumn("hamming", hd.cast("int"))
+        .filter(F.col("hamming") <= 4)
+        .select("doc_id_a", "doc_id_b", "hamming")
+        .orderBy("doc_id_a", "doc_id_b")
+    )
