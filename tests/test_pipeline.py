@@ -138,3 +138,20 @@ def test_fanout_writes_all_sinks(spark, covid_df, tmp_path):
     # year-partitioned layout for partition pruning
     assert any(p.name.startswith("year=") for p in tmp_path.glob("covid_data_transformed/*"))
     assert spark.read.parquet(paths["covid_filtered_countries"]).count() == 2
+
+
+def test_main_module_runs_end_to_end(spark, tmp_path, capsys):
+    """The ``python -m`` entry: extract -> fan-out -> serving star with
+    per-phase timings, all on the demo frame."""
+    from covid19_etl_pipeline_spark.__main__ import run_etl
+
+    report = run_etl(spark, str(tmp_path / "etl"))
+    assert set(report["timings"]) == {"extract", "transform", "load"}
+    assert all(v >= 0 for v in report["timings"].values())
+    assert set(report["marts"]) >= {
+        "covid_data_transformed", "covid_by_country", "covid_by_date",
+    }
+    served = spark.sql(
+        "SELECT count(*) AS n FROM aggregated_stats"
+    ).first()["n"]
+    assert served == 2  # two demo entities
