@@ -377,3 +377,32 @@ def test_q20_semi_join_on_key_set(spark):
     broadcast LEFT SEMI join against the supplier dim."""
     plan = _plan(spark, "promo_heavy_suppliers")
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_rolling_median_no_python_and_bounded_frame(spark):
+    """rolling_median_value: the median composes from built-in array
+    functions (no EvalPython), and both exchanges key on user_id — the
+    map-side partial agg shrinks the first shuffle to daily rows, so
+    two small exchanges beat one raw-events repartition."""
+    plan = _plan(spark, "rolling_median_value")
+    assert "EvalPython" not in plan
+    n = sum(1 for l in plan.splitlines() if "hashpartitioning(user_id" in l)
+    assert n <= 2, plan
+
+
+def test_temporal_split_single_user_exchange(spark):
+    """temporal_split_events: the row_number window is the only
+    user-keyed exchange; the audit rollup re-keys on (split, type)."""
+    plan = _plan(spark, "temporal_split_events")
+    n = sum(1 for l in plan.splitlines() if "hashpartitioning(user_id" in l)
+    assert n == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_simhash_pairs_broadcast_no_cartesian(spark):
+    """simhash_near_pairs: the source-blocked pair join must never plan
+    a cartesian product; the signature table is small enough to
+    broadcast at any SF."""
+    plan = _plan(spark, "simhash_near_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
