@@ -6092,3 +6092,270 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b", "hamming")
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation batch 2: cross-doc duplication audit, random projection,
+# cluster-balanced sampling, Zipf vocabulary fit
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "corpus_duplicate_ngrams",
+    f"""
+    WITH s AS (
+        SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+        FROM s WHERE len(sh) > 0
+    ),
+    freq AS (
+        SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) >= 4
+    )
+    SELECT e.doc_id,
+           CAST(e.n_sh AS INT) AS n_shingles,
+           count(*) AS dup_shingles,
+           round(count(*) * 1.0 / e.n_sh, 4) + 0.0 AS dup_fraction
+    FROM ex e JOIN freq USING (g)
+    GROUP BY e.doc_id, e.n_sh
+    ORDER BY dup_fraction DESC, doc_id
+    """,
+    "cross-document duplicated-content audit (the Gopher/C4 'fraction "
+    "of text in corpus-frequent n-grams' filter): 3-token shingle "
+    "document frequencies over the whole corpus, then per doc the "
+    "fraction of its distinct shingles that >= 4 documents share. One "
+    "shuffle on the shingle hash builds the frequency table; the "
+    "frequent-shingle set (heavy tail only) broadcasts back onto the "
+    "shingle stream, so the corpus itself is never re-shuffled. At "
+    "100 TB the exact distinct-doc count becomes a count-min/HLL "
+    "sketch per shingle and the df >= 4 gate is applied to the sketch "
+    "estimate — same plan shape. Complements repetition_quality "
+    "(intra-doc) with the cross-doc signal",
+)
+def corpus_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select(
+        "doc_id", F.array_distinct(text.shingles(text.tokens("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    # the exploded shingle stream is consumed twice (df count + join-back)
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
+    ).localCheckpoint()
+    freq = (
+        ex.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 4)
+        .select("g")
+    )
+    return (
+        ex.join(F.broadcast(freq), "g")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").alias("dup_shingles"))
+        .select(
+            "doc_id",
+            F.col("n_sh").alias("n_shingles"),
+            "dup_shingles",
+            (F.round(F.col("dup_shingles") / F.col("n_sh"), 4) + 0.0).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy(F.col("dup_fraction").desc(), "doc_id")
+    )
+
+
+@_register(
+    "random_projection_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    r AS (
+        SELECT vec_id, x,
+               list_transform(range(0, 8), j ->
+                   list_sum(list_transform(range(1, len(x) + 1), i ->
+                       x[i] * CASE WHEN (((i - 1) * 2654435761 + j * 40503)
+                                         % 97) % 2 = 1
+                                   THEN 1.0 ELSE -1.0 END))) AS yraw
+        FROM v
+    )
+    SELECT vec_id,
+           list_transform(yraw, y -> round(y, 4) + 0.0) AS projection,
+           CASE WHEN list_sum(list_transform(x, e -> e * e)) > 0
+                THEN round(list_sum(list_transform(yraw, y -> y * y))
+                           / (8.0 * list_sum(list_transform(x, e -> e * e))),
+                           4) + 0.0
+           END AS norm_ratio
+    FROM r
+    ORDER BY vec_id
+    """,
+    "sign-random-projection (Johnson-Lindenstrauss) dimensionality "
+    "reduction 64 -> 8 of the embedding column: y_j = sum_i x_i * "
+    "sign(h(i, j)) with a deterministic arithmetic hash in place of the "
+    "usual seeded Gaussian (reproducible across engines, partitioning, "
+    "and runs). norm_ratio = |y|^2 / (k |x|^2) audits the JL isometry "
+    "(expectation 1). Pure higher-order array functions, map-only, zero "
+    "shuffle before the output sort — at 100 TB this is the cheap "
+    "pre-reduction in front of ANN indexing or clustering, cutting "
+    "vector bytes 8x before any distance pass",
+)
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 8
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda e: e.cast("double")).alias("x")
+    )
+
+    def srp_sign(i, j):
+        h = ((i * F.lit(2654435761) + j * F.lit(40503)) % 97) % 2
+        return F.when(h == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    raw = v.select(
+        "vec_id",
+        "x",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.aggregate(
+                F.sequence(F.lit(0), F.size("x") - 1),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(F.col("x"), i + 1) * srp_sign(i, j),
+            ),
+        ).alias("yraw"),
+    )
+    sq_sum = lambda c: F.aggregate(c, F.lit(0.0), lambda a, e: a + e * e)  # noqa: E731
+    return raw.select(
+        "vec_id",
+        F.transform("yraw", lambda y: F.round(y, 4) + 0.0).alias("projection"),
+        F.when(
+            sq_sum(F.col("x")) > 0,
+            F.round(sq_sum(F.col("yraw")) / (F.lit(float(k)) * sq_sum(F.col("x"))), 4)
+            + 0.0,
+        ).alias("norm_ratio"),
+    ).orderBy("vec_id")
+
+
+@_register(
+    "cluster_balanced_sample",
+    """
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
+    sims AS (
+        SELECT c.vec_id, cent.cid,
+               list_dot_product(c.v, cent.cv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(cent.cv, cent.cv))) AS csim
+        FROM c, cent
+    ),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    sized AS (
+        SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS cluster_size
+        FROM assign
+    ),
+    ranked AS (
+        SELECT cid, vec_id, cluster_size,
+               CAST(row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS INT) AS rk
+        FROM sized
+    )
+    SELECT cid AS cluster_id, vec_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+           rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY cluster_id, rk
+    """,
+    "diversity-balanced sampling: assign every embedding to its nearest "
+    "coarse centroid (broadcast nested-loop, same deterministic "
+    "first-C quantizer as sim_ivf_topk), then take a deterministic "
+    "hash-ordered 5 per cluster — the 'cover every mode of the "
+    "distribution' eval-set/seed-data selection that uniform sampling "
+    "misses on skewed corpora. cluster_size rides along so the sample "
+    "carries its own coverage audit. One shuffle on the cluster id; "
+    "the per-cluster window never sees more than a cluster's rows",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    c = emb.select("vec_id", F.col("embedding").alias("v"))
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    sims = c.join(F.broadcast(cent)).withColumn(
+        "csim", similarity.cosine(F.col("v"), F.col("cv"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    w_size = Window.partitionBy("cid")
+    w_rank = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    )
+    return (
+        assign.withColumn("cluster_size", F.count("*").over(w_size))
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            F.col("cid").alias("cluster_id"), "vec_id", "cluster_size", "rk"
+        )
+        .orderBy("cluster_id", "rk")
+    )
+
+
+@_register(
+    "zipf_term_slope",
+    rf"""
+    WITH tok AS (
+        SELECT lower(unnest({_D_TOKS})) AS t FROM documents
+    ),
+    counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    ranked AS (
+        SELECT t, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, t) AS INT) AS rk
+        FROM counts
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= 100)
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rk)), 4) AS zipf_intercept,
+           round(regr_r2(ln(cnt), ln(rk)), 6) AS r2
+    FROM top
+    """,
+    "Zipf fit of the corpus vocabulary: term counts, frequency-ranked, "
+    "OLS of ln(count) ~ ln(rank) over the top-100 terms — slope near -1 "
+    "is the natural-language signature, a flat or cliff-shaped fit "
+    "flags templated/synthetic text (corpus-health audit alongside "
+    "token_entropy_quality's per-doc signal). The rank window runs on "
+    "the post-aggregation vocabulary (tiny vs the corpus), the fit is "
+    "pure partial-aggregable moments — token counting is the only "
+    "corpus-scale pass",
+)
+def zipf_term_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    counts = (
+        docs.select(F.explode(text.tokens("text")).alias("t0"))
+        .select(F.lower("t0").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "t")
+    top = (
+        counts.select("t", "cnt", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= 100)
+    )
+    lnr, lnc = F.log("rk"), F.log("cnt")
+    slope = F.covar_pop(lnr, lnc) / F.var_pop(lnr)
+    intercept = F.avg(lnc) - slope * F.avg(lnr)
+    r2 = F.pow(F.corr(lnr, lnc), 2)
+    return top.agg(
+        F.count("*").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

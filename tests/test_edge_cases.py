@@ -210,3 +210,74 @@ def test_decontamination_fraction_bounded(spark):
     for r in rows:
         assert 0.0 < r["contamination"] <= 1.0
         assert r["shared_shingles"] >= 1 and r["matched_eval_docs"] >= 1
+
+
+def test_corpus_duplicate_ngrams_fractions_bounded(spark):
+    """The cross-doc duplication audit reports a fraction of the doc's
+    own distinct shingles — (0, 1], never more dup shingles than total."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["corpus_duplicate_ngrams"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 1 <= r["dup_shingles"] <= r["n_shingles"]
+        assert 0.0 < r["dup_fraction"] <= 1.0
+
+
+def test_random_projection_shape_and_isometry(spark):
+    """SRP output is k=8 wide for every vector and, per Johnson-
+    Lindenstrauss, preserves squared norms in expectation: the mean
+    norm_ratio over the corpus must sit near 1 (loose 2x band — the
+    variance of a k=8 projection is large per-vector, tight in mean)."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["random_projection_embeddings"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    mean_ratio = sum(r["norm_ratio"] for r in rows) / len(rows)
+    for r in rows:
+        assert len(r["projection"]) == 8
+        assert r["norm_ratio"] > 0
+    assert 0.5 < mean_ratio < 2.0
+
+
+def test_cluster_balanced_sample_covers_clusters(spark):
+    """At most 5 sampled vectors per cluster, ranks are 1..n without
+    gaps, and every reported cluster id is one of the 8 centroids."""
+    from collections import defaultdict
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["cluster_balanced_sample"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    per_cluster = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["cluster_id"] < 8
+        assert r["rk"] <= min(5, r["cluster_size"])
+        per_cluster[r["cluster_id"]].append(r["rk"])
+    for ranks in per_cluster.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_zipf_slope_negative_and_bounded(spark):
+    """A frequency-ranked vocabulary always fits with non-positive
+    slope (counts are non-increasing in rank) and r2 in [0, 1]."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    row = (
+        REGISTRY["zipf_term_slope"].fn(spark, "/root/testdata/sf0.001").first()
+    )
+    assert row["n_terms"] >= 2
+    assert row["zipf_slope"] <= 0.0
+    assert 0.0 <= row["r2"] <= 1.0
