@@ -406,3 +406,42 @@ def test_simhash_pairs_broadcast_no_cartesian(spark):
     plan = _plan(spark, "simhash_near_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_dup_ngrams_broadcast_joinback(spark):
+    """corpus_duplicate_ngrams: the frequent-shingle set (heavy tail
+    only) broadcasts back onto the shingle stream — the corpus-side
+    explode is never re-shuffled for the join."""
+    plan = _plan(spark, "corpus_duplicate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_map_only(spark):
+    """random_projection_embeddings: pure higher-order array functions —
+    no join, no aggregate, no Python eval; the only exchanges are
+    spread()'s input scatter and the output sort."""
+    plan = _plan(spark, "random_projection_embeddings")
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_cluster_sample_broadcasts_centroids_partitioned_windows(spark):
+    """cluster_balanced_sample: centroid assignment is a broadcast
+    nested loop (points never move for the distance pass) and every
+    window is partitioned (vec_id / cid) — no single-task stage."""
+    plan = _plan(spark, "cluster_balanced_sample")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_zipf_counts_two_stage_then_tiny_window(spark):
+    """zipf_term_slope: token counting is a partial+final hash agg (the
+    only corpus-scale pass); the unpartitioned rank window runs on the
+    post-aggregation vocabulary only — upstream of it there is exactly
+    one corpus-wide exchange (on the term key)."""
+    plan = _plan(spark, "zipf_term_slope")
+    assert plan.count("HashAggregate") >= 2
+    n = sum(1 for line in plan.splitlines() if "hashpartitioning(t" in line)
+    assert n == 1, plan
