@@ -6359,3 +6359,60 @@ def zipf_term_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 4).alias("zipf_intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+@_register(
+    "unigram_logprob_quality",
+    rf"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest({_D_TOKS})) AS t FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+        SELECT tok.doc_id, ln(vocab.cnt * 1.0 / total.n) AS logp
+        FROM tok JOIN vocab USING (t) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(logp), 4) AS mean_logprob,
+           round(exp(-avg(logp)), 4) AS perplexity
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "unigram language-model quality score (the CCNet/Wikipedia-LM "
+    "perplexity filter, reduced to its unigram core): corpus token "
+    "probabilities p(t) = cnt/N, then per doc the mean token log-prob "
+    "and its perplexity — documents far off the corpus distribution "
+    "(boilerplate, wrong language, gibberish) score high-perplexity "
+    "and get filtered. The vocabulary (small vs the corpus) broadcasts "
+    "back onto the token stream and the corpus total is a broadcast "
+    "1-row aggregate, so the corpus-side cost is one doc_id shuffle "
+    "for the per-doc mean; at 100 TB the vocab table is the trained "
+    "'model' artifact, reused across runs",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select("doc_id", F.explode(text.tokens("text")).alias("t0")).select(
+        "doc_id", F.lower("t0").alias("t")
+    )
+    # the vocab rollup feeds BOTH the broadcast join and the corpus
+    # total — materialize the tiny table once so the corpus tokenize
+    # isn't re-run per consumer (at 100 TB: the persisted LM artifact)
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt")).localCheckpoint()
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "t")
+        .join(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("cnt") * 1.0 / F.col("n")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("mean_logprob"),
+            F.round(F.exp(-F.avg("logp")), 4).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )

@@ -281,3 +281,18 @@ def test_zipf_slope_negative_and_bounded(spark):
     assert row["n_terms"] >= 2
     assert row["zipf_slope"] <= 0.0
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_unigram_logprob_covers_all_docs(spark):
+    """Every document gets an LM score (all tokens are in-vocabulary by
+    construction), mean log-prob is negative, and perplexity >= 1."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["unigram_logprob_quality"].fn(spark, sf).collect()
+    assert len(rows) == load_table(spark, sf, "documents").count()
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        assert r["mean_logprob"] < 0.0
+        assert r["perplexity"] >= 1.0

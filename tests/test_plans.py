@@ -445,3 +445,11 @@ def test_zipf_counts_two_stage_then_tiny_window(spark):
     assert plan.count("HashAggregate") >= 2
     n = sum(1 for line in plan.splitlines() if "hashpartitioning(t" in line)
     assert n == 1, plan
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    """unigram_logprob_quality: the vocabulary and the corpus-total row
+    broadcast onto the token stream — no shuffled join of the corpus."""
+    plan = _plan(spark, "unigram_logprob_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
