@@ -73,6 +73,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and the TZ-naive DuckDB oracle — assumes UTC wall time. A session
     # in any other zone would shift date boundaries.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet micros with isAdjustedToUTC=false would otherwise surface as
+    # TIMESTAMP_NTZ (Spark 4 default), which unix_micros()/window() reject;
+    # read them as instants in the pinned-UTC session instead.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos = _nano_timestamp_fields(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
