@@ -22,7 +22,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from covid19_etl_pipeline_spark.operators.partitioning import spread
@@ -178,6 +178,87 @@ def jaccard_pairs(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.6,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Exact all-pairs set-similarity self-join via prefix filtering
+    (the AllPairs/PPJoin family).
+
+    The complement of LSH banding: NO false negatives and still no
+    O(n²) cross join. Order each document's distinct-shingle set by
+    ascending global document frequency (rarest shingle first); its
+    *prefix* is the first ``|S| - ceil(t·|S|) + 1`` shingles. Two sets
+    can reach Jaccard ≥ t only if their prefixes share an element, so
+    an equi-join on prefix shingles is a COMPLETE candidate generator;
+    the exact Jaccard verify pass then keeps the true matches.
+
+    Plan shape: one tokenize pass feeding (a) the document-frequency
+    rollup (shuffle keyed on shingle), (b) a per-doc rank window
+    (shuffle on doc id), (c) the prefix equi-join (shuffle on shingle).
+    Rare-first ordering is what bounds the join fan-out — a shingle
+    unique to one document never produces a candidate, and for high t
+    the frequent (skewed) shingles never enter any prefix. At 100 TB
+    the frequency rollup is a reusable stats artifact, and the verify
+    join ships only candidate pairs + shingle sets, not the corpus.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    # Shingle sets feed prefix generation AND verification — materialize
+    # once (the staged shingle-set table of a production pipeline).
+    sets = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    ex = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df_cnt"))
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("df_cnt", "s")
+    )
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        ex.join(freq, "s")
+        .join(sets.select(F.col(id_col), F.size("sh").alias("sz")), id_col)
+        .select(F.col(id_col), "s", rk.alias("rk"), prefix_len.alias("plen"))
+        .filter(F.col("rk") <= F.col("plen"))
+        .select(id_col, "s")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, on="s")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidates.join(
+            sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("sh_a")),
+            f"{id_col}_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("sh_b")),
+            f"{id_col}_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:

@@ -6416,3 +6416,188 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "distribution_moments",
+    """
+    WITH s AS (
+        SELECT l_returnflag, count(*) AS n, avg(l_extendedprice) AS mu
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT l.l_returnflag,
+               max(s.n) AS n,
+               stddev_samp(l.l_extendedprice) AS sd,
+               sum(pow(l.l_extendedprice - s.mu, 2)) / max(s.n) AS m2,
+               sum(pow(l.l_extendedprice - s.mu, 3)) / max(s.n) AS m3,
+               sum(pow(l.l_extendedprice - s.mu, 4)) / max(s.n) AS m4
+        FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+        GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT)                      AS n_rows,
+           round(sd, 4)                           AS std_price,
+           round(m3 / pow(m2, 1.5), 4) + 0.0      AS skew_price,
+           round(m4 / pow(m2, 2) - 3, 4) + 0.0    AS kurt_price
+    FROM m ORDER BY l_returnflag
+    """,
+    "distribution-shape statistics per group: sample stddev, population "
+    "skewness m3/m2^1.5 and population excess kurtosis m4/m2^2 - 3 of "
+    "the price column — the data-profiling layer over the reference's "
+    "plain avg/max stats (get_statistics, data_transformer.py:434-448). "
+    "Spark's skewness/kurtosis are ONE-PASS streaming central-moment "
+    "aggregates (partial-aggregable, map-side combine, no second scan); "
+    "the oracle states the same population formulas as an explicit "
+    "two-pass moment computation, pinning the exact semantics (DuckDB's "
+    "own skewness()/kurtosis() are sample-corrected and would NOT match)",
+)
+def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            (F.round(F.skewness("l_extendedprice"), 4) + F.lit(0.0)).alias("skew_price"),
+            (F.round(F.kurtosis("l_extendedprice"), 4) + F.lit(0.0)).alias("kurt_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "bloom_pruned_revenue",
+    """
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
+           round(sum(l_extendedprice * (1 - l_discount)), 4)            AS revenue,
+           count(*)                                                     AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY order_month
+    ORDER BY order_month
+    """,
+    "selective fact-fact join shaped for Catalyst runtime bloom-filter "
+    "injection (InjectRuntimeFilter): the urgent-orders side is "
+    "selective but — at 100 TB — too large to broadcast, so the join is "
+    "pinned sort-merge and Spark builds a bloom filter from the "
+    "filtered creation side and pushes might_contain() down into the "
+    "lineitem scan, pruning most of the probe-side shuffle at the "
+    "source. Locally the 10 GB application-side threshold keeps the "
+    "filter off (results identical either way — it is pure pruning); "
+    "the plan test forces the thresholds down and pins the "
+    "might_contain shape the query runs with at scale",
+)
+def bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy(F.date_trunc("month", "od").cast("date").alias("order_month"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@_register(
+    "close_order_pairs",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders
+    )
+    SELECT a.o_custkey,
+           count(*)                                              AS n_pairs,
+           CAST(min(abs(datediff('day', a.od, b.od))) AS INT)    AS min_gap_days,
+           round(avg(abs(datediff('day', a.od, b.od))), 4)       AS avg_gap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(datediff('day', a.od, b.od)) <= 30
+    GROUP BY a.o_custkey
+    ORDER BY a.o_custkey
+    """,
+    "range-interval self-join: per customer, pairs of orders placed "
+    "within 30 days of each other (burst-purchase detection). The "
+    "scalable shape is equi-key + range predicate: Spark shuffles BOTH "
+    "sides once on the customer key and evaluates the date-range "
+    "predicate inside each co-partitioned group, so fan-out is bounded "
+    "by orders-per-customer, never O(n^2). (A range join with NO equi "
+    "key is the degenerate case — then you bucket the time axis into "
+    "band keys first, the events_before_purchase pattern)",
+)
+def close_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    a, b = o.alias("a"), o.alias("b")
+    gap = F.abs(F.datediff(F.col("b.od"), F.col("a.od")))
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (gap <= 30),
+        )
+        .groupBy(F.col("a.o_custkey").alias("o_custkey"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(gap).alias("min_gap_days"),
+            F.round(F.avg(gap), 4).alias("avg_gap_days"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "prefix_jaccard_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(tk) >= 2
+                   THEN list_transform(range(1, len(tk)),
+                                       i -> array_to_string(tk[i:i+1], ' '))
+                   ELSE [] END) AS sh
+        FROM toks
+    ),
+    ne AS (SELECT * FROM sets WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.sh, b.sh)) AS i,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+        FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    )
+    SELECT da AS doc_id_a, db AS doc_id_b, round(i * 1.0 / u, 4) AS jaccard
+    FROM p WHERE i * 1.0 / u >= 0.6
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    "exact all-pairs near-dup join via PREFIX FILTERING (AllPairs/"
+    "PPJoin family): bigram-shingle sets ordered rarest-shingle-first; "
+    "only the first |S| - ceil(0.6|S|) + 1 shingles of each doc enter "
+    "the candidate equi-join (two sets reaching Jaccard >= 0.6 MUST "
+    "share a prefix shingle), then an exact verify pass. LSH's "
+    "complement: zero false negatives at far below O(n^2) cost — the "
+    "oracle is the brute-force cross-join statement of the same "
+    "semantics, so the hash-match PROVES the pruning is lossless. At "
+    "100 TB the rare-first order is what kills the skew: corpus-common "
+    "shingles never enter any prefix",
+)
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.6, shingle_k=2
+    )
+    return pairs.select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("doc_id_a", "doc_id_b")

@@ -54,6 +54,41 @@ def test_jaccard_values(spark, docs):
         assert 0.3 < j13 < 1.0
 
 
+def test_prefix_filter_complete_vs_brute_force(spark, docs):
+    """Prefix filtering must be LOSSLESS: its result set equals the
+    brute-force all-pairs Jaccard at the same threshold, for any
+    threshold (here one permissive, one strict)."""
+    for t in (0.3, 0.8):
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 6)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, "doc_id", threshold=t, shingle_k=2
+            ).collect()
+        }
+        ids = docs.select("doc_id").crossJoin(
+            docs.select(F.col("doc_id").alias("doc_id_b"))
+        ).filter(F.col("doc_id") < F.col("doc_id_b")).select(
+            F.col("doc_id").alias("doc_id_a"), "doc_id_b"
+        )
+        brute = {
+            (r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 6)
+            for r in dedup.jaccard_pairs(
+                docs, "doc_id", shingle_k=2, candidates=ids
+            ).collect()
+            if r["jaccard"] is not None and r["jaccard"] >= t
+        }
+        assert got == brute, f"threshold {t}: {got} != {brute}"
+
+
+def test_prefix_filter_exact_dups_and_singletons(spark, docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(docs, "doc_id").collect()
+    }
+    assert pairs.get((1, 2)) == 1.0    # exact dup pair always survives
+    assert not any(5 in p for p in pairs)  # shingle-less doc never pairs
+
+
 def test_simhash_invariants(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id").collect()}
     assert sh[1] == sh[2]

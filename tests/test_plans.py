@@ -453,3 +453,66 @@ def test_unigram_lm_broadcasts_vocab(spark):
     plan = _plan(spark, "unigram_logprob_quality")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_moments_single_pass_partial_agg(spark):
+    """distribution_moments: skewness/kurtosis are ONE-PASS streaming
+    moment aggregates — partial+final hash agg around one exchange, no
+    second scan of lineitem (the oracle needs two passes; Spark must
+    not)."""
+    plan = _plan(spark, "distribution_moments")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bloom_runtime_filter_injects(spark):
+    """bloom_pruned_revenue at scale: with the size thresholds crossed
+    (forced here), Catalyst's InjectRuntimeFilter builds a bloom filter
+    from the selective orders side and pushes might_contain() into the
+    lineitem scan — probe-side rows are pruned BEFORE the join shuffle."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "bloom_pruned_revenue")
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_close_order_pairs_equi_key_no_cartesian(spark):
+    """close_order_pairs: the range predicate must ride on the custkey
+    EQUI join (co-partitioned, fan-out bounded per key) — never a
+    cartesian/nested-loop plan."""
+    plan = _plan(spark, "close_order_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian_all_equi(spark):
+    """prefix_jaccard_pairs: candidate generation is an equi-join on
+    prefix shingles and verification an equi-join on doc ids — the
+    brute-force O(n^2) shape (cartesian) must never appear."""
+    plan = _plan(spark, "prefix_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
