@@ -62,6 +62,10 @@ HEADLINE = (
     "bigram_pmi_collocations",
     "token_entropy_quality",
     "temporal_split_events",
+    "prefix_jaccard_pairs",
+    "distribution_moments",
+    "close_order_pairs",
+    "bloom_pruned_revenue",
 )
 
 

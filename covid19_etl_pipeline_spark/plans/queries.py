@@ -6559,17 +6559,9 @@ def close_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "prefix_jaccard_pairs",
-    r"""
-    WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
-    ),
-    sets AS (
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(tk) >= 2
-                   THEN list_transform(range(1, len(tk)),
-                                       i -> array_to_string(tk[i:i+1], ' '))
-                   ELSE [] END) AS sh
-        FROM toks
+    f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh FROM documents
     ),
     ne AS (SELECT * FROM sets WHERE len(sh) > 0),
     p AS (
@@ -6583,20 +6575,22 @@ def close_order_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id_a, doc_id_b
     """,
     "exact all-pairs near-dup join via PREFIX FILTERING (AllPairs/"
-    "PPJoin family): bigram-shingle sets ordered rarest-shingle-first; "
+    "PPJoin family): trigram-shingle sets ordered rarest-shingle-first; "
     "only the first |S| - ceil(0.6|S|) + 1 shingles of each doc enter "
     "the candidate equi-join (two sets reaching Jaccard >= 0.6 MUST "
-    "share a prefix shingle), then an exact verify pass. LSH's "
+    "share a prefix shingle), a PPJoin size bound prunes length-"
+    "incompatible candidates, then an exact verify pass. LSH's "
     "complement: zero false negatives at far below O(n^2) cost — the "
     "oracle is the brute-force cross-join statement of the same "
     "semantics, so the hash-match PROVES the pruning is lossless. At "
     "100 TB the rare-first order is what kills the skew: corpus-common "
-    "shingles never enter any prefix",
+    "shingles never enter any prefix (and shingle size k must keep the "
+    "universe diverse — see operator docstring)",
 )
 def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.prefix_filter_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.6, shingle_k=2
+        docs, "doc_id", "text", threshold=0.6, shingle_k=3
     )
     return pairs.select(
         "doc_id_a", "doc_id_b", F.round("jaccard", 4).alias("jaccard")
