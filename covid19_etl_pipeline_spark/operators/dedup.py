@@ -228,7 +228,8 @@ def prefix_filter_jaccard_pairs(
         .filter(F.size("sh") > 0)
         .localCheckpoint()
     )
-    ex = sets.select(F.col(id_col), F.explode("sh").alias("s"))
+    # carry the set size through the explode — saves a join back to sets
+    ex = sets.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("df_cnt"))
     rk = F.row_number().over(
         Window.partitionBy(id_col).orderBy("df_cnt", "s")
@@ -236,7 +237,6 @@ def prefix_filter_jaccard_pairs(
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = (
         ex.join(freq, "s")
-        .join(sets.select(F.col(id_col), F.size("sh").alias("sz")), id_col)
         .select(F.col(id_col), "s", "sz", rk.alias("rk"), prefix_len.alias("plen"))
         .filter(F.col("rk") <= F.col("plen"))
         .select(id_col, "s", "sz")
