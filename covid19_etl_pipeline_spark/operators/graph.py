@@ -1,0 +1,83 @@
+"""Graph operators over edge-list DataFrames.
+
+Extension surface: link-analysis quality scoring for training-data
+pipelines (the web-graph/domain-rank signal used to weight crawl data),
+expressed Spark-first — an edge list is just a DataFrame, one power
+iteration is one join + one aggregation, and the driver loop controls
+iteration count only (same pattern as ``dedup.connected_components``
+and ``similarity.lloyd_iterations``).
+
+At scale: the expensive pass is building/aggregating the edge list from
+the fact data (one keyed shuffle); iterations then run on the
+aggregated graph, shuffling only (dst, contribution) pairs per round.
+``localCheckpoint`` per round cuts the lineage chain so plan size stays
+constant in the iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_digits: int = 8,
+) -> DataFrame:
+    """Weighted PageRank by unrolled power iteration.
+
+    ``r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} w(u,v)/out_w(u) · r_k(u)``
+
+    Simplified semantics (documented, oracle-matched): dangling-node
+    mass is NOT redistributed — a node with no outgoing edges only
+    contributes teleport mass. Ranks are rounded to ``round_digits``
+    per iteration so float summation order cannot drift results across
+    engines or partitionings (the kmeans-rounds trick — what makes an
+    iterative algorithm hash-comparable against a SQL oracle).
+
+    Returns (node, rank) for every node appearing as src or dst.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    # round(1-d) before dividing: binary-float 1.0-0.85 is 1 ulp off the
+    # 0.15 literal a SQL oracle folds to — pin both to the same double
+    teleport = round(1.0 - damping, 12) / n_nodes
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # transition matrix rows: contribution fraction per edge
+    trans = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    ).localCheckpoint()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .select("dst", (F.col("p") * F.col("r")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    round_digits,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

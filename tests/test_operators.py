@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from covid19_etl_pipeline_spark.operators.filters import (
@@ -194,3 +195,30 @@ def test_table_count_and_decode_stub(spark):
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_pagerank_hand_computed_chain(spark):
+    """A→B (single edge), 3 iterations, d=0.85, N=2: teleport=0.075;
+    A never receives inflow so r(A)=0.075 after one round; B converges
+    to 0.075 + 0.85·0.075 = 0.13875 once A's rank settles."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame([("A", "B", 1.0)], ["src", "dst", "w"])
+    got = {r["node"]: r["rank"] for r in graph.pagerank(edges, weight="w").collect()}
+    assert got["A"] == pytest.approx(0.075, abs=1e-9)
+    assert got["B"] == pytest.approx(0.13875, abs=1e-9)
+
+
+def test_pagerank_symmetric_cycle_is_fixed_point(spark):
+    """A→B→A: the uniform distribution is the exact fixed point —
+    every iteration returns 0.5/0.5 regardless of iteration count."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame([("A", "B", 2.0), ("B", "A", 2.0)], ["src", "dst", "w"])
+    for iters in (1, 4):
+        got = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(edges, weight="w", iterations=iters).collect()
+        }
+        assert got["A"] == pytest.approx(0.5, abs=1e-9)
+        assert got["B"] == pytest.approx(0.5, abs=1e-9)
