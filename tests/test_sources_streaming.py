@@ -385,3 +385,41 @@ def test_streaming_parquet_sink_exactly_once_across_restart(spark, sf_dir, tmp_p
     got = spark.read.parquet(out)
     assert got.count() == events.count()                  # no loss
     assert got.select("event_id").distinct().count() == events.count()  # no dupes
+
+
+def test_write_zordered_skips_files_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-ordered layout concentrates any narrow predicate on EITHER
+    z-dimension into a subset of files — measured by which files still
+    produce rows under a selective filter, z-ordered vs random layout
+    (where every file matches). Rows must survive the rewrite intact."""
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.sources.io import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 8
+    zpath = str(tmp_path / "zordered")
+    rpath = str(tmp_path / "random")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], num_files=n_files)
+    li.repartition(n_files).write.parquet(rpath)
+
+    def files_matching(path, col, hi):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col(col) <= hi)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    bounds = li.agg(
+        F.expr("percentile(l_partkey, 0.15)").alias("pk"),
+        F.expr("percentile(l_suppkey, 0.15)").alias("sk"),
+    ).collect()[0]
+    for col, hi in (("l_partkey", bounds["pk"]), ("l_suppkey", bounds["sk"])):
+        z_hit = files_matching(zpath, col, hi)
+        r_hit = files_matching(rpath, col, hi)
+        assert z_hit < r_hit, (col, z_hit, r_hit)
+    assert spark.read.parquet(zpath).count() == li.count()
