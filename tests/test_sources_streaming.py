@@ -423,3 +423,16 @@ def test_write_zordered_skips_files_on_both_dims(spark, sf_dir, tmp_path):
         r_hit = files_matching(rpath, col, hi)
         assert z_hit < r_hit, (col, z_hit, r_hit)
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_observe_quality_rides_the_action(spark):
+    """Observation metrics must report row + null counts from the SAME
+    job that materializes the DataFrame — no second scan issued."""
+    from covid19_etl_pipeline_spark.sources.io import observe_quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], ["id", "v"]
+    )
+    observed, obs = observe_quality(df, columns=["v"])
+    assert observed.count() == 4
+    assert obs.get == {"n_rows": 4, "null_v": 2}
