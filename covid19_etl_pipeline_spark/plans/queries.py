@@ -6694,3 +6694,32 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("rank", 6) + F.lit(0.0)).alias("pagerank"),
         F.row_number().over(w_rk).cast("int").alias("rk"),
     ).orderBy("rk")
+
+
+@_register(
+    "approx_top_event_types",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT) AS rk,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 3
+    """,
+    "Spark-4-native approx_top_k sketch for bounded-cardinality heavy "
+    "hitters: one mergeable sketch aggregate (no full groupBy shuffle "
+    "of distinct keys at 100 TB — partial sketches merge tree-wise), "
+    "exploded to ranked rows. The sketch is EXACT by construction when "
+    "maxItemsTracked >= NDV (here 100 >> 5 event types) — which is what "
+    "makes it hash-comparable against the exact GROUP BY oracle; the "
+    "unbounded-NDV regime is heavy_hitters_cms' error-bound contract",
+)
+def approx_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = ev.agg(F.expr("approx_top_k(event_type, 3, 100)").alias("tk"))
+    return sketch.select(F.posexplode("tk").alias("pos", "s")).select(
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("s.item").alias("event_type"),
+        F.col("s.count").alias("n_events"),
+    )
