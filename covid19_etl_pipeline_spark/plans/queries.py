@@ -6723,3 +6723,36 @@ def approx_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.item").alias("event_type"),
         F.col("s.count").alias("n_events"),
     )
+
+
+@_register(
+    "streaming_daily_rollup_live",
+    None,  # genuinely streaming — driver records the rows-only check;
+    # tests/test_sources_streaming.py proves stream == batch rollup
+    "LIVE Structured Streaming execution of the daily rollup (SURVEY "
+    "§2.9 extension): file-source readStream over a staged copy of "
+    "events -> 1-day watermark -> 1-day tumbling window -> sum/"
+    "non-null-count (the reference's aggregate_by_date semantics, "
+    "data_transformer.py:258-276) -> memory sink driven to completion. "
+    "Incremental state replaces the reference's daily full-table "
+    "recompute; the watermark bounds state for late data. Not "
+    "SQL-expressible (stateful incremental execution), so no oracle — "
+    "the batch twin daily_rollup_7day carries the hash check, and the "
+    "stream==batch equality test carries this one",
+)
+def streaming_daily_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_daily_rollup,
+    )
+
+    # stage a normalized copy: the file stream needs micros timestamps
+    # and a fixed schema (nanos repair is a batch-reader concern)
+    staging = tempfile.mkdtemp(prefix="stream_events_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+    rollup = streaming_daily_rollup(read_events_stream(spark, staging, 8))
+    run_to_memory_sink(rollup, "streaming_daily_rollup_live")
+    return spark.table("streaming_daily_rollup_live").orderBy("event_date")
