@@ -6756,3 +6756,67 @@ def streaming_daily_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = streaming_daily_rollup(read_events_stream(spark, staging, 8))
     run_to_memory_sink(rollup, "streaming_daily_rollup_live")
     return spark.table("streaming_daily_rollup_live").orderBy("event_date")
+
+
+@_register(
+    "period_revenue_reconciliation",
+    """
+    WITH a AS (
+        SELECT o_custkey, round(sum(o_totalprice), 4) AS rev_early
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1995 AND 1996
+        GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey, round(sum(o_totalprice), 4) AS rev_late
+        FROM orders WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1997 AND 1998
+        GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           a.rev_early,
+           b.rev_late,
+           CASE WHEN a.o_custkey IS NULL THEN 'late_only'
+                WHEN b.o_custkey IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence,
+           round(b.rev_late - a.rev_early, 4) AS rev_delta
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY o_custkey
+    """,
+    "FULL OUTER reconciliation — the join type the registry lacked: "
+    "per-customer revenue in two adjacent periods, full-outer on the "
+    "customer key so the result carries matched, early-only, and "
+    "late-only rows with a presence class and a period delta (the "
+    "period-over-period drift report every serving layer grows). Both "
+    "inputs aggregate BEFORE the join, so the full-outer runs on "
+    "per-key rollups (small) rather than raw facts, and both rollups "
+    "share the same custkey partitioning — one exchange each, no "
+    "re-shuffle for the join",
+)
+def period_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    )
+
+    def window_rev(lo: int, hi: int, out: str) -> DataFrame:
+        return (
+            o.filter(F.col("yr").between(lo, hi))
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias(out))
+        )
+
+    a = window_rev(1995, 1996, "rev_early")
+    b = window_rev(1997, 1998, "rev_late")
+    joined = a.alias("a").join(
+        b.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer"
+    )
+    presence = (
+        F.when(F.col("a.o_custkey").isNull(), "late_only")
+        .when(F.col("b.o_custkey").isNull(), "early_only")
+        .otherwise("both")
+    )
+    return joined.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("o_custkey"),
+        "rev_early",
+        "rev_late",
+        presence.alias("presence"),
+        F.round(F.col("rev_late") - F.col("rev_early"), 4).alias("rev_delta"),
+    ).orderBy("o_custkey")
