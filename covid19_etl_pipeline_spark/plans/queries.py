@@ -6820,3 +6820,137 @@ def period_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         presence.alias("presence"),
         F.round(F.col("rev_late") - F.col("rev_early"), 4).alias("rev_delta"),
     ).orderBy("o_custkey")
+
+
+def _bpe_pair_counts(symdf: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (sym, freq) vocabulary — the
+    BPE statistics pass. Runs on the VOCABULARY, never the corpus."""
+    pairs = (
+        "CASE WHEN size(a) >= 2 THEN transform(sequence(1, size(a) - 1), "
+        "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        symdf.select(F.split("sym", " ").alias("a"), "freq")
+        .select(F.explode(F.expr(pairs)).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(symdf: DataFrame, top1: DataFrame) -> DataFrame:
+    """Apply one merge rule to every vocabulary entry: left-to-right
+    non-overlapping replace of the space-separated pair (identical
+    replace() semantics in Spark and DuckDB, including the consumed-
+    boundary case — stated, not hidden)."""
+    return symdf.crossJoin(F.broadcast(top1.select("pair", "new_symbol"))).select(
+        F.trim(
+            F.expr(
+                "replace(concat(' ', sym, ' '), "
+                "concat(' ', pair, ' '), concat(' ', new_symbol, ' '))"
+            )
+        ).alias("sym"),
+        "freq",
+    )
+
+
+@_register(
+    "bpe_merge_induction",
+    r"""
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        GROUP BY w
+    ),
+    sym0 AS (
+        SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym, freq
+        FROM words
+    ),
+    p1 AS (
+        SELECT pair, sum(freq) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                                         i -> a[i] || ' ' || a[i+1])) AS pair,
+                   freq
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, freq FROM sym0)
+        ) GROUP BY pair
+    ),
+    t1 AS (
+        SELECT pair, replace(pair, ' ', '') AS new_symbol, cnt
+        FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    sym1 AS (
+        SELECT trim(replace(' ' || s.sym || ' ',
+                            ' ' || t1.pair || ' ',
+                            ' ' || t1.new_symbol || ' ')) AS sym, s.freq
+        FROM sym0 s, t1
+    ),
+    p2 AS (
+        SELECT pair, sum(freq) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                                         i -> a[i] || ' ' || a[i+1])) AS pair,
+                   freq
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, freq FROM sym1)
+        ) GROUP BY pair
+    ),
+    t2 AS (
+        SELECT pair, replace(pair, ' ', '') AS new_symbol, cnt
+        FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+    )
+    SELECT CAST(1 AS INT) AS merge_rank, pair, new_symbol, cnt AS pair_count FROM t1
+    UNION ALL
+    SELECT CAST(2 AS INT), pair, new_symbol, cnt FROM t2
+    ORDER BY merge_rank
+    """,
+    "BPE vocabulary induction, 2 unrolled merge rounds: lowercase "
+    "alphabetic word frequencies -> char-symbol spelling -> adjacent-"
+    "pair counts -> merge the max pair (count desc, pair asc "
+    "tie-break) -> recount -> second merge. THE tokenizer-training "
+    "core, in pure built-ins. The classic BPE trick is the scale "
+    "story: pair statistics run over the (word, freq) VOCABULARY "
+    "(tiny), never the corpus — the corpus contributes one token-count "
+    "pass; each round is then a vocab-sized map + one pair-key "
+    "shuffle. Merge application is engine-portable left-to-right "
+    "replace (both engines consume the shared boundary space "
+    "identically — semantics stated and oracle-matched). The merged "
+    "top-1 rule broadcasts; driver never sees the data",
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.select(F.explode(text.tokens("text")).alias("t0"))
+        .select(F.lower("t0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # the vocabulary feeds round-1 counting AND merge application —
+    # materialize once (at corpus scale this is the persisted vocab)
+    sym0 = words.select(
+        F.array_join(F.split("w", ""), " ").alias("sym"), "freq"
+    ).localCheckpoint()
+    top = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
+    t1 = (
+        _bpe_pair_counts(sym0)
+        .withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"), "cnt")
+        .localCheckpoint()
+    )
+    sym1 = _bpe_apply_merge(sym0, t1)
+    t2 = (
+        _bpe_pair_counts(sym1)
+        .withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"), "cnt")
+    )
+    r1 = t1.select(
+        F.lit(1).cast("int").alias("merge_rank"), "pair", "new_symbol",
+        F.col("cnt").alias("pair_count"),
+    )
+    r2 = t2.select(
+        F.lit(2).cast("int").alias("merge_rank"), "pair", "new_symbol",
+        F.col("cnt").alias("pair_count"),
+    )
+    return r1.unionByName(r2).orderBy("merge_rank")
