@@ -516,3 +516,42 @@ def test_prefix_jaccard_no_cartesian_all_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_full_outer_reuses_rollup_partitioning(spark):
+    """period_revenue_reconciliation: the full-outer join must reuse
+    the custkey hash partitioning its two input rollups already
+    produced — exactly 2 custkey exchanges (one per rollup side), none
+    added for the join itself."""
+    plan = _plan(spark, "period_revenue_reconciliation")
+    assert "FullOuter" in plan
+    n = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning(o_custkey" in l)
+    assert n == 2, plan
+
+
+def test_pagerank_stays_jvm_side(spark):
+    """nation_trade_pagerank: iterative loop composed of joins/aggs —
+    never a Python-eval node; iteration state is checkpointed (plan
+    shows materialized RDD scans, not a 3x-unrolled lineage)."""
+    plan = _plan(spark, "nation_trade_pagerank")
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bpe_counts_are_two_stage_vocab_aggs(spark):
+    """bpe_merge_induction: pair counting is partial+final hash agg on
+    the pair key; the winning rule rides a 1-row broadcast (cross) —
+    all JVM-side."""
+    plan = _plan(spark, "bpe_merge_induction")
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row merge-rule broadcast
+    assert "EvalPython" not in plan
+
+
+def test_approx_top_k_merges_partial_sketches(spark):
+    """approx_top_event_types: the sketch must aggregate as partial
+    per-partition sketches merged at the final stage — no groupBy
+    shuffle of raw distinct keys."""
+    plan = _plan(spark, "approx_top_event_types")
+    assert "partial_approx_top_k" in plan
+    assert "Exchange hashpartitioning(event_type" not in plan
