@@ -185,3 +185,43 @@ def test_lloyd_assignment_invariants(spark, vecs, k):
     assert {r["cid"] for r in rows} <= cids             # onto live centroids
     assert len(cids) <= k
     assert all(r["d2"] >= -1e-9 for r in rows)
+
+
+_word = st.sampled_from("alpha beta gamma delta x y z".split())
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@_slow
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=10),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filter_lossless_for_any_corpus(spark, docs, threshold):
+    """Prefix filtering must equal brute-force all-pairs Jaccard for
+    ANY corpus and threshold — the zero-false-negative guarantee is a
+    theorem about the prefix length, so hypothesis hunts for corpora
+    (dup-heavy, shingle-less, tiny-vocabulary) that would break it."""
+    from covid19_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 6)
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", threshold=threshold, shingle_k=2
+        ).collect()
+    }
+    ids = (
+        df.select("doc_id")
+        .crossJoin(df.select(F.col("doc_id").alias("doc_id_b")))
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("doc_id_a"), "doc_id_b")
+    )
+    brute = {
+        (r["doc_id_a"], r["doc_id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs(df, "doc_id", shingle_k=2, candidates=ids).collect()
+        if r["jaccard"] is not None and r["jaccard"] >= threshold
+    }
+    assert got == brute
