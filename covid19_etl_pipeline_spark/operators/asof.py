@@ -1,4 +1,6 @@
-"""As-of (most-recent-match) join — an operator Spark lacks natively.
+"""As-of (most-recent-match) join — an operator Spark lacks natively
+(SURVEY §2.3 extension: the reference has no joins at all, but its
+two time-keyed fact tables imply exactly this temporal enrichment).
 
 Composed from built-ins via the union-merge pattern (preferred over a
 per-group ``merge_asof`` pandas UDF — no Python in the path, one

@@ -1,7 +1,7 @@
 """Graph operators over edge-list DataFrames.
 
-Extension surface: link-analysis quality scoring for training-data
-pipelines (the web-graph/domain-rank signal used to weight crawl data),
+Extension surface (BASELINE.json north star; no graph ops exist in the
+reference): link-analysis quality scoring for training-data pipelines (the web-graph/domain-rank signal used to weight crawl data),
 expressed Spark-first — an edge list is just a DataFrame, one power
 iteration is one join + one aggregation, and the driver loop controls
 iteration count only (same pattern as ``dedup.connected_components``
