@@ -6954,3 +6954,130 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("pair_count"),
     )
     return r1.unionByName(r2).orderBy("merge_rank")
+
+
+@_register(
+    "rfm_customer_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+                             DATE '2001-09-01') AS INT)  AS recency_days,
+               count(*)                                  AS frequency,
+               round(sum(o_totalprice), 4)               AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_quartile
+    FROM rfm
+    ORDER BY o_custkey
+    """,
+    "RFM feature assembly + quartile scoring — the canonical customer-"
+    "segmentation feature pipeline (recency from a pinned reference "
+    "date for determinism, frequency, monetary) with ntile quartiles "
+    "on unique tie-broken orderings (quartile 1 = best). One fact "
+    "rollup shuffle; the three ntile windows run on the per-customer "
+    "rollup (entity-sized, not fact-sized). At 100 TB swap exact ntile "
+    "for percentile_approx threshold lookups to avoid the global sort "
+    "of even the rollup",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    q = lambda order: F.ntile(4).over(Window.orderBy(*order)).cast("int")  # noqa: E731
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        q([F.col("recency_days"), F.col("o_custkey")]).alias("r_quartile"),
+        q([F.col("frequency").desc(), F.col("o_custkey")]).alias("f_quartile"),
+        q([F.col("monetary").desc(), F.col("o_custkey")]).alias("m_quartile"),
+    ).orderBy("o_custkey")
+
+
+@_register(
+    "dow_seasonality_profile",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_dow AS (
+        SELECT event_type, dow, count(*) AS n_events, avg(value) AS avg_value
+        FROM daily GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, n_events,
+           round(avg_value, 4) AS avg_value,
+           round(avg_value / (sum(avg_value * n_events) OVER (PARTITION BY event_type)
+                              / sum(n_events) OVER (PARTITION BY event_type)), 4)
+               AS seasonal_index
+    FROM per_dow
+    ORDER BY event_type, dow
+    """,
+    "day-of-week seasonality profile per event type: mean value per "
+    "(type, dow) and its ratio to the type's overall mean — the "
+    "seasonal-index baseline that turns raw activity into "
+    "calendar-adjusted anomaly inputs. The overall mean is recovered "
+    "from the per-dow rollup itself (weighted window over 7 rows per "
+    "type), so the fact is scanned ONCE and the windows run on 7xtypes "
+    "rows. dow is Sunday=1 in both engines after the +1 alignment",
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per_dow = (
+        ev.select(
+            "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow"), "value"
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+    )
+    w = Window.partitionBy("event_type")
+    overall = F.sum(F.col("avg_value") * F.col("n_events")).over(w) / F.sum(
+        "n_events"
+    ).over(w)
+    return per_dow.select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round(F.col("avg_value") / overall, 4).alias("seasonal_index"),
+    ).orderBy("event_type", "dow")
+
+
+@_register(
+    "source_calibrated_quality",
+    """
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id), 6) + 0.0 AS source_pctl
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "cross-source score calibration: a raw quality feature (length "
+    "here; any scorer in production) is rank-normalized WITHIN its "
+    "source via percent_rank, so thresholds mean the same thing for "
+    "every source before corpus mixing — the fix for 'source A's "
+    "median is source B's top decile'. One window partitioned by "
+    "source (horizontally scalable); unique doc_id tie-break keeps "
+    "ranks deterministic",
+)
+def source_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("source_pctl"),
+    ).orderBy("doc_id")
