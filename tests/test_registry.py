@@ -1,0 +1,40 @@
+"""Registry contract sanity: the driver consumes queries()/oracle_sql()
+and bench.py's HEADLINE list blindly — breakage here fails the round
+before any query even runs."""
+
+from __future__ import annotations
+
+import re
+
+from bench import HEADLINE
+from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+
+def test_headline_queries_all_registered():
+    missing = [n for n in HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+
+
+def test_registry_entries_well_formed():
+    for name, spec in REGISTRY.items():
+        assert spec.fn is not None, name
+        assert spec.description and len(spec.description) > 20, name
+        if spec.oracle is not None:
+            assert "SELECT" in spec.oracle.upper(), name
+
+
+def test_oracles_only_reference_catalog_tables():
+    """Oracle FROM/JOIN targets must be catalog views (or CTE names
+    defined in the same statement) — a typo'd table name would error
+    only at driver time otherwise."""
+    catalog = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        ctes = set(re.findall(r"(?i)\b([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_,\s]*\))?\s+AS\s*\(", spec.oracle))
+        targets = re.findall(r"(?i)\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle)
+        unknown = [t for t in targets if t.lower() not in catalog and t not in ctes]
+        assert not unknown, (name, unknown)
