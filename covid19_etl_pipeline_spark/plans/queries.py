@@ -7081,3 +7081,130 @@ def source_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("source_pctl"),
     ).orderBy("doc_id")
+
+
+@_register(
+    "hard_negative_mining",
+    """
+    WITH c AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, label,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM c WHERE list_dot_product(v, v) > 0
+    ),
+    q AS (SELECT vec_id AS q_id, label AS q_label, uv AS q_uv FROM u WHERE vec_id < 5),
+    s AS (
+        SELECT q.q_id, q.q_label, u.vec_id AS neighbor_id, u.label AS neighbor_label,
+               list_dot_product(u.uv, q.q_uv) AS cs,
+               row_number() OVER (PARTITION BY q.q_id
+                                  ORDER BY list_dot_product(u.uv, q.q_uv) DESC,
+                                           u.vec_id) AS rk
+        FROM u JOIN q ON u.label <> q.q_label
+    )
+    SELECT q_id, CAST(rk AS INT) AS rk, neighbor_id, q_label, neighbor_label,
+           round(cs, 6) + 0.0 AS cosine_sim
+    FROM s WHERE rk <= 3
+    ORDER BY q_id, rk
+    """,
+    "hard-negative mining for contrastive training: per query vector, "
+    "the top-3 most-similar vectors with a DIFFERENT label — maximally "
+    "confusing negatives, the batch-construction core of embedding-"
+    "model training. Queries broadcast (points never move — the "
+    "cluster_balanced_sample shape); cosine is one dot product on "
+    "pre-unit-normalized vectors; the rank window partitions by query. "
+    "At 100 TB the candidate side narrows through the IVF/LSH index "
+    "first (sim_ivf_topk) — this exact form is the correctness oracle "
+    "for that path, with float-deterministic element-order dot products",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = similarity.norm(F.col("v"))
+    pts = (
+        emb.withColumn("nm", n)
+        .filter(F.col("nm") > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("v", lambda x: x / F.col("nm")).alias("uv"),
+        )
+        .localCheckpoint()
+    )
+    q = pts.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("uv").alias("q_uv"),
+    ).filter(F.col("q_id") < 5)
+    cs = similarity.dot(F.col("uv"), F.col("q_uv"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "vec_id")
+    return (
+        pts.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("q_label"))
+        .withColumn("cs", cs)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            "q_label",
+            F.col("label").alias("neighbor_label"),
+            (F.round("cs", 6) + F.lit(0.0)).alias("cosine_sim"),
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
+@_register(
+    "truncation_audit",
+    r"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (n_tokens > 60) AS BIGINT) AS n_over_limit,
+           round(avg(CASE WHEN n_tokens > 60 THEN n_tokens - 60 ELSE 0 END), 4)
+               AS avg_truncated_tokens,
+           round(sum(least(n_tokens, 60)) * 1.0 / sum(n_tokens), 4)
+               AS kept_token_fraction
+    FROM (
+        SELECT source, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+    "context-length truncation audit per source: how many documents "
+    "exceed the training context budget (60 tokens here), the mean "
+    "tokens a hard truncation would discard, and the kept-token "
+    "fraction — the go/no-go stat for choosing truncate vs chunk "
+    "(chunk_documents) per source before corpus assembly. One narrow "
+    "token-count pass + one source-keyed rollup; every measure is "
+    "partial-aggregable (conditional sums), no second scan",
+)
+def truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nt = text.token_count("text")
+    over = nt > 60
+    return (
+        docs.select("source", nt.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens") > 60, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over_limit"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n_tokens") > 60, F.col("n_tokens") - 60).otherwise(0)
+                ),
+                4,
+            ).alias("avg_truncated_tokens"),
+            F.round(
+                F.sum(F.least(F.col("n_tokens"), F.lit(60))) * 1.0 / F.sum("n_tokens"),
+                4,
+            ).alias("kept_token_fraction"),
+        )
+        .orderBy("source")
+    )
