@@ -7208,3 +7208,51 @@ def truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "cumulative_distinct_users",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_date
+        FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+        SELECT first_date AS event_date, count(*) AS new_users
+        FROM firsts GROUP BY first_date
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events)
+    SELECT d.event_date,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY d.event_date)
+                AS BIGINT) AS cumulative_users
+    FROM days d LEFT JOIN new_per_day n USING (event_date)
+    ORDER BY d.event_date
+    """,
+    "cumulative distinct-user curve — COUNT(DISTINCT) OVER, which "
+    "Spark's window functions lack, composed from built-ins: each "
+    "user's first-seen date (one user-keyed agg), new-user counts per "
+    "day, then a running sum over the DAY-GRAIN rollup. The naive "
+    "form (distinct-count per expanding window) rescans the fact once "
+    "per day; this is two partial-aggregable shuffles + a window over "
+    "#days rows. The unpartitioned running-sum window is post-"
+    "aggregation only (the W1 exemption)",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("event_date")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("event_date").alias("first_date"))
+    new_per_day = firsts.groupBy(F.col("first_date").alias("event_date")).agg(
+        F.count("*").alias("new_users")
+    )
+    days = ev.select("event_date").distinct()
+    joined = days.join(new_per_day, "event_date", "left").select(
+        "event_date", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
+    w = Window.orderBy("event_date").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "event_date",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("event_date")
