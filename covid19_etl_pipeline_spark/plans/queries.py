@@ -7256,3 +7256,50 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     ).orderBy("event_date")
+
+
+@_register(
+    "weighted_sample_documents",
+    """
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                         % 1000003 + 1) / 1000004.0) / n_chars, 8) AS sample_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, sample_key,
+               CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id) AS INT) AS rk
+        FROM keyed
+    )
+    SELECT rk, doc_id, n_chars, sample_key FROM ranked
+    WHERE rk <= 20 ORDER BY rk
+    """,
+    "weight-proportional sampling without replacement (Efraimidis-"
+    "Spirakis exponential keys): key = ln(u)/w with u a DETERMINISTIC "
+    "content-hash uniform (md5 hex -> integer, identical in both "
+    "engines) and w = n_chars, top-k by key = a w-weighted sample — "
+    "how a corpus is length/quality-weighted WITHOUT materializing "
+    "per-row random state or a resample loop. One narrow keying pass "
+    "+ TakeOrderedAndProject top-k (per-partition heaps, no global "
+    "sort); reproducible across runs, engines, and repartitioning — "
+    "the auditability property df.sample(weights=...) cannot give",
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (hx % 1000003 + 1) / F.lit(1000004.0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 8).alias("sample_key"),
+    )
+    w = Window.orderBy(F.col("sample_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "doc_id", "n_chars", "sample_key")
+        .orderBy("rk")
+    )
