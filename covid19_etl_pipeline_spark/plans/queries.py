@@ -7338,3 +7338,69 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "epoch_upsample_documents",
+    """
+    WITH weighted AS (
+        SELECT doc_id, source,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 2.5
+                    WHEN source IN ('src3', 'src4')         THEN 1.5
+                    ELSE 1.0 END AS repeat_factor
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, source,
+               CAST(floor(repeat_factor) AS INT)
+               + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                           < lpad(to_hex(CAST(256 * (repeat_factor
+                                                     - floor(repeat_factor))
+                                         AS INT)), 2, '0')
+                      THEN 1 ELSE 0 END AS n_repeats
+        FROM weighted
+    )
+    SELECT doc_id, source, CAST(r AS INT) AS repeat_idx
+    FROM counted, LATERAL unnest(range(1, n_repeats + 1)) AS t(r)
+    ORDER BY doc_id, repeat_idx
+    """,
+    "epoch up-sampling by mixture weight — the corpus-assembly stage "
+    "that materializes per-source repeat factors (e.g. quality source "
+    "x2.5): integer part via sequence-explode, FRACTIONAL part as a "
+    "deterministic content-hash Bernoulli (hash prefix < threshold "
+    "byte), so 2.5 means every doc twice plus a reproducible half of "
+    "docs a third time. Pure narrow ops (no shuffle before the output "
+    "sort) and auditable: the same doc always gets the same repeat "
+    "count across runs, engines, and partitionings",
+)
+def epoch_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rf = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 2.5)
+        .when(F.col("source").isin("src3", "src4"), 1.5)
+        .otherwise(1.0)
+    )
+    frac_threshold = F.lpad(
+        F.hex((256 * (F.col("repeat_factor") - F.floor("repeat_factor"))).cast("int")),
+        2,
+        "0",
+    )
+    extra = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < F.lower(frac_threshold),
+        1,
+    ).otherwise(0)
+    counted = (
+        docs.select("doc_id", "source", rf.alias("repeat_factor"))
+        .withColumn(
+            "n_repeats", (F.floor("repeat_factor").cast("int") + extra).cast("int")
+        )
+    )
+    return (
+        counted.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_repeats"))).alias("repeat_idx"),
+        )
+        .select("doc_id", "source", F.col("repeat_idx").cast("int").alias("repeat_idx"))
+        .orderBy("doc_id", "repeat_idx")
+    )
