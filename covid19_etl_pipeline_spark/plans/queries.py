@@ -7404,3 +7404,95 @@ def epoch_upsample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("repeat_idx").cast("int").alias("repeat_idx"))
         .orderBy("doc_id", "repeat_idx")
     )
+
+
+@_register(
+    "recsys_negative_samples",
+    """
+    WITH np AS (SELECT count(*) AS n FROM part),
+    pidx AS (
+        SELECT p_partkey,
+               CAST(row_number() OVER (ORDER BY p_partkey) AS BIGINT) AS pi
+        FROM part
+    ),
+    draws AS (
+        SELECT c.c_custkey, t.i,
+               (('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || '|'
+                                   || CAST(t.i AS VARCHAR)), 1, 12))::UBIGINT
+                % np.n) + 1 AS pi
+        FROM customer c CROSS JOIN np, LATERAL unnest(range(1, 9)) AS t(i)
+    ),
+    cand AS (
+        SELECT d.c_custkey, p.p_partkey, min(d.i) AS i
+        FROM draws d JOIN pidx p ON d.pi = p.pi
+        GROUP BY d.c_custkey, p.p_partkey
+    ),
+    interacted AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    negatives AS (
+        SELECT c.c_custkey, c.p_partkey, c.i,
+               row_number() OVER (PARTITION BY c.c_custkey
+                                  ORDER BY c.i, c.p_partkey) AS rk
+        FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM interacted x
+                          WHERE x.o_custkey = c.c_custkey
+                            AND x.l_partkey = c.p_partkey)
+    )
+    SELECT c_custkey, CAST(rk AS INT) AS neg_rank, p_partkey
+    FROM negatives WHERE rk <= 3
+    ORDER BY c_custkey, neg_rank
+    """,
+    "negative sampling for recommender/contrastive training over the "
+    "user-item interaction graph: per customer, 8 deterministic hash "
+    "draws index into the part dimension (draw-and-join — NEVER the "
+    "O(users x items) cross join), collisions collapse keeping the "
+    "earliest draw, interactions are anti-joined away, first 3 "
+    "survivors per user kept. At 100 TB: draws are narrow arithmetic, "
+    "the item index broadcasts (dims are small), and the anti join "
+    "shuffles only the sampled candidates — sampling cost scales with "
+    "users x draws, independent of catalog size. Content-hash draws "
+    "make the negatives reproducible across engines and runs",
+)
+def recsys_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    n_parts = part.count()  # dimension-table scalar, a stats lookup at scale
+    # small-dim global window: single partition is fine on a dimension
+    pidx = part.select(
+        "p_partkey",
+        F.row_number().over(Window.orderBy("p_partkey")).cast("bigint").alias("pi"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit("|"), F.col("i").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    draws = cust.select(
+        "c_custkey", F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i")
+    ).select("c_custkey", "i", ((hx % n_parts) + 1).alias("pi"))
+    cand = (
+        draws.join(F.broadcast(pidx), "pi")
+        .groupBy("c_custkey", "p_partkey")
+        .agg(F.min("i").alias("i"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    interacted = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    negatives = cand.join(interacted, ["c_custkey", "p_partkey"], "left_anti")
+    w = Window.partitionBy("c_custkey").orderBy("i", "p_partkey")
+    return (
+        negatives.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= 3)
+        .select("c_custkey", "neg_rank", "p_partkey")
+        .orderBy("c_custkey", "neg_rank")
+    )
