@@ -66,6 +66,12 @@ HEADLINE = (
     "distribution_moments",
     "close_order_pairs",
     "bloom_pruned_revenue",
+    "nation_trade_pagerank",
+    "bpe_merge_induction",
+    "hard_negative_mining",
+    "weighted_sample_documents",
+    "recsys_negative_samples",
+    "epoch_upsample_documents",
 )
 
 

@@ -555,3 +555,28 @@ def test_approx_top_k_merges_partial_sketches(spark):
     plan = _plan(spark, "approx_top_event_types")
     assert "partial_approx_top_k" in plan
     assert "Exchange hashpartitioning(event_type" not in plan
+
+
+def test_negative_sampling_broadcasts_item_index_no_cartesian(spark):
+    """recsys_negative_samples: draws index-join into the broadcast
+    item dim and candidates anti-join interactions — never a
+    users-by-items cartesian."""
+    plan = _plan(spark, "recsys_negative_samples")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark):
+    """weighted_sample_documents: top-k by sample key must plan
+    per-partition heaps (TakeOrderedAndProject), not a global sort."""
+    plan = _plan(spark, "weighted_sample_documents")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_upsample_is_narrow_until_sort(spark):
+    """epoch_upsample_documents: repeat materialization is explode over
+    narrow ops — no join, no aggregate before the output sort."""
+    plan = _plan(spark, "epoch_upsample_documents")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
