@@ -276,6 +276,71 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric containment self-join: pairs where
+    ``|A∩B| / |A| ≥ t`` — doc A is (mostly) CONTAINED in doc B. The
+    quote/boilerplate detector Jaccard misses: a paragraph quoted
+    inside a much larger page has tiny Jaccard but containment ≈ 1.
+
+    One-sided prefix bound: the overlap must reach ``ceil(t·|A|)``, so
+    if the first ``|A| - ceil(t·|A|) + 1`` rarest shingles of A miss B
+    entirely, A cannot be contained — only A's prefix joins, against
+    ALL of B's shingles. A size bound (``|B| ≥ t·|A|``) prunes
+    impossible containers before verification.
+
+    Returns (id_inner, id_outer, containment) with id_inner ≠ id_outer
+    (both directions evaluated independently — containment is not
+    symmetric).
+    """
+    sets = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint()
+    )
+    ex = sets.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df_cnt"))
+    rk = F.row_number().over(Window.partitionBy(id_col).orderBy("df_cnt", "s"))
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        ex.join(freq, "s")
+        .select(F.col(id_col), "s", "sz", rk.alias("rk"), plen.alias("plen"))
+        .filter(F.col("rk") <= F.col("plen"))
+        .select(F.col(id_col).alias("id_inner"), "s", F.col("sz").alias("sz_inner"))
+    )
+    full = ex.select(F.col(id_col).alias("id_outer"), "s", F.col("sz").alias("sz_outer"))
+    candidates = (
+        prefix.join(full, on="s")
+        .filter(F.col("id_inner") != F.col("id_outer"))
+        .filter(F.col("sz_outer") >= threshold * F.col("sz_inner"))
+        .select("id_inner", "id_outer")
+        .distinct()
+    )
+    cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
+    return (
+        candidates.join(
+            sets.select(F.col(id_col).alias("id_inner"), F.col("sh").alias("sh_a")),
+            "id_inner",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_outer"), F.col("sh").alias("sh_b")),
+            "id_outer",
+        )
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_inner", "id_outer", "containment")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash signature: per-token md5 → low ``bits`` bits → weighted
     bit-majority vote → integer signature.

@@ -7496,3 +7496,41 @@ def recsys_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "neg_rank", "p_partkey")
         .orderBy("c_custkey", "neg_rank")
     )
+
+
+@_register(
+    "containment_doc_pairs",
+    f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh FROM documents
+    ),
+    ne AS (SELECT * FROM sets WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS id_inner, b.doc_id AS id_outer,
+               len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh) AS containment
+        FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+    )
+    SELECT id_inner, id_outer, round(containment, 4) AS containment
+    FROM p WHERE containment >= 0.8
+    ORDER BY id_inner, id_outer
+    """,
+    "asymmetric CONTAINMENT join |A-intersect-B| / |A| >= 0.8 — the "
+    "quote/boilerplate detector Jaccard misses (a paragraph quoted in "
+    "a much larger page has tiny Jaccard, containment ~1). One-sided "
+    "prefix bound: only the inner side's rarest-shingle prefix joins, "
+    "against all outer shingles, plus the |B| >= t|A| size bound; "
+    "exact verify after. Oracle is the brute-force double-direction "
+    "cross join of the same semantics — the hash-match proves the "
+    "one-sided pruning lossless",
+)
+def containment_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(docs, "doc_id", "text", threshold=0.8, shingle_k=3)
+    return (
+        pairs.select(
+            F.col("id_inner"),
+            F.col("id_outer"),
+            F.round("containment", 4).alias("containment"),
+        )
+        .orderBy("id_inner", "id_outer")
+    )

@@ -166,3 +166,24 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "a long, b long")
     got = {r["node"]: r["label"] for r in connected_components(edges, "a", "b").collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short paragraph quoted inside a much larger page: containment
+    ~1 for (quote ⊂ page) while Jaccard is far below any dedup
+    threshold — the asymmetric detector's reason to exist. The reverse
+    direction (page in quote) must NOT fire."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    page = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(20))
+    df = spark.createDataFrame([(1, quote), (2, page)], ["doc_id", "text"])
+    cont = {
+        (r["id_inner"], r["id_outer"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    assert cont.get((1, 2)) == 1.0          # quote fully contained in page
+    assert (2, 1) not in cont               # page not contained in quote
+    jac = dedup.jaccard_pairs(
+        df, "doc_id",
+        candidates=spark.createDataFrame([(1, 2)], ["doc_id_a", "doc_id_b"]),
+    ).collect()[0]["jaccard"]
+    assert jac < 0.2                        # Jaccard would never flag this pair
