@@ -7534,3 +7534,72 @@ def containment_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_inner", "id_outer")
     )
+
+
+@_register(
+    "hll_user_overlap_estimate",
+    """
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(DISTINCT a.user_id) AS n_overlap_exact,
+           TRUE AS overlap_ok
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    "audience-overlap estimation from sketches alone: per event-type "
+    "pair, |A-intersect-B| estimated by inclusion-exclusion over HLL "
+    "sketches (est_A + est_B - est(A union B), the union via "
+    "hll_union on the two binary sketches) and checked within 10% of "
+    "the exact join-based overlap. THE pre-aggregated-audience "
+    "pattern: at 100 TB the per-segment sketches are tiny persisted "
+    "artifacts and ANY pairwise overlap is answered WITHOUT rejoining "
+    "the fact — sketch values are engine-specific, so the contract "
+    "checked is the error bound (the approx_distinct_users "
+    "convention)",
+)
+def hll_user_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.countDistinct("user_id").alias("nd"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), F.col("nd").alias("nd_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"), F.col("nd").alias("nd_b")
+    )
+    est = (
+        F.expr("hll_sketch_estimate(sk_a)")
+        + F.expr("hll_sketch_estimate(sk_b)")
+        - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    )
+    du = ev.distinct()
+    exact = (
+        du.alias("x")
+        .join(du.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"), F.col("y.event_type").alias("type_b")
+        )
+        .agg(F.countDistinct("user_id").alias("n_overlap_exact"))
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("est_overlap", est)
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_overlap_exact",
+            (
+                F.abs(F.col("est_overlap") - F.col("n_overlap_exact"))
+                <= 0.10 * F.col("n_overlap_exact")
+            ).alias("overlap_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )
