@@ -7603,3 +7603,73 @@ def hll_user_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@_register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    sigs AS (
+        SELECT doc_id,
+               {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
+               {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
+               {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
+               {_d_minhash(6)} AS mh6, {_d_minhash(7)} AS mh7
+        FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS sig FROM sigs
+        UNION ALL SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs
+        UNION ALL SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs
+        UNION ALL SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs
+    ),
+    filt AS (SELECT * FROM bands WHERE sig IS NOT NULL AND sig <> ''),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        FROM filt a JOIN filt b ON a.band = b.band AND a.sig = b.sig
+                                AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT pa AS s, pb AS d FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.d, r.label FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)),
+                            1, 1) BETWEEN '0' AND 'b' THEN 'train'
+                WHEN substr(md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)),
+                            1, 1) IN ('c', 'd') THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    ORDER BY d.doc_id
+    """,
+    "LEAKAGE-SAFE train/val/test split: hash-splitting on doc_id lets "
+    "near-duplicates straddle train and test (silent eval "
+    "contamination); here the split key is the near-dup CLUSTER id "
+    "(LSH pairs -> connected components; singletons are their own "
+    "cluster), so every near-dup family lands in ONE split by "
+    "construction. The per-doc hash split (hash_split_documents) and "
+    "the dedup pipeline compose into eval hygiene — same "
+    "deterministic md5 split thresholds, same 12/2/2 ratios",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+    labels = dedup.connected_components(pairs, "doc_id_a", "doc_id_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cl")
+    )
+    joined = docs.select("doc_id").join(labels, "doc_id", "left")
+    cid = F.coalesce(F.col("cl"), F.col("doc_id"))
+    first_hex = F.substring(F.md5(cid.cast("string")), 1, 1)
+    split = (
+        F.when(first_hex.between("0", "b"), "train")
+        .when(first_hex.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return joined.select(
+        "doc_id", cid.alias("cluster_id"), split.alias("split")
+    ).orderBy("doc_id")
