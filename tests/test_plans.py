@@ -580,3 +580,32 @@ def test_epoch_upsample_is_narrow_until_sort(spark):
     plan = _plan(spark, "epoch_upsample_documents")
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Partition-pruning at runtime (DPP): joining a partitioned fact
+    to a filtered dimension must inject a dynamicpruning subquery into
+    the fact scan — only matching partitions are read. This is the
+    serving layout's replacement for the reference's SQLite indices
+    working at JOIN time, not just for literal predicates."""
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.sources.io import write_parquet
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "ship_year", F.year(F.col("l_shipdate").cast("date"))
+    )
+    fact_path = str(tmp_path / "fact")
+    write_parquet(li, fact_path, partition_by=["ship_year"])
+    dim = spark.createDataFrame([(1996, "keep")], ["ship_year", "tag"]).filter(
+        F.col("tag") == "keep"
+    )
+    j = (
+        spark.read.parquet(fact_path)
+        .join(dim, "ship_year")
+        .groupBy("ship_year")
+        .agg(F.sum("l_quantity"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
