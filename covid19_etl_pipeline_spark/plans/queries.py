@@ -7673,3 +7673,84 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", cid.alias("cluster_id"), split.alias("split")
     ).orderBy("doc_id")
+
+
+@_register(
+    "price_distribution_psi",
+    """
+    WITH binned AS (
+        SELECT CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+                    THEN 'baseline' ELSE 'current' END AS period,
+               least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bin
+        FROM orders
+    ),
+    counts AS (
+        SELECT period, bin, count(*) AS n FROM binned GROUP BY period, bin
+    ),
+    totals AS (
+        SELECT period, sum(n) AS tot FROM counts GROUP BY period
+    ),
+    fracs AS (
+        SELECT c.bin,
+               max(CASE WHEN c.period = 'baseline'
+                        THEN (c.n + 0.5) / (t.tot + 5.0) END) AS p_base,
+               max(CASE WHEN c.period = 'current'
+                        THEN (c.n + 0.5) / (t.tot + 5.0) END) AS p_curr
+        FROM counts c JOIN totals t USING (period)
+        GROUP BY c.bin
+    ),
+    contrib AS (
+        SELECT bin,
+               coalesce(p_base, 0.5 / 5.0) AS pb,
+               coalesce(p_curr, 0.5 / 5.0) AS pc
+        FROM fracs
+    )
+    SELECT bin,
+           round(pb, 6) AS p_baseline,
+           round(pc, 6) AS p_current,
+           round((pc - pb) * ln(pc / pb), 6) + 0.0 AS psi_contribution
+    FROM contrib
+    ORDER BY bin
+    """,
+    "population stability index (PSI) — the standard drift metric "
+    "between a baseline and a current snapshot: fixed-width price "
+    "bins, smoothed bin fractions ((n+0.5)/(N+5) Laplace smoothing so "
+    "empty bins stay finite), per-bin (p_c - p_b)*ln(p_c/p_b) "
+    "contributions. PSI > 0.2 on any feature gates a retrain/"
+    "re-ingest. Two partial-aggregable passes over one scan (period "
+    "tag is a map-side CASE); the bin matrix is tiny thereafter",
+)
+def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    period = F.when(
+        F.year(F.col("o_orderdate").cast("date")) <= 1997, "baseline"
+    ).otherwise("current")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9))
+    counts = (
+        o.select(period.alias("period"), bin_.alias("bin"))
+        .groupBy("period", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy("period").agg(F.sum("n").alias("tot"))
+    fr = (F.col("n") + 0.5) / (F.col("tot") + 5.0)
+    fracs = (
+        counts.join(totals, "period")
+        .groupBy("bin")
+        .agg(
+            F.max(F.when(F.col("period") == "baseline", fr)).alias("p_base"),
+            F.max(F.when(F.col("period") == "current", fr)).alias("p_curr"),
+        )
+    )
+    pb = F.coalesce(F.col("p_base"), F.lit(0.5 / 5.0))
+    pc = F.coalesce(F.col("p_curr"), F.lit(0.5 / 5.0))
+    return (
+        fracs.select(
+            "bin",
+            F.round(pb, 6).alias("p_baseline"),
+            F.round(pc, 6).alias("p_current"),
+            (F.round((pc - pb) * F.log(pc / pb), 6) + F.lit(0.0)).alias(
+                "psi_contribution"
+            ),
+        )
+        .orderBy("bin")
+    )
