@@ -7754,3 +7754,75 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@_register(
+    "timed_conversion_rate",
+    """
+    WITH signups AS (
+        SELECT user_id, min(ts) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    converted AS (
+        SELECT s.user_id, s.t_signup,
+               min(e.ts) AS t_purchase
+        FROM signups s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= s.t_signup
+         AND e.ts <= s.t_signup + INTERVAL 7 DAY
+        GROUP BY s.user_id, s.t_signup
+    )
+    SELECT CAST(s.t_signup AS DATE) AS signup_date,
+           count(*) AS n_signups,
+           CAST(count(c.user_id) AS BIGINT) AS n_converted_7d,
+           round(count(c.user_id) * 1.0 / count(*), 4) AS conversion_rate,
+           round(avg((epoch_us(c.t_purchase) - epoch_us(c.t_signup)) / 1e6), 1)
+               AS avg_seconds_to_convert
+    FROM signups s LEFT JOIN converted c USING (user_id)
+    GROUP BY signup_date
+    ORDER BY signup_date
+    """,
+    "TIMED funnel conversion: signup -> purchase counts only within a "
+    "7-day window after each user's first signup (funnel_conversion's "
+    "untimed first-touch form overstates conversion). Per-user firsts "
+    "are one user-keyed agg; the window predicate rides the user "
+    "equi-join (the events_before_purchase range-join shape); the "
+    "epoch-seconds average pins identical timestamp arithmetic in "
+    "both engines. Cohorted by signup date with rate and "
+    "time-to-convert — the funnel health dashboard row",
+)
+def timed_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_p")
+    )
+    converted = (
+        signups.join(purchases, "user_id")
+        .filter(
+            (F.col("t_p") >= F.col("t_signup"))
+            & (F.col("t_p") <= F.col("t_signup") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("t_p").alias("t_purchase"))
+        .select("user_id", "t_purchase")
+    )
+    joined = signups.join(converted, "user_id", "left")
+    secs = (F.unix_micros("t_purchase") - F.unix_micros("t_signup")) / 1e6
+    return (
+        joined.groupBy(F.col("t_signup").cast("date").alias("signup_date"))
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.count("t_purchase").cast("bigint").alias("n_converted_7d"),
+            F.round(F.count("t_purchase") * 1.0 / F.count("*"), 4).alias(
+                "conversion_rate"
+            ),
+            F.round(F.avg(secs), 1).alias("avg_seconds_to_convert"),
+        )
+        .orderBy("signup_date")
+    )
