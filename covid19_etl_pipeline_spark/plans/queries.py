@@ -7726,10 +7726,14 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(F.col("o_orderdate").cast("date")) <= 1997, "baseline"
     ).otherwise("current")
     bin_ = F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9))
+    # counts feeds BOTH the totals rollup and the fraction join — the
+    # barrier materializes the tiny (period x bin) matrix once so the
+    # orders scan runs once, not per consumer
     counts = (
         o.select(period.alias("period"), bin_.alias("bin"))
         .groupBy("period", "bin")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     totals = counts.groupBy("period").agg(F.sum("n").alias("tot"))
     fr = (F.col("n") + 0.5) / (F.col("tot") + 5.0)

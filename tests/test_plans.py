@@ -609,3 +609,32 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_leakage_split_left_join_preserves_all_docs(spark):
+    """leakage_safe_split: every document must appear exactly once —
+    the cluster-label join is a left outer (singletons keep their own
+    id), never an inner join that would drop unclustered docs."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY as R
+
+    df = R["leakage_safe_split"].fn(spark, SF)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert df.count() == n_docs
+
+
+def test_psi_single_scan_two_stage_aggs(spark):
+    """price_distribution_psi: period tagging is a map-side CASE over
+    ONE orders scan; the (period, bin) matrix is materialized once and
+    feeds both consumers (checkpoint barrier — the scan must not
+    duplicate per consumer)."""
+    plan = _plan(spark, "price_distribution_psi")
+    assert "Scan parquet" not in plan or plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan  # the materialized counts matrix
+
+
+def test_timed_conversion_no_cartesian(spark):
+    """timed_conversion_rate: the 7-day window predicate rides the
+    user equi-join — never a cartesian/nested-loop."""
+    plan = _plan(spark, "timed_conversion_rate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
