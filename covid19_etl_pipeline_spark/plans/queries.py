@@ -7830,3 +7830,34 @@ def timed_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signup_date")
     )
+
+
+@_register(
+    "streaming_session_rollup_live",
+    None,  # stateful streaming (merging session windows) — rows-only;
+    # tests prove batch == streaming session semantics
+    "LIVE streaming session windows (SURVEY §2.9 extension): "
+    "file-source stream -> 10-min watermark -> dynamic-gap "
+    "session_window per user -> per-session count/sum, driven to "
+    "completion through a memory sink in complete mode. Session "
+    "windows MERGE as events arrive — state the watermark bounds and "
+    "evicts; the batch twin (sessionize / session_rollup tests) "
+    "carries the value checks, this entry proves the incremental "
+    "execution path end-to-end",
+)
+def streaming_session_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from covid19_etl_pipeline_spark.streaming.stateful import streaming_session_rollup
+
+    staging = tempfile.mkdtemp(prefix="stream_sessions_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+    rollup = streaming_session_rollup(read_events_stream(spark, staging, 8))
+    run_to_memory_sink(rollup, "streaming_session_rollup_live")
+    return spark.table("streaming_session_rollup_live").orderBy(
+        "user_id", "session_start"
+    )
