@@ -7861,3 +7861,67 @@ def streaming_session_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table("streaming_session_rollup_live").orderBy(
         "user_id", "session_start"
     )
+
+
+@_register(
+    "scd2_point_in_time_lookup",
+    """
+    WITH h AS (
+        SELECT o_custkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(least(floor(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) / 250000), 5) AS INT)
+                   AS tier
+        FROM orders
+    ),
+    changes AS (
+        SELECT o_custkey, order_date, tier,
+               lag(tier) OVER (PARTITION BY o_custkey
+                               ORDER BY order_date, tier) AS prev_tier
+        FROM h
+    ),
+    versions AS (
+        SELECT o_custkey, tier, order_date AS valid_from,
+               lead(order_date) OVER (PARTITION BY o_custkey
+                                      ORDER BY order_date, tier) AS valid_to
+        FROM changes
+        WHERE prev_tier IS NULL OR tier <> prev_tier
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           v.tier AS tier_at_order
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+     AND (v.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < v.valid_to)
+    WHERE year(CAST(o.o_orderdate AS DATE)) = 1996
+    ORDER BY o.o_orderkey
+    """,
+    "SCD2 POINT-IN-TIME lookup — the feature-store join half of the "
+    "versioned-dimension story (scd2_customer_tiers is the build "
+    "half): each 1996 order joined to the customer-tier version valid "
+    "AT ITS DATE via equi key + half-open interval residual "
+    "[valid_from, valid_to). Zero-width versions (two tier bumps on "
+    "one date) are excluded by the strict upper bound, so every order "
+    "matches exactly one version — the training-time leak-free "
+    "feature join (no future tier leaks into a past order). Same "
+    "custkey partitioning serves the build windows AND the lookup "
+    "join",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    versions = REGISTRY["scd2_customer_tiers"].fn(spark, sf_dir).select(
+        F.col("o_custkey").alias("v_custkey"), "tier", "valid_from", "valid_to"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("order_date")
+    ).filter(F.year("order_date") == 1996)
+    j = o.join(
+        versions,
+        (o.o_custkey == versions.v_custkey)
+        & (F.col("order_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("order_date") < F.col("valid_to"))),
+    )
+    return j.select(
+        "o_orderkey", "o_custkey", "order_date", F.col("tier").alias("tier_at_order")
+    ).orderBy("o_orderkey")
