@@ -7925,3 +7925,40 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "o_orderkey", "o_custkey", "order_date", F.col("tier").alias("tier_at_order")
     ).orderBy("o_orderkey")
+
+
+@_register(
+    "event_path_funnel_users",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_split_to_array(path, '>')) AS INT) AS n_events,
+           regexp_matches(path, 'signup.*click.*purchase') AS did_funnel_path
+    FROM seq
+    ORDER BY user_id
+    """,
+    "complex-event path matching: each user's time-ordered event-type "
+    "sequence serialized to one string (deterministic (ts, event_id) "
+    "order inside the aggregate), then the funnel pattern "
+    "signup-then-click-then-purchase matched as an RE2-safe regex — "
+    "CEP subsequence detection without a self-join per stage (the "
+    "N-stage generalization of funnel_conversion's conditional-min "
+    "pairs). One user-keyed shuffle; per-user state is the path "
+    "string, bounded by events-per-user",
+)
+def event_path_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    path = F.array_join(F.transform(ordered, lambda s: s["event_type"]), ">")
+    seq = ev.groupBy("user_id").agg(path.alias("path"))
+    return seq.select(
+        "user_id",
+        F.size(F.split("path", ">")).cast("int").alias("n_events"),
+        F.col("path").rlike("signup.*click.*purchase").alias("did_funnel_path"),
+    ).orderBy("user_id")
