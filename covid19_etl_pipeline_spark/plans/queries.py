@@ -7962,3 +7962,79 @@ def event_path_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("path", ">")).cast("int").alias("n_events"),
         F.col("path").rlike("signup.*click.*purchase").alias("did_funnel_path"),
     ).orderBy("user_id")
+
+
+@_register(
+    "brand_affinity_lift",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM ob),
+    brand_f AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand),
+    pair_f AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_cooccur,
+           round((p.n_ab / n.n) / ((fa.n_b / n.n) * (fb.n_b / n.n)), 4) AS lift
+    FROM pair_f p
+    JOIN brand_f fa ON fa.p_brand = p.brand_a
+    JOIN brand_f fb ON fb.p_brand = p.brand_b
+    CROSS JOIN n_orders n
+    WHERE p.n_ab >= 20
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    "market-basket affinity: brand pairs co-occurring in one order, "
+    "scored by lift P(a,b)/(P(a)P(b)) — the co-purchase signal behind "
+    "recommendations and assortment planning. The pair join is keyed "
+    "on the ORDER (fan-out bounded by lines-per-order, never brand x "
+    "brand over the catalog); brand marginals and the order total are "
+    "tiny broadcast rollups; a min-support gate (n>=20) cuts noise "
+    "pairs before ranking — the Apriori support-pruning idea in one "
+    "SQL-shaped pass",
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint()  # feeds marginals, the total, AND both pair-join sides
+    )
+    n_total = ob.select("l_orderkey").distinct().count()
+    brand_f = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pair_f = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    fa = brand_f.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    fb = brand_f.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_bb"))
+    n = float(n_total)
+    lift = (F.col("n_ab") / n) / ((F.col("n_a") / n) * (F.col("n_bb") / n))
+    return (
+        pair_f.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_cooccur"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )
