@@ -8038,3 +8038,58 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(25)
     )
+
+
+@_register(
+    "rolling_corr_activity_value",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               CAST(count(*) AS DOUBLE) AS n_events,
+               avg(value) AS avg_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, event_date
+    )
+    SELECT event_type, event_date,
+           round(corr(n_events, avg_value) OVER (
+               PARTITION BY event_type ORDER BY event_date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) + 0.0
+               AS corr_7d
+    FROM daily
+    ORDER BY event_type, event_date
+    """,
+    "rolling 7-day correlation between activity volume and mean value "
+    "per event type — the windowed co-movement diagnostic (is heavier "
+    "traffic cheaper or pricier this week?): a 2-variable moment "
+    "aggregate over a bounded ROWS frame, W1's moving-average shape "
+    "generalized from avg to corr. The window runs on the day-grain "
+    "rollup (tiny), partitioned by type; the fact contributes one "
+    "partial-aggregable pass",
+)
+def rolling_corr_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("event_date"))
+        .agg(
+            F.count("*").cast("double").alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-6, 0)
+    )
+    # ANSI mode makes corr() error on zero-variance frames (single-row
+    # or constant series) where SQL semantics want NULL — state corr as
+    # guarded moment ratios instead (pop/sample factors cancel, so this
+    # equals the oracle's sample corr on non-degenerate frames)
+    sx = F.stddev_pop("n_events").over(w)
+    sy = F.stddev_pop("avg_value").over(w)
+    cxy = F.covar_pop("n_events", "avg_value").over(w)
+    corr = F.when((sx > 0) & (sy > 0), cxy / (sx * sy))
+    return daily.select(
+        "event_type",
+        "event_date",
+        (F.round(corr, 4) + F.lit(0.0)).alias("corr_7d"),
+    ).orderBy("event_type", "event_date")
