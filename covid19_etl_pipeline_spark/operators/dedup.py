@@ -204,8 +204,10 @@ def prefix_filter_jaccard_pairs(
     Rare-first ordering is what bounds the join fan-out — a shingle
     unique to one document never produces a candidate, and for high t
     the frequent (skewed) shingles never enter any prefix. A PPJoin
-    size bound (t·|B| <= |A| <= |B|/t) prunes size-incompatible
-    candidates before the array-carrying verify join. At 100 TB the
+    size bound (t·|B| <= |A| <= |B|/t) plus the PPJoin POSITIONAL
+    filter (overlap upper bound from the matched shingle's rank in
+    each set's rarity order) prune candidates before the
+    array-carrying verify join. At 100 TB the
     frequency rollup is a reusable stats artifact, and the verify join
     ships only candidate pairs + shingle sets, not the corpus.
 
@@ -219,13 +221,26 @@ def prefix_filter_jaccard_pairs(
     """
     # Shingle sets feed prefix generation AND verification — materialize
     # once (the staged shingle-set table of a production pipeline).
+    # Shingles are hashed to 64-bit ints up front: set cardinalities (and
+    # hence Jaccard) are preserved (a collision inside one document's
+    # ~10²-shingle set over a 2⁶⁴ space is negligible, and the oracle
+    # hash-match audits exactly that), while every downstream exchange —
+    # frequency rollup, prefix equi-join, verify intersect — ships and
+    # compares fixed-width longs instead of k-token strings.
+    # Empty-set rows are dropped via the cheap precondition
+    # size(tokens) >= k (shingles are empty iff the doc has < k tokens):
+    # filtering on size(sh) AFTER the projection lets predicate pushdown
+    # clone the whole shingle expression into an interpreted Filter and
+    # evaluate it twice per row — measured 6× slower on this stage.
     sets = (
         spread(df, id_col)
+        .filter(F.size(tokens(text_col)) >= shingle_k)
         .select(
             F.col(id_col),
-            F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+            F.array_distinct(
+                F.transform(shingles(tokens(text_col), k=shingle_k), lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .localCheckpoint()
     )
     # carry the set size through the explode — saves a join back to sets
@@ -239,18 +254,31 @@ def prefix_filter_jaccard_pairs(
         ex.join(freq, "s")
         .select(F.col(id_col), "s", "sz", rk.alias("rk"), prefix_len.alias("plen"))
         .filter(F.col("rk") <= F.col("plen"))
-        .select(id_col, "s", "sz")
+        .select(id_col, "s", "sz", "rk")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    # size filter (PPJoin length bound): Jaccard >= t forces
-    # t·|B| <= |A| <= |B|/t — prune size-incompatible pairs before the
-    # distinct and the (array-carrying) verify join.
+    # PPJoin positional filter: Jaccard >= t forces an overlap of at
+    # least alpha = t/(1+t)·(|A|+|B|). The rarity order is GLOBAL, so
+    # the first shingle the two sets share sits at a consistent point in
+    # both orderings, and every other common shingle lies strictly after
+    # it in BOTH sets: overlap <= 1 + min(|A|-rk_a, |B|-rk_b) for that
+    # first-common row. A true match always survives via its
+    # first-common-shingle row (which the prefix theorem guarantees is
+    # in both prefixes), so pruning rows whose positional bound can't
+    # reach alpha is lossless — it just cuts candidates before the
+    # distinct and the array-carrying verify join.
+    alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
     candidates = (
         a.join(b, on="s")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # size filter (PPJoin length bound): t·|B| <= |A| <= |B|/t
         .filter(
             (F.col("a.sz") >= threshold * F.col("b.sz"))
             & (F.col("b.sz") >= threshold * F.col("a.sz"))
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk"))
+            >= alpha
         )
         .select(
             F.col(f"a.{id_col}").alias(f"{id_col}_a"),
@@ -258,16 +286,25 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # union-free verify: |A∪B| = |A| + |B| - |A∩B| — one array
+    # intersection per pair, no union allocation.
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
         candidates.join(
-            sets.select(F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("sh_a")),
+            sets.select(
+                F.col(id_col).alias(f"{id_col}_a"),
+                F.col("sh").alias("sh_a"),
+                F.size("sh").alias("sz_a"),
+            ),
             f"{id_col}_a",
         )
         .join(
-            sets.select(F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("sh_b")),
+            sets.select(
+                F.col(id_col).alias(f"{id_col}_b"),
+                F.col("sh").alias("sh_b"),
+                F.size("sh").alias("sz_b"),
+            ),
             f"{id_col}_b",
         )
         .withColumn("jaccard", jac)
@@ -298,13 +335,18 @@ def containment_pairs(
     (both directions evaluated independently — containment is not
     symmetric).
     """
+    # hashed shingles + cheap pre-projection emptiness filter — same
+    # rationale as prefix_filter_jaccard_pairs (containment is
+    # hash-invariant: it only counts set memberships).
     sets = (
         spread(df, id_col)
+        .filter(F.size(tokens(text_col)) >= shingle_k)
         .select(
             F.col(id_col),
-            F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
+            F.array_distinct(
+                F.transform(shingles(tokens(text_col), k=shingle_k), lambda s: F.xxhash64(s))
+            ).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .localCheckpoint()
     )
     ex = sets.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))

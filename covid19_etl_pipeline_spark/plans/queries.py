@@ -6135,9 +6135,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = docs.select(
+    # emptiness gate BEFORE the projection (size(tokens) >= 3 ⟺
+    # non-empty trigram set) — a post-projection size(sh) filter would be
+    # pushed down and re-evaluate the whole shingle expression per row
+    sh = docs.filter(F.size(text.tokens("text")) >= 3).select(
         "doc_id", F.array_distinct(text.shingles(text.tokens("text"))).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     # the exploded shingle stream is consumed twice (df count + join-back)
     ex = sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
