@@ -3205,11 +3205,15 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "heavy_hitters_cms",
     """
-    SELECT event_type,
-           count(*) AS n_events_exact,
-           TRUE     AS cms_ok
-    FROM events
-    GROUP BY event_type
+    WITH topk AS (
+        SELECT event_type, count(*) AS n_events_exact
+        FROM events
+        GROUP BY event_type
+        ORDER BY n_events_exact DESC, event_type
+        LIMIT 20
+    )
+    SELECT event_type, n_events_exact, TRUE AS cms_ok
+    FROM topk
     ORDER BY event_type
     """,
     "count-min-sketch heavy hitters validated against exact counts: the "
@@ -3218,13 +3222,16 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the CMS guarantee: estimate >= exact and estimate <= exact + "
     "eps * N (eps=0.001, confidence 0.99). The sketch is built "
     "distributed (one pass, partial sketches merged tree-wise) and "
-    "probed on the driver against the tiny per-type rollup — the "
-    "100 TB pattern for frequency serving without a full groupBy "
-    "of the hot-key space",
+    "probed on the driver against the TOP-K of the exact rollup only — "
+    "every driver-side structure is bounded by k=20 (TakeOrdered, not "
+    "an unbounded collect), so the audit is safe on an arbitrarily "
+    "high-cardinality key; N comes from the sketch's own totalCount, "
+    "not a second pass over the fact",
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     eps, confidence, seed = 0.001, 0.99, 42
+    k = 20
     raw = ev.agg(
         F.expr(
             f"count_min_sketch(event_type, {eps}d, {confidence}d, {seed})"
@@ -3234,10 +3241,16 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(raw))
     )
-    exact = (
-        ev.groupBy("event_type").agg(F.count("*").alias("n_events_exact")).collect()
+    # bounded driver state: top-k heavy hitters only (k rows, whatever
+    # the key cardinality), and the stream total from the sketch itself
+    topk = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n_events_exact"))
+        .orderBy(F.col("n_events_exact").desc(), "event_type")
+        .limit(k)
+        .collect()
     )
-    total = sum(r["n_events_exact"] for r in exact)
+    total = sketch.totalCount()
     rows = [
         (
             r["event_type"],
@@ -3246,7 +3259,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= sketch.estimateCount(r["event_type"])
             <= r["n_events_exact"] + eps * total,
         )
-        for r in exact
+        for r in topk
     ]
     return spark.createDataFrame(
         rows, "event_type string, n_events_exact bigint, cms_ok boolean"
@@ -6721,11 +6734,37 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sketch = ev.agg(F.expr("approx_top_k(event_type, 3, 100)").alias("tk"))
-    return sketch.select(F.posexplode("tk").alias("pos", "s")).select(
-        (F.col("pos") + 1).cast("int").alias("rk"),
+    # re-rank the exploded sketch rows explicitly: the sketch's internal
+    # order leaves equal counts in insertion order, which need not match
+    # the oracle's (count desc, event_type) tie-break. 3 rows — the
+    # single-partition window is free.
+    exploded = sketch.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("event_type"),
         F.col("s.count").alias("n_events"),
     )
+    w = Window.orderBy(F.col("n_events").desc(), "event_type")
+    return exploded.select(
+        F.row_number().over(w).cast("int").alias("rk"),
+        "event_type",
+        "n_events",
+    ).orderBy("rk")
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a stream-readable copy of ``events`` (micros timestamps,
+    fixed schema — the nanos repair is a batch-reader concern) under a
+    DETERMINISTIC path keyed on sf_dir, written once and reused: a fresh
+    mkdtemp per invocation leaks a full events copy on every bench /
+    driver run."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    staging = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_events_{key}")
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+    return staging
 
 
 @_register(
@@ -6744,18 +6783,13 @@ def approx_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream==batch equality test carries this one",
 )
 def streaming_daily_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from covid19_etl_pipeline_spark.streaming.daily_rollup import (
         read_events_stream,
         run_to_memory_sink,
         streaming_daily_rollup,
     )
 
-    # stage a normalized copy: the file stream needs micros timestamps
-    # and a fixed schema (nanos repair is a batch-reader concern)
-    staging = tempfile.mkdtemp(prefix="stream_events_")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+    staging = _staged_events_dir(spark, sf_dir)
     rollup = streaming_daily_rollup(read_events_stream(spark, staging, 8))
     run_to_memory_sink(rollup, "streaming_daily_rollup_live")
     return spark.table("streaming_daily_rollup_live").orderBy("event_date")
@@ -7539,8 +7573,101 @@ def containment_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic user sample for the sketch-overlap audit: md5 first two
+#: hex chars < 0x40 → p = 64/256 = 1/4, bit-identical in DuckDB via
+#: ('0x'||substr(md5(...),1,2))::UBIGINT. At 100 TB the threshold drops
+#: (e.g. < 1 → p = 1/256) — the audit cost scales with p², the estimate
+#: cost not at all.
+_OVERLAP_SAMPLE_THRESHOLD = 64
+_OVERLAP_SAMPLE_P = _OVERLAP_SAMPLE_THRESHOLD / 256.0
+#: Below this many sampled users the binomial error swamps any sketch
+#: signal — the audit abstains (trivially true) rather than flapping.
+_OVERLAP_MIN_SAMPLE = 30
+
+
 @_register(
     "hll_user_overlap_estimate",
+    f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ds AS (
+        SELECT * FROM du
+        WHERE ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::UBIGINT
+              < {_OVERLAP_SAMPLE_THRESHOLD}
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_overlap_sampled,
+           TRUE AS overlap_ok
+    FROM ds a JOIN ds b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    "audience-overlap estimation from sketches alone: per event-type "
+    "pair, |A-intersect-B| estimated by inclusion-exclusion over HLL "
+    "sketches (est_A + est_B - est(A union B), the union via hll_union "
+    "on the two binary sketches). THE pre-aggregated-audience pattern: "
+    "at 100 TB the per-segment sketches are tiny persisted artifacts "
+    "and ANY pairwise overlap is answered WITHOUT rejoining the fact. "
+    "The audit side never touches the full fact either — a "
+    "deterministic md5 hash-sample of users (p=1/4 here, smaller at "
+    "scale) bounds the exact pairwise join to the sample, and the "
+    "contract abstains below 30 sampled users where binomial noise "
+    "swamps the sketch signal. Sketch values are engine-specific, so "
+    "the hash-checked columns are the portable sampled overlap and the "
+    "error-bound boolean (the approx_distinct_users convention); "
+    "hll_user_overlap_audit is the full-exact variant",
+)
+def hll_user_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    est = (
+        F.expr("hll_sketch_estimate(sk_a)")
+        + F.expr("hll_sketch_estimate(sk_b)")
+        - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    )
+    # deterministic, engine-portable user sample: the exact join runs on
+    # p of the users, never the full audience
+    ds = (
+        ev.filter(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+            .cast("bigint")
+            < _OVERLAP_SAMPLE_THRESHOLD
+        )
+        .distinct()
+    )
+    sampled = (
+        ds.alias("x")
+        .join(ds.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"), F.col("y.event_type").alias("type_b")
+        )
+        .agg(F.count("*").alias("n_overlap_sampled"))
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("est_overlap", est)
+    )
+    scaled = F.col("n_overlap_sampled") / F.lit(_OVERLAP_SAMPLE_P)
+    return (
+        pairs.join(sampled, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "n_overlap_sampled",
+            (
+                (F.col("n_overlap_sampled") < _OVERLAP_MIN_SAMPLE)
+                | (F.abs(F.col("est_overlap") - scaled) <= 0.30 * scaled)
+            ).alias("overlap_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@_register(
+    "hll_user_overlap_audit",
     """
     WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
     SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -7550,29 +7677,18 @@ def containment_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY a.event_type, b.event_type
     ORDER BY type_a, type_b
     """,
-    "audience-overlap estimation from sketches alone: per event-type "
-    "pair, |A-intersect-B| estimated by inclusion-exclusion over HLL "
-    "sketches (est_A + est_B - est(A union B), the union via "
-    "hll_union on the two binary sketches) and checked within 10% of "
-    "the exact join-based overlap. THE pre-aggregated-audience "
-    "pattern: at 100 TB the per-segment sketches are tiny persisted "
-    "artifacts and ANY pairwise overlap is answered WITHOUT rejoining "
-    "the fact — sketch values are engine-specific, so the contract "
-    "checked is the error bound (the approx_distinct_users "
-    "convention)",
+    "AUDIT variant of hll_user_overlap_estimate: the exact pairwise "
+    "user-overlap self-join, checked against the sketch estimate within "
+    "10%. Deliberately NOT the production path — the exact join "
+    "re-shuffles the full distinct (segment, user) stream and is the "
+    "one query here that must not run at 100 TB grain; run it on "
+    "samples or small segments to calibrate the sketch error bound",
 )
-def hll_user_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_user_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = ev.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk"),
-        F.countDistinct("user_id").alias("nd"),
-    )
-    a = sk.select(
-        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), F.col("nd").alias("nd_a")
-    )
-    b = sk.select(
-        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"), F.col("nd").alias("nd_b")
-    )
+    sk = ev.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
     est = (
         F.expr("hll_sketch_estimate(sk_a)")
         + F.expr("hll_sketch_estimate(sk_b)")
@@ -7702,11 +7818,16 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM counts c JOIN totals t USING (period)
         GROUP BY c.bin
     ),
+    tw AS (
+        SELECT max(CASE WHEN period = 'baseline' THEN tot END) AS tot_base,
+               max(CASE WHEN period = 'current'  THEN tot END) AS tot_curr
+        FROM totals
+    ),
     contrib AS (
         SELECT bin,
-               coalesce(p_base, 0.5 / 5.0) AS pb,
-               coalesce(p_curr, 0.5 / 5.0) AS pc
-        FROM fracs
+               coalesce(p_base, 0.5 / (tot_base + 5.0)) AS pb,
+               coalesce(p_curr, 0.5 / (tot_curr + 5.0)) AS pc
+        FROM fracs, tw
     )
     SELECT bin,
            round(pb, 6) AS p_baseline,
@@ -7748,8 +7869,16 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("period") == "current", fr)).alias("p_curr"),
         )
     )
-    pb = F.coalesce(F.col("p_base"), F.lit(0.5 / 5.0))
-    pc = F.coalesce(F.col("p_curr"), F.lit(0.5 / 5.0))
+    # an absent bin gets the true Laplace floor 0.5/(N_period+5), not a
+    # population-blind constant — the 1-row period-totals matrix
+    # broadcasts onto the bin rows
+    totals_wide = totals.agg(
+        F.max(F.when(F.col("period") == "baseline", F.col("tot"))).alias("tot_base"),
+        F.max(F.when(F.col("period") == "current", F.col("tot"))).alias("tot_curr"),
+    )
+    fracs = fracs.crossJoin(F.broadcast(totals_wide))
+    pb = F.coalesce(F.col("p_base"), 0.5 / (F.col("tot_base") + 5.0))
+    pc = F.coalesce(F.col("p_curr"), 0.5 / (F.col("tot_curr") + 5.0))
     return (
         fracs.select(
             "bin",
@@ -7849,16 +7978,13 @@ def timed_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "execution path end-to-end",
 )
 def streaming_session_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from covid19_etl_pipeline_spark.streaming.daily_rollup import (
         read_events_stream,
         run_to_memory_sink,
     )
     from covid19_etl_pipeline_spark.streaming.stateful import streaming_session_rollup
 
-    staging = tempfile.mkdtemp(prefix="stream_sessions_")
-    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+    staging = _staged_events_dir(spark, sf_dir)
     rollup = streaming_session_rollup(read_events_stream(spark, staging, 8))
     run_to_memory_sink(rollup, "streaming_session_rollup_live")
     return spark.table("streaming_session_rollup_live").orderBy(

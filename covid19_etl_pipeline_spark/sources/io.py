@@ -247,7 +247,9 @@ def write_zordered(
         mn = 0.0 if mn is None else float(mn)
         span = 1.0 if mx is None or float(mx) == mn else float(mx) - mn
         b = F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * levels)
-        # greatest/least also coalesce a NULL bucket (all-null column) to 0
+        # explicit coalesce: least()/greatest() SKIP nulls (a NULL value
+        # would fall through to the max bucket, not 0 as documented)
+        b = F.coalesce(b, F.lit(0))
         buckets.append(F.greatest(F.lit(0), F.least(F.lit(levels), b)).cast("long"))
     z = F.lit(0).cast("long")
     for bit in range(bits):
