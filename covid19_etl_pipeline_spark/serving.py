@@ -56,6 +56,81 @@ def overwrite_table(
     return path
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    batch_size: int = 10000,
+    num_partitions: int | None = None,
+    truncate: bool = False,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """External-database hand-off — the engine-native form of the
+    reference's SQLAlchemy load (data_loader.py:200-267: ``DELETE FROM``
+    then chunked ``to_sql`` appends).
+
+    - ``mode="overwrite"`` reproduces the truncate-and-load contract
+      (``truncate=True`` keeps the DDL and issues TRUNCATE instead of
+      DROP+CREATE — the closer analog of the reference's DELETE).
+    - ``batch_size`` is the reference's ``chunk_size=10000``, but
+      per-executor: every partition streams its rows in JDBC batches,
+      so the load runs N-partitions-wide instead of the reference's
+      single driver-side loop.
+    - ``num_partitions`` caps write concurrency (external stores have
+      connection budgets; 1000 executors must not open 1000 sessions).
+    """
+    writer = df.repartition(num_partitions) if num_partitions else df
+    opts = {"batchsize": str(batch_size), **(properties or {})}
+    if driver:
+        opts["driver"] = driver
+    if truncate:
+        opts["truncate"] = "true"
+    (
+        writer.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**opts)
+        .mode(mode)
+        .save()
+    )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC scan with optional range-partitioned parallel reads.
+
+    Without ``partition_column`` the source is a single-connection scan
+    (fine for dimension-sized hand-offs). With it, Spark issues
+    ``num_partitions`` bounded-range queries in parallel — the only way
+    a JDBC source scales, and the knob the caller must size against the
+    store's connection budget.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def publish_star_schema(
     spark: SparkSession,
     covid_raw: DataFrame,

@@ -123,3 +123,36 @@ def test_publish_star_schema_and_query(spark, tmp_path):
     assert "created_at" in spark.table("covid_cases").columns
     # fact is year-partitioned on disk
     assert any(p.name == "year=2021" for p in (tmp_path / "covid_cases").iterdir())
+
+
+def test_jdbc_sink_round_trip(spark, tmp_path):
+    """S8 external-store hand-off (data_loader.py:200-267 analog):
+    overwrite = truncate-and-load, append accumulates, partitioned read
+    fans out over bounded ranges."""
+    from covid19_etl_pipeline_spark.serving import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/servingdb;create=true"
+    df = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") * 1.5).alias("score"),
+        F.concat(F.lit("u"), F.col("id")).alias("name"),
+    )
+    write_jdbc(df, url, "scores", mode="overwrite", num_partitions=2)
+    back = read_jdbc(spark, url, "scores")
+    assert back.count() == 50
+    assert {f.name for f in back.schema.fields} == {"id", "score", "name"}
+    assert back.agg(F.sum("score")).head()[0] == sum(i * 1.5 for i in range(50))
+
+    # truncate-and-append semantics: append stacks, overwrite resets
+    write_jdbc(df, url, "scores", mode="append")
+    assert read_jdbc(spark, url, "scores").count() == 100
+    write_jdbc(df, url, "scores", mode="overwrite")
+    assert read_jdbc(spark, url, "scores").count() == 50
+
+    # range-partitioned parallel read: same rows, bounded per-connection
+    parted = read_jdbc(
+        spark, url, "scores",
+        partition_column="id", lower_bound=0, upper_bound=50, num_partitions=4,
+    )
+    assert parted.count() == 50
+    assert parted.rdd.getNumPartitions() == 4
