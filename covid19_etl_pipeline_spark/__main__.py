@@ -95,9 +95,23 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--countries", default="", help="comma-separated IN-list filter mart"
     )
+    p.add_argument(
+        "--config",
+        default=None,
+        help="pipeline yaml (reference config/config.yaml shape): sources, "
+        "countries_of_interest, spark block — flags override the file",
+    )
     args = p.parse_args(argv)
-    spark = get_spark("covid19-etl")
     countries = tuple(c for c in args.countries.split(",") if c)
+    if args.config:
+        from covid19_etl_pipeline_spark.config import load_config, session_kwargs
+
+        cfg = load_config(args.config)
+        spark = get_spark(**{"app_name": "covid19-etl", **session_kwargs(cfg)})
+        if not countries:
+            countries = cfg.countries
+    else:
+        spark = get_spark("covid19-etl")
     report = run_etl(spark, args.out, args.input, countries)
     print(json.dumps(report))
     return 0

