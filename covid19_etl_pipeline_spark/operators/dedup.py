@@ -45,11 +45,24 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the min-id row per identical text (deterministic survivor)."""
-    keepers = exact_dup_groups(df, id_col, text_col).select(
-        F.col(f"keeper_{id_col}").alias(id_col)
+    """Keep the min-id row per identical text (deterministic survivor).
+
+    One shuffle keyed on the md5 fingerprint + a row_number window —
+    unlike the agg-then-semi-join form, the input subtree is evaluated
+    ONCE (a self-referential semi-join recomputes its own input on both
+    sides unless a barrier is interposed; measured 4× slower cold).
+    Trade-off: a pathological fingerprint (one text duplicated across a
+    large fraction of the corpus) lands one oversized sort partition —
+    under that skew regime, build survivors from ``exact_dup_groups``
+    (partial-aggregable min) + a semi-join instead.
+    """
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
-    return df.join(keepers, on=id_col, how="left_semi")
 
 
 def minhash_value(shingle_col: Column, seed: int) -> Column:
