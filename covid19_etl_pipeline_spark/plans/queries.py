@@ -8364,3 +8364,388 @@ def lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "windowed_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e
+        JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    staged AS (
+        SELECT s1.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS funnel_step
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    )
+    SELECT funnel_step, count(*) AS n_users
+    FROM staged GROUP BY funnel_step ORDER BY funnel_step
+    """,
+    "ordered multi-step windowed funnel (the ClickHouse windowFunnel "
+    "shape): signup -> click -> purchase must occur IN ORDER inside a "
+    "7-day window anchored at the first signup; per-user max step "
+    "reached, rolled up to step counts. Each step is a min-aggregate "
+    "join against the previous step's anchor — at 100 TB every stage "
+    "shuffles on user_id, so all three stages co-partition and AQE "
+    "plans them as one exchange reuse; no window-function state, no "
+    "per-user event array materialization",
+)
+def windowed_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        s1.join(s2.select("user_id", F.lit(2).alias("st2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(3).alias("st3")), "user_id", "left")
+        .select(
+            F.coalesce(F.col("st3"), F.col("st2"), F.lit(1)).alias("funnel_step")
+        )
+    )
+    return (
+        staged.groupBy("funnel_step")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_step")
+    )
+
+
+@_register(
+    "cohort_retention_matrix",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+                   AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS n_active,
+           round(count(*) * 1.0 / max(s.cohort_size), 4) AS retention
+    FROM activity a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    "cohort retention matrix — the product-analytics staple: users "
+    "bucketed by first-activity week, per (cohort, week-offset) active "
+    "share. Plan: one shuffle on user_id builds first-touch, the "
+    "distinct (user, offset) grid rides the same partitioning, and the "
+    "cohort-size join is a broadcast (cohort count ~ weeks, tiny). At "
+    "100 TB the distinct is the heavy stage and is exactly "
+    "partial-aggregable; no windows, no skew (weeks are uniform)",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.round(F.count("*") / F.max("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@_register(
+    "user_value_ohlc_daily",
+    """
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY epoch_us(ts), event_id) AS rn_open,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC)
+                   AS rn_close
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, d,
+           round(max(CASE WHEN rn_open  = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 4) AS close,
+           count(*) AS n_ticks
+    FROM ranked
+    GROUP BY user_id, d
+    ORDER BY user_id, d
+    """,
+    "OHLC bar construction (open/high/low/close per entity-day) — the "
+    "time-series downsampling primitive for tick/metric streams: "
+    "first/last by the unique (ts, event_id) order plus min/max, in "
+    "one grouped pass. Plan: a single shuffle on (user, day); the "
+    "open/close selection is two row_number windows SHARING that "
+    "partitioning (one sort, Catalyst fuses them), then a plain "
+    "partial-aggregable rollup — no self-join against min/max ts",
+)
+def user_value_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = F.col("ts").cast("date")
+    w_open = Window.partitionBy("user_id", "d").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    w_close = Window.partitionBy("user_id", "d").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id", d.alias("d"), "value", "ts", "event_id"
+    ).withColumns(
+        {
+            "rn_open": F.row_number().over(w_open),
+            "rn_close": F.row_number().over(w_close),
+        }
+    )
+    return (
+        ranked.groupBy("user_id", "d")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 4).alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("user_id", "d")
+    )
+
+
+@_register(
+    "nation_trade_triangles",
+    """
+    WITH raw_edges AS (
+        SELECT DISTINCT
+               least(cn.n_name, sn.n_name)    AS a,
+               greatest(cn.n_name, sn.n_name) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM raw_edges e1
+        JOIN raw_edges e2 ON e2.a = e1.b
+        JOIN raw_edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    members AS (
+        SELECT x AS nation FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT nation, count(*) AS n_triangles
+    FROM members
+    GROUP BY nation
+    ORDER BY n_triangles DESC, nation
+    """,
+    "per-node triangle counting on the nation trade graph — the "
+    "clustering/community primitive: canonicalize to undirected "
+    "(least, greatest) distinct edges, enumerate oriented triangles "
+    "x<y<z via two equi-joins (each edge ordered, so every triangle "
+    "is produced exactly once), then count per member. The standard "
+    "distributed triangle plan: join fan-out is bounded by degree, "
+    "and at 100 TB the high-degree-vertex skew is handled by the "
+    "ordering (high-degree nodes appear mostly as join PROBE side) "
+    "plus AQE skew splitting; the edge list itself is the deduped "
+    "distinct, never the fact",
+)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .select(
+            F.least("cust_nation", "supp_nation").alias("a"),
+            F.greatest("cust_nation", "supp_nation").alias("b"),
+        )
+        .distinct()
+        # the deduped edge list is consumed three times by the triangle
+        # joins — materialize once (it is vocabulary-sized, not fact-sized)
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    members = (
+        tri.select(F.col("x").alias("nation"))
+        .unionAll(tri.select(F.col("y").alias("nation")))
+        .unionAll(tri.select(F.col("z").alias("nation")))
+    )
+    return (
+        members.groupBy("nation")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "nation")
+    )
+
+
+@_register(
+    "embedding_dimension_whitening",
+    """
+    WITH flat AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT dim, avg(val) AS mu, stddev_pop(val) AS sigma
+        FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim,
+           round((f.val - s.mu) / s.sigma, 4) AS z
+    FROM flat f JOIN stats s USING (dim)
+    WHERE f.vec_id < 10
+    ORDER BY f.vec_id, f.dim
+    """,
+    "per-dimension whitening (z-scoring) of the embedding table — the "
+    "feature-normalization pass before ANN indexing or clustering so "
+    "no dimension dominates the metric: posexplode to (vec, dim, val), "
+    "population mean/std per dimension (64 rows — broadcasts back), "
+    "normalize. At 100 TB the explode is map-side only and the stats "
+    "rollup is partial-aggregable with a dims-sized result; the final "
+    "vec_id<10 slice keeps the oracle surface small while the full "
+    "normalized stream is what a pipeline would re-assemble via "
+    "array_agg. 1-based dim to match SQL subscripts",
+)
+def embedding_dimension_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "valf")
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), F.col("valf").cast("double").alias("val")
+    )
+    stats = flat.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_pop("val").alias("sigma")
+    )
+    return (
+        flat.join(F.broadcast(stats), "dim")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+        .orderBy("vec_id", "dim")
+    )
+
+
+@_register(
+    "join_key_skew_report",
+    """
+    WITH k AS (
+        SELECT l_suppkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    s AS (SELECT avg(n_lines) AS mean_lines FROM k)
+    SELECT k.l_suppkey, k.n_lines,
+           round(k.n_lines / s.mean_lines, 4) AS skew_factor
+    FROM k, s
+    ORDER BY k.n_lines DESC, k.l_suppkey
+    LIMIT 10
+    """,
+    "join-key skew diagnosis — the operational pre-flight before any "
+    "big shuffle join: per-key row counts on the join column, top "
+    "offenders expressed as a multiple of the mean key load. The "
+    "number that decides between a plain shuffle join, salting, or "
+    "AQE skew-split. Partial-aggregable rollup + a 1-row broadcast "
+    "mean + TakeOrdered(10) — nothing driver-side grows with key "
+    "cardinality",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count("*").alias("n_lines"))
+    mean_ = k.agg(F.avg("n_lines").alias("mean_lines"))
+    return (
+        k.crossJoin(F.broadcast(mean_))
+        .select(
+            "l_suppkey",
+            "n_lines",
+            F.round(F.col("n_lines") / F.col("mean_lines"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_lines").desc(), "l_suppkey")
+        .limit(10)
+    )
