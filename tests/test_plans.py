@@ -638,3 +638,63 @@ def test_timed_conversion_no_cartesian(spark):
     plan = _plan(spark, "timed_conversion_rate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_all_user_keyed_no_window(spark):
+    """windowed_funnel_conversion: the step cascade is min-agg joins
+    co-keyed on user_id — no window operator, no cartesian, and every
+    exchange hashes on user_id until the final step rollup."""
+    plan = _plan(spark, "windowed_funnel_conversion")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_sizes_broadcast(spark):
+    """cohort_retention_matrix: the cohort-size table (weeks-sized)
+    must broadcast back onto the activity grid, never shuffle it."""
+    plan = _plan(spark, "cohort_retention_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ohlc_windows_share_one_sort(spark):
+    """user_value_ohlc_daily: both row_number windows partition on
+    (user_id, d) — exactly ONE hash exchange on those keys feeds the
+    whole window + rollup pipeline."""
+    plan = _plan(spark, "user_value_ohlc_daily")
+    n = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" in l and "d#" in l
+    )
+    assert n == 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_triangles_all_equi_joins(spark):
+    """nation_trade_triangles: triangle enumeration is two equi-joins
+    over the canonical edge list — no cartesian/nested-loop, and the
+    edge list is materialized once (ExistingRDD), not recomputed per
+    join role."""
+    plan = _plan(spark, "nation_trade_triangles")
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_whitening_stats_broadcast(spark):
+    """embedding_dimension_whitening: the dims-sized stats rollup
+    broadcasts back onto the exploded stream; no sort anywhere before
+    the final output ordering."""
+    plan = _plan(spark, "embedding_dimension_whitening")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_skew_report_bounded_driver_state(spark):
+    """join_key_skew_report: top offenders come from TakeOrdered (k
+    rows), never a global sort + unbounded collect; the mean is a
+    broadcast scalar."""
+    plan = _plan(spark, "join_key_skew_report")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
