@@ -8749,3 +8749,208 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_lines").desc(), "l_suppkey")
         .limit(10)
     )
+
+
+@_register(
+    "customers_active_every_quarter",
+    """
+    WITH q AS (
+        SELECT o_custkey,
+               quarter(CAST(o_orderdate AS DATE)) AS yq,
+               o_totalprice
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    ),
+    universe AS (SELECT count(DISTINCT yq) AS n_quarters FROM q)
+    SELECT o_custkey,
+           CAST(count(DISTINCT yq) AS BIGINT) AS quarters_active,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM q, universe
+    GROUP BY o_custkey, universe.n_quarters
+    HAVING count(DISTINCT yq) = universe.n_quarters
+    ORDER BY o_custkey
+    """,
+    "relational DIVISION — 'customers with at least one order in EVERY "
+    "quarter of 1995': the classic for-all query SQL can only state "
+    "as double-negated NOT EXISTS or, as here, the count-distinct "
+    "equality form (distinct periods per customer == period universe). "
+    "The count form is the 100 TB shape: one partial-aggregable "
+    "countDistinct per customer + a 1-row broadcast universe, vs the "
+    "anti-join double negation that shuffles the customer x period "
+    "cross space. Consecutive-streak cousin lives in the gaps-and-"
+    "islands query; this is exact set coverage",
+)
+def customers_active_every_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    q = o.filter(F.year(d) == 1995).select(
+        "o_custkey",
+        F.quarter(d).alias("yq"),
+        "o_totalprice",
+    )
+    universe = q.agg(F.countDistinct("yq").alias("n_quarters"))
+    return (
+        q.crossJoin(F.broadcast(universe))
+        .groupBy("o_custkey", "n_quarters")
+        .agg(
+            F.countDistinct("yq").alias("quarters_active"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .filter(F.col("quarters_active") == F.col("n_quarters"))
+        .drop("n_quarters")
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "cusum_changepoint_days",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, sum(value) AS day_total
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+        SELECT event_type,
+               avg(day_total) AS mu,
+               stddev_pop(day_total) AS sigma
+        FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+        SELECT d.event_type, d.d,
+               round(d.day_total, 4) AS day_total,
+               round(sum(d.day_total - s.mu) OVER (
+                   PARTITION BY d.event_type ORDER BY d.d), 4) + 0.0 AS cusum,
+               s.sigma
+        FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type, d, day_total, cusum,
+           abs(cusum) > 3 * sigma AS is_changepoint
+    FROM cusum
+    ORDER BY event_type, d
+    """,
+    "CUSUM change-point scan per series: cumulative sum of deviations "
+    "from the series mean, flagged where |CUSUM| exceeds 3 sigma — the "
+    "classic drift detector for metric streams (PSI's sequential "
+    "cousin: PSI compares two snapshots, CUSUM localizes WHEN the "
+    "shift happened). Plan: the fact collapses to per-(series, day) "
+    "SUMS first (partial-aggregable; sums, not means — a mean's "
+    "small-divisor quotient can land exactly on a 4dp half-boundary "
+    "where engines' last-bit rounding diverges), the series-stats "
+    "join broadcasts, and the running window orders each series by "
+    "day — state per series is one partial sum, days-sized, never "
+    "fact-sized. The series-final CUSUM is a mathematical zero; "
+    "+ 0.0 normalizes its float sign",
+)
+def cusum_changepoint_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum("value").alias("day_total"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("day_total").alias("mu"), F.stddev_pop("day_total").alias("sigma")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cs = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "cusum",
+            F.round(F.sum(F.col("day_total") - F.col("mu")).over(w), 4) + F.lit(0.0),
+        )
+    )
+    return cs.select(
+        "event_type",
+        "d",
+        F.round("day_total", 4).alias("day_total"),
+        "cusum",
+        (F.abs(F.col("cusum")) > 3 * F.col("sigma")).alias("is_changepoint"),
+    ).orderBy("event_type", "d")
+
+
+@_register(
+    "first_touch_attribution",
+    """
+    WITH lagged AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS t_us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, value, t_us,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                              OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                   AS session_id
+        FROM lagged
+    ),
+    tagged AS (
+        SELECT user_id, session_id, event_type, value, t_us, event_id,
+               first_value(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY t_us, event_id) AS entry_channel
+        FROM sess
+    )
+    SELECT entry_channel,
+           CAST(count(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions,
+           count(*) FILTER (event_type = 'purchase') AS n_purchases,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 4)
+               AS attributed_revenue
+    FROM tagged
+    GROUP BY entry_channel
+    ORDER BY entry_channel
+    """,
+    "first-touch revenue attribution: 30-min-gap sessions (the "
+    "sessionize primitive), each session's ENTRY event type becomes "
+    "the acquisition channel, and every purchase inside the session "
+    "attributes its value to that channel — the marketing-analytics "
+    "join of sessionization + windowed first_value + conditional "
+    "rollup. All three windows share the per-user exchange (the "
+    "session window's partition keys are a superset), so the fact "
+    "shuffles once; the channel rollup is partial-aggregable",
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    lagged = ev.select(
+        "user_id", "event_id", "event_type", "value", t_us.alias("t_us")
+    ).withColumn(
+        "prev_us",
+        F.lag("t_us").over(Window.partitionBy("user_id").orderBy("t_us", "event_id")),
+    )
+    new_sess = F.when(
+        F.col("prev_us").isNull() | (F.col("t_us") - F.col("prev_us") > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = lagged.withColumn(
+        "session_id",
+        F.sum(new_sess)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("int"),
+    )
+    tagged = sess.withColumn(
+        "entry_channel",
+        F.first("event_type").over(
+            Window.partitionBy("user_id", "session_id").orderBy("t_us", "event_id")
+        ),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        tagged.groupBy("entry_channel")
+        .agg(
+            F.countDistinct("user_id", "session_id").alias("n_sessions"),
+            F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_purchase, F.col("value"))), F.lit(0.0)), 4
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("entry_channel")
+    )
