@@ -83,15 +83,32 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature columns ``mh0..mh{n-1}``."""
+    """Per-document MinHash signature columns ``mh0..mh{n-1}``.
+
+    Shape: explode shingles once, md5 all seeds in ONE codegen'd
+    Project over the flat (doc, shingle) stream, then a partial-
+    aggregable min per doc. The equivalent array-transform form keeps
+    everything narrow but evaluates the md5 lambdas in interpreted
+    (non-codegen) mode per element — measured ~2× slower cold; the
+    explode's doc-keyed exchange ships 32-byte hashes and is the
+    cheaper trade. ``explode_outer`` keeps sub-k-token docs as a NULL
+    row so the output row set matches the input (their signature
+    columns are NULL, as with an empty-set min).
+    """
     sh = shingles(tokens(text_col), k=shingle_k)
     # md5-minhashing is the expensive narrow compute; spread it across
     # all cores (a small parquet input is otherwise ONE task)
-    out = spread(df, id_col).select(F.col(id_col), sh.alias("__shingles"))
-    out = out.withColumns(
-        {f"mh{i}": minhash_value(F.col("__shingles"), i) for i in range(num_hashes)}
+    ex = spread(df, id_col).select(F.col(id_col), F.explode_outer(sh).alias("__s"))
+    proj = ex.select(
+        id_col,
+        *[
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    return out.drop("__shingles")
+    return proj.groupBy(id_col).agg(
+        *[F.min(f"__h{i}").alias(f"mh{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
