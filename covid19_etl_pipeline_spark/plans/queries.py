@@ -8954,3 +8954,122 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_channel")
     )
+
+
+@_register(
+    "weighted_median_unit_price",
+    """
+    WITH pts AS (
+        SELECT l_returnflag,
+               round(l_extendedprice / l_quantity, 4) AS unit_price,
+               l_quantity AS w
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    cum AS (
+        SELECT l_returnflag, unit_price, w,
+               sum(w) OVER (PARTITION BY l_returnflag
+                            ORDER BY unit_price
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM pts
+    )
+    SELECT l_returnflag,
+           round(min(unit_price), 4) AS weighted_median_price,
+           round(max(tw), 4) AS total_weight
+    FROM cum
+    WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "WEIGHTED median — the inventory-weighted price statistic plain "
+    "percentile cannot express: each line's unit price carries its "
+    "quantity as mass; the weighted median is the smallest price whose "
+    "cumulative mass reaches half the group total. One partitioned "
+    "sort-window builds the cumulative mass (ties collapse by "
+    "accumulating equal prices together — deterministic without a "
+    "unique tie-break because the FILTER-then-MIN form only reads the "
+    "crossing point), then a min-aggregate. At 100 TB: same shape on "
+    "pre-binned (price-bucket, mass) rollups — the window runs over "
+    "buckets, not lines",
+)
+def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    pts = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("unit_price"),
+        F.col("l_quantity").alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("unit_price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = pts.withColumns(
+        {"cw": F.sum("w").over(w_cum), "tw": F.sum("w").over(w_tot)}
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("unit_price"), 4).alias("weighted_median_price"),
+            F.round(F.max("tw"), 4).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "open_orders_timeline",
+    """
+    WITH closes AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(max(l_shipdate) AS DATE) + INTERVAL 1 DAY AS close_d
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+        UNION ALL
+        SELECT CAST(c.close_d AS DATE) AS d, -1 AS delta
+        FROM closes c JOIN orders o USING (o_orderkey)
+    ),
+    daily AS (
+        SELECT d, sum(delta) AS net FROM deltas GROUP BY d
+    )
+    SELECT d,
+           CAST(sum(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS open_orders
+    FROM daily
+    ORDER BY d
+    """,
+    "sweep-line concurrency: how many orders are OPEN (placed, not yet "
+    "fully shipped) on each day — the interval-stabbing problem solved "
+    "without an interval join: each order contributes +1 at placement "
+    "and -1 the day after its last shipment; per-day net deltas then a "
+    "running sum. The O(n log n) sweep replaces the O(n * days) "
+    "point-in-interval join. Plan: per-order close rollup rides the "
+    "orderkey join; the daily net is partial-aggregable to days-sized "
+    "data BEFORE the single ordered window — the 100 TB concurrency "
+    "timeline costs one fact shuffle",
+)
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias("close_d")
+    )
+    deltas = (
+        o.select(F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            closes.join(o, "o_orderkey").select(
+                F.col("close_d").alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("d")
