@@ -9073,3 +9073,46 @@ def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
     ).orderBy("d")
+
+
+@_register(
+    "bitmap_exact_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "EXACT distinct counting from mergeable bitmap partials (Spark's "
+    "bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg "
+    "— the RoaringBitmap-style materialization ClickHouse/Delta use): "
+    "ids bucket into fixed 32k-bit ranges, each (key, bucket) holds a "
+    "bitmap partial, and the exact distinct count is the SUM of "
+    "per-bucket bitmap cardinalities. Unlike HLL this path is exact — "
+    "the hash check is value equality with count(DISTINCT), no error "
+    "contract needed — and unlike count(DISTINCT) the partials are "
+    "persistable/re-aggregable artifacts: at 100 TB the per-day "
+    "(segment, bucket) bitmaps are stored once and any date-range "
+    "exact distinct is a bitmap-OR + popcount away, never a re-scan "
+    "of the fact. Both aggregation levels partial-aggregate map-side",
+)
+def bitmap_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    partials = (
+        ev.withColumn("bucket", F.expr("bitmap_bucket_number(user_id)"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"),
+            F.count("*").alias("n_ev"),
+        )
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
