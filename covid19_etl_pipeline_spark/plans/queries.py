@@ -9116,3 +9116,123 @@ def bitmap_exact_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "seasonal_decomposition_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, sum(value) AS y
+        FROM events WHERE value IS NOT NULL
+        GROUP BY CAST(ts AS DATE)
+    ),
+    trended AS (
+        SELECT d, y,
+               CASE WHEN count(*) OVER w = 7
+                    THEN avg(y) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detrended AS (
+        SELECT d, y, trend,
+               CAST(dayofweek(d) + 1 AS INT) AS dow,
+               y - trend AS resid0
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT dow, avg(resid0) AS s
+        FROM detrended WHERE resid0 IS NOT NULL GROUP BY dow
+    )
+    SELECT t.d,
+           round(t.y, 4) AS y,
+           round(t.trend, 4) AS trend,
+           round(s.s, 4) AS seasonal,
+           round(t.y - t.trend - s.s, 4) AS residual
+    FROM detrended t JOIN seasonal s USING (dow)
+    WHERE t.trend IS NOT NULL
+    ORDER BY t.d
+    """,
+    "classical seasonal decomposition (moving-average flavor of STL): "
+    "7-day CENTERED moving average as trend (only full windows — "
+    "edges yield NULL, excluded like statsmodels does), day-of-week "
+    "mean of the detrended series as the seasonal component, rest "
+    "residual — the anomaly-detection preprocessor that separates "
+    "'weekends are low' from 'this day is wrong'. Plan: the fact "
+    "collapses to a days-sized series first; the centered window and "
+    "the 7-row seasonal rollup both run on days-sized data (the "
+    "documented post-agg global-window pattern); the seasonal table "
+    "broadcasts back. DOW normalized to Spark's 1-based convention",
+)
+def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum("value").alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend", F.when(F.count("*").over(w) == 7, F.avg("y").over(w))
+    )
+    detrended = trended.withColumns(
+        {
+            "dow": F.dayofweek("d").cast("int"),
+            "resid0": F.col("y") - F.col("trend"),
+        }
+    )
+    seasonal = (
+        detrended.filter(F.col("resid0").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg("resid0").alias("s"))
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "d",
+            F.round("y", 4).alias("y"),
+            F.round("trend", 4).alias("trend"),
+            F.round("s", 4).alias("seasonal"),
+            F.round(F.col("y") - F.col("trend") - F.col("s"), 4).alias("residual"),
+        )
+        .orderBy("d")
+    )
+
+
+@_register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS cell_size
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey, cell_size,
+           cell_size < 5 AS violates_k5
+    FROM cells
+    WHERE cell_size < 20
+    ORDER BY cell_size, c_mktsegment, c_nationkey
+    """,
+    "k-anonymity audit over quasi-identifier cells — the privacy "
+    "pre-flight for releasing or training on user-adjacent tables: "
+    "group by the quasi-identifier tuple (segment x nation here), "
+    "report small cells and flag those under k=5, whose members are "
+    "re-identifiable by the combination alone. One partial-aggregable "
+    "rollup; the small-cell filter makes the output bounded by the "
+    "violation count, not the cell space. The remediation (generalize "
+    "or suppress small cells) composes with the masking ops in "
+    "text_normalize_redact",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("cell_size")
+    )
+    return (
+        cells.filter(F.col("cell_size") < 20)
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "cell_size",
+            (F.col("cell_size") < 5).alias("violates_k5"),
+        )
+        .orderBy("cell_size", "c_mktsegment", "c_nationkey")
+    )
