@@ -698,3 +698,75 @@ def test_skew_report_bounded_driver_state(spark):
     plan = _plan(spark, "join_key_skew_report")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_division_broadcasts_universe(spark):
+    """customers_active_every_quarter: the period universe is a 1-row
+    broadcast onto the per-customer rollup — never a shuffled join,
+    and the distinct-count is the partial-aggregable form."""
+    plan = _plan(spark, "customers_active_every_quarter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_collapses_before_window(spark):
+    """cusum_changepoint_days: the running window consumes the per-day
+    collapse (partial+final agg), and series stats broadcast back."""
+    plan = _plan(spark, "cusum_changepoint_days")
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_attribution_single_user_exchange(spark):
+    """first_touch_attribution: lag, session-sum, and first_value all
+    partition by user (or a superset) — the fact shuffles on user_id
+    exactly once."""
+    plan = _plan(spark, "first_touch_attribution")
+    n = sum(
+        1
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in l
+    )
+    assert n == 1, plan
+
+
+def test_weighted_median_partitioned_window(spark):
+    """weighted_median_unit_price: cumulative-mass window partitions on
+    the group key — no cartesian, no Python."""
+    plan = _plan(spark, "weighted_median_unit_price")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_sweepline_aggregates_before_global_window(spark):
+    """open_orders_timeline: endpoint deltas partial-aggregate to per-day
+    nets BEFORE the single date-ordered window — the (documented)
+    post-agg global window runs on days-sized input, so a partial
+    aggregate must appear below it."""
+    plan = _plan(spark, "open_orders_timeline")
+    assert "partial_sum" in plan
+    assert "Union" in plan
+
+
+def test_bitmap_distinct_all_partial_aggregable(spark):
+    """bitmap_exact_distinct_users: both levels are hash aggregates with
+    map-side partials — no distinct Expand, no Python."""
+    plan = _plan(spark, "bitmap_exact_distinct_users")
+    assert "bitmap_construct_agg" in plan
+    assert "Expand" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_seasonal_broadcasts_dow_component(spark):
+    """seasonal_decomposition_daily: the 7-row DOW seasonal table
+    broadcasts back onto the daily series."""
+    plan = _plan(spark, "seasonal_decomposition_daily")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_k_anonymity_no_join(spark):
+    """k_anonymity_audit: one rollup + filter — no join of any kind."""
+    plan = _plan(spark, "k_anonymity_audit")
+    assert "Join" not in plan
+    assert "partial_count" in plan
