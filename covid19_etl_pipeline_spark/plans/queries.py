@@ -9236,3 +9236,105 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_size", "c_mktsegment", "c_nationkey")
     )
+
+
+@_register(
+    "ab_test_conversion_lift",
+    """
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::UBIGINT
+                         % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events
+    ),
+    converted AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_variant AS (
+        SELECT a.variant,
+               count(*) AS n_users,
+               CAST(count(c.user_id) AS BIGINT) AS n_converted,
+               count(c.user_id) * 1.0 / count(*) AS rate
+        FROM assigned a LEFT JOIN converted c USING (user_id)
+        GROUP BY a.variant
+    ),
+    wide AS (
+        SELECT max(CASE WHEN variant = 'A' THEN n_users END)     AS na,
+               max(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+               max(CASE WHEN variant = 'A' THEN rate END)        AS ra,
+               max(CASE WHEN variant = 'B' THEN n_users END)     AS nb,
+               max(CASE WHEN variant = 'B' THEN n_converted END) AS cb,
+               max(CASE WHEN variant = 'B' THEN rate END)        AS rb
+        FROM per_variant
+    )
+    SELECT p.variant, p.n_users, p.n_converted,
+           round(p.rate, 4) AS conversion_rate,
+           round(w.rb - w.ra, 4) + 0.0 AS lift_b_minus_a,
+           round((w.rb - w.ra) /
+                 nullif(sqrt(((w.ca + w.cb) * 1.0 / (w.na + w.nb))
+                        * (1 - (w.ca + w.cb) * 1.0 / (w.na + w.nb))
+                        * (1.0 / w.na + 1.0 / w.nb)), 0), 4) + 0.0 AS z_score
+    FROM per_variant p, wide w
+    ORDER BY p.variant
+    """,
+    "A/B conversion lift with a two-proportion pooled z-statistic: "
+    "variant assignment is the deterministic md5 hash-split (how real "
+    "experiment frameworks bucket users — reproducible across engines "
+    "and runs), conversion = any purchase, and the pooled z-score is "
+    "computed from the 2-row per-variant rollup. The experimentation "
+    "primitive on top of the engine: one distinct pass for exposure, "
+    "one for conversion (both partial-aggregable, co-keyed on "
+    "user_id), then pure scalar math on a broadcast 1-row stats "
+    "frame. |z| > 1.96 reads as significant at 95%",
+)
+def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assigned = ev.select("user_id").distinct().withColumn("variant", variant)
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    per_variant = (
+        assigned.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("is_conv").alias("n_converted"),
+            (F.count("is_conv") / F.count("*")).alias("rate"),
+        )
+    )
+    wide = per_variant.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "A", F.col("rate"))).alias("ra"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_converted"))).alias("cb"),
+        F.max(F.when(F.col("variant") == "B", F.col("rate"))).alias("rb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb"))
+    se = F.sqrt(pooled * (1 - pooled) * (1 / F.col("na") + 1 / F.col("nb")))
+    return (
+        per_variant.crossJoin(F.broadcast(wide))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.round("rate", 4).alias("conversion_rate"),
+            (F.round(F.col("rb") - F.col("ra"), 4) + F.lit(0.0)).alias("lift_b_minus_a"),
+            (
+                F.round((F.col("rb") - F.col("ra")) / F.nullif(se, F.lit(0)), 4)
+                + F.lit(0.0)
+            ).alias("z_score"),
+        )
+        .orderBy("variant")
+    )
