@@ -9338,3 +9338,69 @@ def ab_test_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@_register(
+    "data_quality_report",
+    """
+    WITH base AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_custkey,
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date,
+               sum(CASE WHEN o_orderstatus IS NOT NULL
+                         AND o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END) AS v_status,
+               sum(CASE WHEN o_totalprice IS NOT NULL
+                         AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                        THEN 1 ELSE 0 END) AS v_price,
+               count(o_orderkey) - count(DISTINCT o_orderkey) AS v_unique
+        FROM orders
+    )
+    SELECT t.expectation, base.n AS n_rows,
+           CAST(t.v AS BIGINT) AS n_violations,
+           t.v = 0 AS passed
+    FROM base, LATERAL (VALUES
+        ('o_custkey_not_null', v_custkey),
+        ('o_orderdate_not_null', v_date),
+        ('o_orderstatus_in_list', v_status),
+        ('o_totalprice_between_0_1000000', v_price),
+        ('o_orderkey_unique', v_unique)
+    ) AS t(expectation, v)
+    ORDER BY expectation
+    """,
+    "declarative data-quality gate over the orders ingest via the "
+    "quality.check_expectations engine: five rules (not-null x2, "
+    "domain list, range, key uniqueness) evaluated in ONE aggregate "
+    "pass — the reference's re-read-and-scan-per-column validators "
+    "(S3/debugdb) collapsed into a single job whose cost is "
+    "independent of rule count. The report is rule-count-sized; the "
+    "same Expectation list drives quarantine() for the dead-letter "
+    "split (tested in tests/test_quality.py)",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.quality import (
+        Expectation,
+        check_expectations,
+        expect_between,
+        expect_in,
+        expect_not_null,
+        expect_unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = [
+        expect_not_null("o_custkey"),
+        expect_not_null("o_orderdate"),
+        Expectation(
+            "o_orderstatus_in_list",
+            F.col("o_orderstatus").isNull()
+            | F.col("o_orderstatus").isin("O", "F", "P"),
+        ),
+        Expectation(
+            "o_totalprice_between_0_1000000",
+            F.col("o_totalprice").isNull()
+            | ((F.col("o_totalprice") >= 0) & (F.col("o_totalprice") <= 1000000)),
+        ),
+        expect_unique("o_orderkey"),
+    ]
+    return check_expectations(o, rules).orderBy("expectation")
