@@ -312,3 +312,102 @@ def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     pipelines."""
     df.write.mode(mode).text(path)
     return path
+
+
+def assert_schema(df: DataFrame, expected: T.StructType, strict: bool = False) -> DataFrame:
+    """Schema contract enforcement at the ingest boundary (S3/S4
+    hardening): fail FAST and loudly on drift instead of letting a
+    renamed/retyped upstream column surface as nulls three jobs later.
+
+    Non-strict (default): every expected column must exist with the
+    expected type; extra columns are tolerated (additive evolution is
+    not a break). Strict: the schemas must match exactly (order
+    ignored). Returns the input df (pass-through) so the guard composes
+    inside read pipelines.
+    """
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    problems = []
+    for f in expected.fields:
+        if f.name not in actual:
+            problems.append(f"missing column {f.name} ({f.dataType.simpleString()})")
+        elif actual[f.name] != f.dataType:
+            problems.append(
+                f"column {f.name}: expected {f.dataType.simpleString()}, "
+                f"got {actual[f.name].simpleString()}"
+            )
+    if strict:
+        extra = set(actual) - {f.name for f in expected.fields}
+        if extra:
+            problems.append(f"unexpected columns: {sorted(extra)}")
+    if problems:
+        raise ValueError("schema contract violated: " + "; ".join(problems))
+    return df
+
+
+def write_with_manifest(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> dict:
+    """Publish parquet + a ``_manifest.json`` audit sidecar: row count,
+    schema, and an order-insensitive content hash (sum of per-row
+    xxhash64 over every column) — the hand-off contract that lets a
+    downstream consumer (or a later backfill) verify it read the same
+    dataset that was published, without trusting directory state.
+
+    The count/hash ride ONE ``Observation`` on the write job itself —
+    zero extra scans (same mechanism as ``observe_quality``). At
+    100 TB the manifest is what makes republication idempotent:
+    comparing manifests replaces re-reading both copies.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Observation
+
+    obs = Observation("manifest")
+    cols = [F.col(c) for c in df.columns]
+    # decimal(38,0) accumulator: a bigint sum of 64-bit hashes overflows
+    # under ANSI mode after ~2^32 rows of same-sign hashes
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("content_hash"),
+    )
+    write_parquet(observed, path, mode=mode, partition_by=partition_by)
+    row = obs.get
+    manifest = {
+        "n_rows": row["n_rows"],
+        "content_hash": row["content_hash"],
+        "schema": df.schema.jsonValue(),
+        "partition_by": list(partition_by),
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
+    return manifest
+
+
+def verify_manifest(spark: SparkSession, path: str) -> bool:
+    """Re-derive the manifest from the parquet at ``path`` and compare —
+    True iff row count and content hash both match (the consumer-side
+    half of the publish contract)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    df = spark.read.parquet(path)
+    # rebuild with the MANIFEST's column order — xxhash64 is
+    # order-sensitive in its arguments, and partitioned reads reorder
+    # partition columns to the end
+    names = [f["name"] for f in manifest["schema"]["fields"]]
+    cols = [F.col(c) for c in names]
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("content_hash"),
+    ).head()
+    return (
+        row["n_rows"] == manifest["n_rows"]
+        and str(row["content_hash"]) == str(manifest["content_hash"])
+    )

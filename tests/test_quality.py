@@ -75,3 +75,47 @@ def test_quarantine_split(spark, frame):
 def test_quarantine_rejects_relation_rules(spark, frame):
     with pytest.raises(ValueError, match="not row-local"):
         quarantine(frame, _rules())
+
+
+def test_schema_contract(spark):
+    from pyspark.sql import types as T
+
+    from covid19_etl_pipeline_spark.sources.io import assert_schema
+
+    df = spark.createDataFrame([(1, "x", 2.0)], ["id", "name", "score"])
+    expected = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    assert assert_schema(df, expected) is df  # additive extra column ok
+
+    with pytest.raises(ValueError, match="unexpected columns"):
+        assert_schema(df, expected, strict=True)
+
+    retyped = T.StructType([T.StructField("id", T.StringType())])
+    with pytest.raises(ValueError, match="expected string, got bigint"):
+        assert_schema(df, retyped)
+
+    missing = T.StructType([T.StructField("absent", T.LongType())])
+    with pytest.raises(ValueError, match="missing column absent"):
+        assert_schema(df, missing)
+
+
+def test_manifest_round_trip(spark, tmp_path):
+    from covid19_etl_pipeline_spark.sources.io import (
+        verify_manifest,
+        write_with_manifest,
+    )
+
+    df = spark.range(100).withColumn("part", (F.col("id") % 3).cast("int"))
+    m = write_with_manifest(df, str(tmp_path / "t"), partition_by=("part",))
+    assert m["n_rows"] == 100
+    assert verify_manifest(spark, str(tmp_path / "t"))
+
+    # tamper: republish different data under the same manifest
+    spark.range(99).withColumn("part", (F.col("id") % 3).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("part").parquet(str(tmp_path / "t2"))
+    import shutil
+
+    shutil.copy(tmp_path / "t" / "_manifest.json", tmp_path / "t2" / "_manifest.json")
+    assert not verify_manifest(spark, str(tmp_path / "t2"))
