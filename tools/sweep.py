@@ -1,0 +1,155 @@
+"""Full-registry oracle sweep — the driver's CORRECTNESS check, locally.
+
+Runs every registry query with a DuckDB-oracle twin side-by-side at a
+given scale factor and compares row count, schema (column names), and
+values (columns sorted by name, rows sorted canonically — the driver's
+hash-compare convention). Queries without an oracle get a rows-only
+smoke run.
+
+Usage:
+    python tools/sweep.py [--sf /root/testdata/sf0.01] [--only q1,q2] [-v]
+
+Exit code 0 iff every query matches. Writes a JSON log to
+/tmp/sweep_<sfname>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon(v):
+    """Canonicalize one cell for comparison (numpy scalars -> python,
+    NaN -> sentinel, floats rounded to kill 1-ulp engine noise the
+    registry's own rounding conventions already guard against)."""
+    import datetime
+
+    import numpy as np
+
+    import pandas as pd
+
+    if v is None:
+        return None
+    if isinstance(v, (np.generic,)):
+        v = v.item()
+    # pandas NaT (null date/timestamp) — both engines surface SQL NULL
+    # dates this way through the pandas bridge
+    if v is pd.NaT:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "__nan__"
+        # registry convention rounds visible floats to >= 4 decimals;
+        # 9 decimals of slack detects real bugs, not summation jitter
+        return round(v, 9) + 0.0
+    if isinstance(v, datetime.datetime):
+        # DuckDB renders a DATE-valued expression as midnight TIMESTAMP
+        # where Spark keeps DateType — same value, compare as date
+        if v.time() == datetime.time(0, 0) and v.tzinfo is None:
+            return str(v.date())
+        return str(v)
+    if isinstance(v, datetime.date):
+        return str(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _frame_key(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf", default="/root/testdata/sf0.01")
+    p.add_argument("--only", default=None, help="comma-separated query names")
+    p.add_argument("-v", "--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    import duckdb
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+    from covid19_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="sweep")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(args.sf, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    names = args.only.split(",") if args.only else list(REGISTRY)
+    results, failures = {}, []
+    t_start = time.time()
+    for i, name in enumerate(names):
+        spec = REGISTRY[name]
+        t0 = time.time()
+        rec = {"err": None}
+        try:
+            sdf = spec.fn(spark, args.sf)
+            spdf = sdf.toPandas()
+            rec["spark_rows"] = len(spdf)
+            if spec.oracle is not None:
+                odf = con.execute(spec.oracle).fetchdf()
+                rec["oracle_rows"] = len(odf)
+                scols, srows = _frame_key(spdf)
+                ocols, orows = _frame_key(odf)
+                rec["rows_match"] = len(spdf) == len(odf)
+                rec["schema_match"] = scols == ocols
+                rec["hash_match"] = srows == orows
+                ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+                if not ok:
+                    failures.append(name)
+                    if args.verbose:
+                        print(f"--- {name} MISMATCH")
+                        print("  spark cols:", scols)
+                        print("  oracle cols:", ocols)
+                        for j, (a, b) in enumerate(zip(srows, orows)):
+                            if a != b:
+                                print(f"  first diff row {j}:")
+                                print("    spark :", a)
+                                print("    oracle:", b)
+                                break
+            else:
+                rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+                ok = True
+        except Exception as e:  # noqa: BLE001 — sweep must survive one bad query
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+            failures.append(name)
+            ok = False
+        rec["sec"] = round(time.time() - t0, 3)
+        results[name] = rec
+        status = "ok" if ok else "FAIL"
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({rec['sec']}s)", flush=True)
+
+    out = f"/tmp/sweep_{os.path.basename(args.sf.rstrip('/'))}.json"
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    total = round(time.time() - t_start, 1)
+    print(f"\n{len(names) - len(failures)}/{len(names)} pass in {total}s -> {out}")
+    if failures:
+        print("FAILURES:", ", ".join(failures))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
