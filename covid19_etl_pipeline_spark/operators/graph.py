@@ -81,3 +81,51 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Single-source(-set) shortest hop counts by iterative frontier
+    relaxation — distributed BFS.
+
+    ``dist_0(v) = 0`` for v in ``sources`` (a 1-column DataFrame named
+    ``node``); each round relaxes every edge once:
+    ``dist_{k+1}(v) = min(dist_k(v), min_{(u,v)∈E} dist_k(u) + 1)``.
+    Fixed point in O(eccentricity) rounds. The driver loop only
+    CONTROLS iteration; each round is one join + one min-aggregation on
+    the edge list, and convergence rides the same monotone invariant as
+    ``dedup.connected_components`` — distances only decrease or appear,
+    so (row count, sum of dists) is strictly "growing-then-shrinking"
+    until stable; comparing the scalar pair per round costs one 1-row
+    collect, never a row-level diff join.
+
+    Returns (node, hops) for every node reachable from ``sources``.
+    Unreachable nodes are absent (the relational BFS convention — a
+    LEFT join against the full node set recovers them as NULL).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    dist = sources.select(F.col("node"), F.lit(0).alias("hops")).localCheckpoint()
+    prev_state = None
+    for _ in range(max_iter):
+        relaxed = (
+            e.join(dist, e["s"] == dist["node"])
+            .select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .union(dist)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+        row = relaxed.agg(
+            F.count("*").alias("n"), F.sum("hops").alias("s")
+        ).collect()[0]
+        state = (row["n"], row["s"])
+        dist = relaxed
+        if state == prev_state:
+            break
+        prev_state = state
+    return dist

@@ -9404,3 +9404,465 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_unique("o_orderkey"),
     ]
     return check_expectations(o, rules).orderBy("expectation")
+
+
+@_register(
+    "bfs_shortest_hops",
+    """
+    WITH RECURSIVE
+    edges_raw AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS cnt
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, dst) AS rk
+        FROM edges_raw
+    ),
+    edges AS (SELECT src, dst FROM ranked WHERE rk <= 2),
+    s0 AS (SELECT min(src) AS node FROM edges),
+    walk(node, hops) AS (
+        SELECT node, 0 FROM s0
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.hops < 25
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+    ORDER BY hops, node
+    """,
+    "single-source shortest hop counts by distributed BFS (frontier "
+    "relaxation — graph.bfs_hops): the trade graph sparsified to each "
+    "nation's top-2 partner lanes (row_number over the edge rollup, "
+    "deterministic tie-break), then iterative relax rounds dist(v) = "
+    "min(dist(v), min over in-edges dist(u)+1) from the lexicographic-"
+    "min source nation. Each round is ONE join + ONE min-agg on the "
+    "aggregated edge list (never the fact), converging in "
+    "O(eccentricity) rounds with a scalar monotone convergence check — "
+    "the same driver-controls-iteration-only pattern as connected "
+    "components and pagerank. The oracle is a recursive CTE of the "
+    "same relaxation, so the hash-match proves the iterative plan "
+    "reaches the true fixed point. At 100 TB the edge rollup is the "
+    "only fact-sized shuffle; rounds shuffle O(|V|) label rows",
+)
+def bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")
+    )
+    edges_raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["ck"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sk"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    )
+    edges = (
+        edges_raw.withColumn("rk", rk).filter(F.col("rk") <= 2).select("src", "dst")
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    return (
+        graph.bfs_hops(edges, sources)
+        .select("node", F.col("hops").cast("int").alias("hops"))
+        .orderBy("hops", "node")
+    )
+
+
+@_register(
+    "bigram_lm_perplexity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_D_TOKS} AS tk FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> {{'p': tk[i], 'w': tk[i+1]}})) AS bg
+        FROM toks WHERE len(tk) >= 2
+    ),
+    bg2 AS (SELECT doc_id, bg.p AS prev, bg.w AS w FROM big),
+    c2 AS (SELECT prev, w, count(*) AS n2 FROM bg2 GROUP BY prev, w),
+    c1 AS (SELECT prev, sum(n2) AS n1 FROM c2 GROUP BY prev),
+    v AS (
+        SELECT count(*) AS nv
+        FROM (SELECT prev AS t FROM c2 UNION SELECT w FROM c2)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               -ln((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.nv)) AS nll
+        FROM bg2 b
+        JOIN c2 ON b.prev = c2.prev AND b.w = c2.w
+        JOIN c1 ON b.prev = c1.prev, v
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "statistical-LM quality scoring — per-document mean negative "
+    "log-likelihood under a corpus-level bigram model with Laplace "
+    "smoothing (P(w|prev) = (C(prev,w)+0.5)/(C(prev)+0.5V)): the "
+    "perplexity-proxy filter every pretraining pipeline runs (high "
+    "avg_nll = disfluent/anomalous text, low = repetitive boilerplate). "
+    "Two corpus passes: a stats pass builds the bigram count table "
+    "(VOCABULARY-sized, checkpointed once; the context counts and "
+    "vocab size DERIVE from it with no further corpus scans), then a "
+    "scoring pass joins each document's bigram stream against the "
+    "BROADCAST stats — map-side, no shuffle of the corpus. At 100 TB "
+    "the stats table is a reusable persisted artifact keyed on corpus "
+    "snapshot; scoring stays embarrassingly parallel",
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens("text")
+    big = (
+        docs.filter(F.size(tk) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(tk, 1, F.size(tk) - 1).alias("prev"),
+                    F.slice(tk, 2, F.size(tk) - 1).alias("w"),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    )
+    # vocabulary-sized stats artifact — one corpus pass, materialized
+    # once; c1 and V derive from it without touching the corpus again
+    c2 = big.groupBy("prev", "w").agg(F.count("*").alias("n2")).localCheckpoint()
+    c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    v = (
+        c2.select(F.col("prev").alias("t"))
+        .union(c2.select(F.col("w").alias("t")))
+        .distinct()
+        .agg(F.count("*").alias("nv"))
+    )
+    nll = -F.log((F.col("n2") + 0.5) / (F.col("n1") + 0.5 * F.col("nv")))
+    return (
+        big.join(F.broadcast(c2), ["prev", "w"])
+        .join(F.broadcast(c1), "prev")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "measure_correlation_matrix",
+    """
+    WITH c AS (
+        SELECT corr(l_quantity, l_extendedprice) AS c_qp,
+               corr(l_quantity, l_discount)      AS c_qd,
+               corr(l_quantity, l_tax)           AS c_qt,
+               corr(l_extendedprice, l_discount) AS c_pd,
+               corr(l_extendedprice, l_tax)      AS c_pt,
+               corr(l_discount, l_tax)           AS c_dt
+        FROM lineitem
+    )
+    SELECT t.var_a, t.var_b, round(t.v, 6) + 0.0 AS corr_r
+    FROM c, LATERAL (VALUES
+        ('l_discount', 'l_tax', c_dt),
+        ('l_extendedprice', 'l_discount', c_pd),
+        ('l_extendedprice', 'l_tax', c_pt),
+        ('l_quantity', 'l_discount', c_qd),
+        ('l_quantity', 'l_extendedprice', c_qp),
+        ('l_quantity', 'l_tax', c_qt)
+    ) AS t(var_a, var_b, v)
+    ORDER BY var_a, var_b
+    """,
+    "pairwise Pearson correlation matrix over the lineitem measures in "
+    "ONE aggregate pass (all six co-moments accumulate map-side and "
+    "merge tree-wise — no per-pair scans, no shuffle beyond the final "
+    "6-value reduce), unpivoted to tidy (var_a, var_b, corr) rows via "
+    "stack. The feature-redundancy screen run before any model "
+    "training; at 100 TB still exactly one scan regardless of how "
+    "many pairs are requested",
+)
+def measure_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    agg = li.agg(
+        *[F.corr(a, b).alias(f"c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        agg.select(
+            F.expr(f"stack({len(pairs)}, {stack_args}) AS (var_a, var_b, v)")
+        )
+        .select(
+            "var_a", "var_b", (F.round("v", 6) + F.lit(0.0)).alias("corr_r")
+        )
+        .orderBy("var_a", "var_b")
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH assets AS (
+        SELECT doc_id AS asset_id, 'video/mp4' AS mime_type,
+               n_chars * 100 AS duration_ms
+        FROM documents
+        WHERE CAST(substr(source, 4, 10) AS INT) % 3 = 2
+    )
+    SELECT asset_id, mime_type,
+           CAST(unnest(generate_series(0, duration_ms, 5000)) AS BIGINT)
+               AS frame_ts_ms
+    FROM assets
+    ORDER BY asset_id, frame_ts_ms
+    """,
+    "video frame-sampling plumbing (multimodal.frame_sample_plan): "
+    "documents ingested as video assets (duration metadata derived "
+    "from size), then the explode-by-schedule pattern emits one row "
+    "per planned frame timestamp at a 5s cadence — the row set a "
+    "(stubbed) frame decoder would map over. Oracle-checked end of "
+    "the multimodal stack: the schedule math (inclusive sequence, "
+    "metadata-only predicate that prunes before any payload read) is "
+    "exactly what runs ahead of the Arrow decode at 100 TB; sampling "
+    "density is a plan-time knob, not a data rewrite",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int") % 3
+    assets = docs.filter(src_num == 2).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video/mp4").alias("mime_type"),
+        (F.col("n_chars") * 100).alias("duration_ms"),
+    )
+    return frame_sample_plan(assets, every_ms=5000).orderBy(
+        "asset_id", "frame_ts_ms"
+    )
+
+
+@_register(
+    "pq_adc_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+        SELECT vec_id, s, v[s*16+1 : s*16+16] AS sub
+        FROM e, (VALUES (0), (1), (2), (3)) AS t(s)
+    ),
+    cb AS (SELECT s, vec_id AS j, sub AS cent FROM subs WHERE vec_id < 16),
+    enc0 AS (
+        SELECT d.vec_id, d.s, cb.j,
+               list_dot_product(d.sub, d.sub)
+                 - 2 * list_dot_product(d.sub, cb.cent)
+                 + list_dot_product(cb.cent, cb.cent) AS d2
+        FROM subs d JOIN cb ON d.s = cb.s
+    ),
+    enc1 AS (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rk
+        FROM enc0
+    ),
+    codes AS (SELECT vec_id, s, j FROM enc1 WHERE rk = 1),
+    lt AS (
+        SELECT q.vec_id AS query_id, q.s, cb.j,
+               list_dot_product(q.sub, q.sub)
+                 - 2 * list_dot_product(q.sub, cb.cent)
+                 + list_dot_product(cb.cent, cb.cent) AS d2q
+        FROM subs q JOIN cb ON q.s = cb.s
+        WHERE q.vec_id < 5
+    ),
+    adc AS (
+        SELECT lt.query_id, c.vec_id, sum(lt.d2q) AS adc_d2
+        FROM codes c JOIN lt ON c.s = lt.s AND c.j = lt.j
+        WHERE c.vec_id <> lt.query_id
+        GROUP BY lt.query_id, c.vec_id
+    ),
+    r AS (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS INT) AS rank
+        FROM adc
+    )
+    SELECT query_id, vec_id, round(adc_d2, 6) + 0.0 AS adc_dist2, rank
+    FROM r WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    "product-quantization ANN with asymmetric-distance scoring (the "
+    "third index family after LSH and IVF — the memory-bound regime's "
+    "answer): 64-dim vectors split into 4 x 16-dim subspaces, each "
+    "quantized against a 16-entry codebook (deterministic seed "
+    "vectors; kmeans_refined_centroids is the refinement step a "
+    "production build would run per subspace), so every database "
+    "vector compresses to a 4-byte code. Queries never touch raw "
+    "database vectors: each query precomputes a 4x16 distance lookup "
+    "table against the codebook (tiny, BROADCAST), and candidate "
+    "distance is a 4-term table-lookup sum over the CODES table — at "
+    "100 TB the scan is over 4-byte codes instead of 256-byte floats "
+    "(64x less IO), shuffling only (query, candidate, partial) rows. "
+    "Encode-side argmin is a (vec,subspace)-keyed window; distances "
+    "use the dot-decomposition d2 = <a,a> - 2<a,b> + <b,b> in fixed "
+    "element order so both engines fold identically",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, subd, n_queries = 4, 16, 5
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    slices = F.array(*[F.slice(v, s * subd + 1, subd) for s in range(m)])
+    subs = emb.select(
+        "vec_id", F.posexplode(slices).alias("s", "sub")
+    )
+    cb = subs.filter(F.col("vec_id") < 16).select(
+        F.col("s").alias("cb_s"), F.col("vec_id").alias("j"), F.col("sub").alias("cent")
+    )
+    d2 = (
+        similarity.dot(F.col("sub"), F.col("sub"))
+        - 2 * similarity.dot(F.col("sub"), F.col("cent"))
+        + similarity.dot(F.col("cent"), F.col("cent"))
+    )
+    enc0 = subs.join(F.broadcast(cb), subs["s"] == cb["cb_s"]).select(
+        "vec_id", "s", "j", d2.alias("d2")
+    )
+    rk_enc = F.row_number().over(
+        Window.partitionBy("vec_id", "s").orderBy("d2", "j")
+    )
+    codes = (
+        enc0.withColumn("rk", rk_enc).filter(F.col("rk") == 1).select("vec_id", "s", "j")
+    )
+    lt = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cb), subs["s"] == cb["cb_s"])
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("s").alias("lt_s"),
+            F.col("j").alias("lt_j"),
+            d2.alias("d2q"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lt),
+            (codes["s"] == lt["lt_s"]) & (codes["j"] == lt["lt_j"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2q").alias("adc_d2"))
+    )
+    rk_q = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    )
+    return (
+        adc.withColumn("rank", rk_q.cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round("adc_d2", 6) + F.lit(0.0)).alias("adc_dist2"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@_register(
+    "streaming_dedup_live",
+    None,  # genuinely streaming — driver records the rows-only check;
+    # the deduped row count equals the exact batch-distinct count
+    "LIVE streaming deduplication (streaming.stateful.streaming_dedup): "
+    "the staged events stream unioned with itself (an at-least-once "
+    "source that redelivers every row) -> dropDuplicates on event_id "
+    "-> memory sink, then a batch rollup of the sink proves the 2x "
+    "input collapsed back to exactly one row per event. State is "
+    "per-key and watermark-evictable (dropDuplicatesWithinWatermark) "
+    "in the bounded-state production form; the exact no-watermark form "
+    "runs here so the result is deterministic for the rows-only "
+    "check. Not SQL-expressible (incremental stateful execution); "
+    "batch twin = exact_dedup, stream==batch equality in "
+    "tests/test_streaming_stateful.py",
+)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from covid19_etl_pipeline_spark.streaming.stateful import streaming_dedup
+
+    staging = _staged_events_dir(spark, sf_dir)
+    stream = read_events_stream(spark, staging, 8)
+    doubled = stream.union(read_events_stream(spark, staging, 8))
+    deduped = streaming_dedup(doubled, keys=("event_id",), watermark=None)
+    run_to_memory_sink(deduped, "streaming_dedup_live", output_mode="append")
+    return (
+        spark.table("streaming_dedup_live")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "streaming_join_live",
+    None,  # genuinely streaming — driver records the rows-only check
+    "LIVE watermarked stream-stream join (streaming.joins."
+    "purchase_context_join): purchases stream inner-joined to the same "
+    "user's events in the preceding 60 minutes, equi key + time-range "
+    "predicate over two watermarked file streams -> memory sink -> "
+    "batch per-user rollup of joined pairs. Both sides buffer only "
+    "within the watermark horizon, so state is O(window), not "
+    "O(stream) — the streaming twin of the batch events_before_"
+    "purchase range join, which carries the hash check for these "
+    "semantics",
+)
+def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from covid19_etl_pipeline_spark.streaming.joins import purchase_context_join
+
+    staging = _staged_events_dir(spark, sf_dir)
+    purchases = read_events_stream(spark, staging, 8).filter(
+        F.col("event_type") == "purchase"
+    )
+    events = read_events_stream(spark, staging, 8)
+    joined = purchase_context_join(purchases, events, window_minutes=60)
+    run_to_memory_sink(joined, "streaming_join_live", output_mode="append")
+    return (
+        spark.table("streaming_join_live")
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_context_rows"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )

@@ -82,12 +82,14 @@ def read_events_stream(
 def run_to_memory_sink(
     rollup: DataFrame,
     query_name: str = "daily_rollup_stream",
+    output_mode: str = "complete",
 ) -> None:
     """Drive the streaming query synchronously to completion against a
     memory sink (local smoke-test harness; production uses a real sink
-    + trigger)."""
+    + trigger). ``complete`` fits aggregation queries; row-shaped
+    queries (dedup, stream-stream joins) need ``append``."""
     q = (
-        rollup.writeStream.outputMode("complete")
+        rollup.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

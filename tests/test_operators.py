@@ -222,3 +222,35 @@ def test_pagerank_symmetric_cycle_is_fixed_point(spark):
         }
         assert got["A"] == pytest.approx(0.5, abs=1e-9)
         assert got["B"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    """Hand-computed BFS: chain a->b->c->d plus a shortcut a->c; node z
+    is disconnected and must be absent from the result."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("z", "z")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(edges, sources).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    """Two sources: every node gets the min distance over sources."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "c")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("a",), ("x",)], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in graph.bfs_hops(edges, sources).collect()
+    }
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1}

@@ -770,3 +770,49 @@ def test_k_anonymity_no_join(spark):
     plan = _plan(spark, "k_anonymity_audit")
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_bigram_lm_broadcasts_stats(spark):
+    """bigram_lm_perplexity: the vocabulary-sized count tables broadcast
+    onto the corpus bigram stream — scoring never shuffles the corpus,
+    and no Python touches the hot path."""
+    plan = _plan(spark, "bigram_lm_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row vocab scalar
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_correlation_matrix_single_pass(spark):
+    """measure_correlation_matrix: all six co-moments in ONE aggregate
+    over one scan — no join, no per-pair re-scan."""
+    plan = _plan(spark, "measure_correlation_matrix")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pq_adc_broadcasts_lookup(spark):
+    """pq_adc_topk: codebook and query lookup tables broadcast; the
+    codes side is never shuffled for the ADC join."""
+    plan = _plan(spark, "pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_frame_sample_prunes_payload(spark):
+    """multimodal_frame_sample: metadata-only schedule — the scan reads
+    doc_id/source/n_chars, never the text payload."""
+    plan = _plan(spark, "multimodal_frame_sample")
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "n_chars" in read
+    assert "text" not in read
+
+
+def test_bfs_rounds_behind_checkpoint_barrier(spark):
+    """bfs_shortest_hops: the result reads the final round's
+    materialized labels (checkpoint barrier) — the fact joins ran once
+    during the rounds, and the output plan re-executes none of them."""
+    plan = _plan(spark, "bfs_shortest_hops")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
