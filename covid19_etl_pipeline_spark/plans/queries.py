@@ -9795,6 +9795,145 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "throttled_events",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, gap_us
+    FROM g
+    WHERE gap_us IS NULL OR gap_us >= 300000000
+    ORDER BY event_id
+    """,
+    "event debouncing / throttling: within each (user, event_type) "
+    "stream ordered by time, drop events arriving under 300s after "
+    "their predecessor (keep the first of every burst) — the "
+    "double-fire/retry-storm filter applied before events feed "
+    "sessionization or billing. One partitioned lag window keyed on "
+    "the entity (no SinglePartition at raw grain), gap arithmetic on "
+    "epoch seconds; the simple-lag form is deliberate — the "
+    "kept-anchor recursive form is the streaming_dedup watermark "
+    "variant's job",
+)
+def throttled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.select("event_id", "user_id", "event_type", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") >= 300_000_000))
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "twap_user_value",
+    """
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)) - epoch_us(ts)
+                   AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(dur_us) AS INT) AS n_intervals,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twap
+    FROM seg
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "time-weighted average value per user (TWAP): each observation is "
+    "weighted by how long it remained current (lead(ts) - ts), so "
+    "irregular sampling cannot bias the mean toward burst periods — "
+    "the standard metric form for prices/gauges sampled on change. "
+    "One partitioned lead window + one aggregation, both keyed on the "
+    "entity; zero-duration segments (same-timestamp retries) are "
+    "excluded on BOTH sides so the weight sum is strictly positive",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    return (
+        ev.select("user_id", "value", dur.alias("dur_us"))
+        .filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count("dur_us").cast("int").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "orders_month_digests",
+    """
+    WITH h AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(('0x' || substr(md5(concat(
+                   CAST(o_orderkey AS VARCHAR), '|',
+                   CAST(o_custkey AS VARCHAR), '|',
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR))), 1, 15))
+                   AS BIGINT) AS rh
+        FROM orders
+    )
+    SELECT CAST(month AS DATE) AS month,
+           count(*) AS n_orders,
+           bit_xor(rh) AS digest
+    FROM h
+    GROUP BY month
+    ORDER BY month
+    """,
+    "anti-entropy content digests: per month, an ORDER-INDEPENDENT "
+    "xor-of-row-hashes fingerprint plus a row count — the replication/"
+    "backfill drift detector (compare digests of two copies, re-sync "
+    "only months that differ, never the whole table). xor partials "
+    "merge associatively and commutatively, so the digest is "
+    "partitioning-proof and incrementally maintainable (xor the delta "
+    "rows in or out); hashes cover only canonically-rendered key "
+    "columns so both engines fold the identical bytes. THE cheap "
+    "primitive for verifying a 100 TB table copy without shipping it",
+)
+def orders_month_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    od.cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        o.select(F.date_trunc("month", od).cast("date").alias("month"), rh.alias("rh"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("bit_xor(rh)").alias("digest"),
+        )
+        .orderBy("month")
+    )
+
+
+@_register(
     "streaming_dedup_live",
     None,  # genuinely streaming — driver records the rows-only check;
     # the deduped row count equals the exact batch-distinct count

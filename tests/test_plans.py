@@ -816,3 +816,21 @@ def test_bfs_rounds_behind_checkpoint_barrier(spark):
     plan = _plan(spark, "bfs_shortest_hops")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_throttle_twap_partitioned_windows(spark):
+    """throttled_events / twap_user_value: entity-keyed windows only —
+    no SinglePartition at raw grain, no Python."""
+    for name in ("throttled_events", "twap_user_value"):
+        plan = _plan(spark, name)
+        assert "Window" in plan
+        assert "SinglePartition" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_month_digests_partial_aggregable(spark):
+    """orders_month_digests: xor digests accumulate map-side (partial
+    bit_xor before the exchange) — the mergeable-fingerprint contract."""
+    plan = _plan(spark, "orders_month_digests")
+    assert "partial_bit_xor" in plan or "partial" in plan
+    assert "Join" not in plan
