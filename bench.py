@@ -11,6 +11,7 @@ column/row through the physical plan with zero write cost — unlike
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -92,6 +93,11 @@ def main() -> None:
         start = time.perf_counter()
         materialize(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+        # drop python-side refs so ContextCleaner can release the
+        # localCheckpoint RDDs iterative queries leave behind —
+        # without this, pinned blocks accumulate across 50 queries
+        # and later queries pay the GC/memory pressure
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
