@@ -6994,6 +6994,224 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "bpe_apply_merges",
+    r"""
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        GROUP BY w
+    ),
+    sym0 AS (
+        SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym, freq
+        FROM words
+    ),
+    p1 AS (
+        SELECT pair, sum(freq) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                                         i -> a[i] || ' ' || a[i+1])) AS pair,
+                   freq
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, freq FROM sym0)
+        ) GROUP BY pair
+    ),
+    t1 AS (
+        SELECT pair, replace(pair, ' ', '') AS new_symbol, cnt
+        FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    sym1 AS (
+        SELECT trim(replace(' ' || s.sym || ' ',
+                            ' ' || t1.pair || ' ',
+                            ' ' || t1.new_symbol || ' ')) AS sym, s.freq
+        FROM sym0 s, t1
+    ),
+    p2 AS (
+        SELECT pair, sum(freq) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                                         i -> a[i] || ' ' || a[i+1])) AS pair,
+                   freq
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, freq FROM sym1)
+        ) GROUP BY pair
+    ),
+    t2 AS (
+        SELECT pair, replace(pair, ' ', '') AS new_symbol, cnt
+        FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    dw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+    ),
+    sp AS (
+        SELECT doc_id,
+               array_to_string(regexp_split_to_array(w, ''), ' ') AS sym
+        FROM dw
+    ),
+    ap1 AS (
+        SELECT doc_id, sym,
+               trim(replace(' ' || sym || ' ',
+                            ' ' || t1.pair || ' ',
+                            ' ' || t1.new_symbol || ' ')) AS sym1
+        FROM sp, t1
+    ),
+    ap2 AS (
+        SELECT doc_id, sym,
+               trim(replace(' ' || sym1 || ' ',
+                            ' ' || t2.pair || ' ',
+                            ' ' || t2.new_symbol || ' ')) AS sym2
+        FROM ap1, t2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_words,
+           CAST(sum(len(regexp_split_to_array(sym, ' '))) AS BIGINT)
+               AS n_symbols_before,
+           CAST(sum(len(regexp_split_to_array(sym2, ' '))) AS BIGINT)
+               AS n_symbols_after
+    FROM ap2 GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "tokenizer APPLICATION — the other half of bpe_merge_induction: "
+    "the two induced merge rules are applied in rank order to every "
+    "document's word stream (char-spelled symbols, left-to-right "
+    "non-overlapping replace — round 2 can consume round 1's merged "
+    "symbol, so application is strictly sequential), then per-doc "
+    "symbol counts before/after measure the compression the learned "
+    "vocabulary buys. The scale split is the point: induction runs on "
+    "the (word, freq) VOCABULARY, application is a MAP-ONLY corpus "
+    "pass with the rank-ordered merge table BROADCAST — exactly how a "
+    "learned tokenizer deploys at 100 TB (rules are driver-free: the "
+    "1-row rule tables cross-broadcast onto the stream)",
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    dw = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("t0"))
+        .select("doc_id", F.lower("t0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    words = dw.groupBy("w").agg(F.count("*").alias("freq"))
+    sym0v = words.select(
+        F.array_join(F.split("w", ""), " ").alias("sym"), "freq"
+    ).localCheckpoint()
+    top = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
+    t1 = (
+        _bpe_pair_counts(sym0v)
+        .withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
+        .localCheckpoint()
+    )
+    sym1v = _bpe_apply_merge(sym0v, t1)
+    t2 = (
+        _bpe_pair_counts(sym1v)
+        .withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
+        .localCheckpoint()
+    )
+    apply1 = F.trim(
+        F.expr(
+            "replace(concat(' ', sym, ' '), concat(' ', t1_pair, ' '), "
+            "concat(' ', t1_sym, ' '))"
+        )
+    )
+    apply2 = F.trim(
+        F.expr(
+            "replace(concat(' ', sym1, ' '), concat(' ', t2_pair, ' '), "
+            "concat(' ', t2_sym, ' '))"
+        )
+    )
+    spelled = dw.select(
+        "doc_id", F.array_join(F.split("w", ""), " ").alias("sym")
+    )
+    applied = (
+        spelled.crossJoin(
+            F.broadcast(
+                t1.select(
+                    F.col("pair").alias("t1_pair"), F.col("new_symbol").alias("t1_sym")
+                )
+            )
+        )
+        .withColumn("sym1", apply1)
+        .crossJoin(
+            F.broadcast(
+                t2.select(
+                    F.col("pair").alias("t2_pair"), F.col("new_symbol").alias("t2_sym")
+                )
+            )
+        )
+        .withColumn("sym2", apply2)
+    )
+    return (
+        applied.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum(F.size(F.split("sym", " "))).cast("bigint").alias("n_symbols_before"),
+            F.sum(F.size(F.split("sym2", " "))).cast("bigint").alias("n_symbols_after"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "doc_novelty_fraction",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_D_SHINGLES})) AS s FROM documents
+    ),
+    fs AS (SELECT s, min(doc_id) AS first_seen FROM sh GROUP BY s),
+    per AS (
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN fs.first_seen = sh.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM sh JOIN fs ON sh.s = fs.s
+        GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+           round(n_novel * 1.0 / n_shingles, 4) AS novel_frac
+    FROM per ORDER BY doc_id
+    """,
+    "per-document novelty scoring: the fraction of a doc's distinct "
+    "trigram shingles whose FIRST corpus appearance (min doc_id over "
+    "the ingestion order) is this document — the freshness/"
+    "contribution curve data-ordering and crawl-frontier decisions "
+    "read (a near-zero novelty tail means the crawl is re-reading "
+    "itself). One shingle-keyed shuffle builds the first-seen table, "
+    "one join-back scores docs; first-seen is universe-sized so it "
+    "stays a shuffle join (NOT broadcast), the same shape as "
+    "corpus_duplicate_ngrams, and at 100 TB it is the incrementally-"
+    "maintained artifact a streaming ingest would update per batch",
+)
+def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.shingles(text.tokens("text"), k=3))
+        ).alias("s"),
+    )
+    fs = sh.groupBy("s").agg(F.min("doc_id").alias("first_seen"))
+    per = (
+        sh.join(fs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_seen") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+        F.round(F.col("n_novel") / F.col("n_shingles"), 4).alias("novel_frac"),
+    ).orderBy("doc_id")
+
+
+@_register(
     "rfm_customer_segments",
     """
     WITH rfm AS (

@@ -834,3 +834,18 @@ def test_month_digests_partial_aggregable(spark):
     plan = _plan(spark, "orders_month_digests")
     assert "partial_bit_xor" in plan or "partial" in plan
     assert "Join" not in plan
+
+
+def test_bpe_apply_broadcasts_rules(spark):
+    """bpe_apply_merges: both merge-rule tables reach the corpus stream
+    as 1-row broadcasts (rule application is map-only); no Python."""
+    plan = _plan(spark, "bpe_apply_merges")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_novelty_no_cartesian(spark):
+    """doc_novelty_fraction: shingle-keyed equi join only."""
+    plan = _plan(spark, "doc_novelty_fraction")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
