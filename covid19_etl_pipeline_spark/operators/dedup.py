@@ -111,6 +111,39 @@ def minhash_signatures(
     )
 
 
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The (id, band, sig) LSH banding table — the PERSISTED INDEX of a
+    production near-dup system: one narrow signature pass, exploded per
+    band, empty signatures dropped. At 100 TB this table is written
+    once per corpus snapshot and probed by every incremental batch.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select(F.col(id_col), F.explode(band_cols).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        .filter(F.col("sig") != "")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -127,23 +160,8 @@ def lsh_candidate_pairs(
     only shuffle and its key is the band signature — at scale, bucket
     skew (a degenerate common band) is handled by AQE skew-join.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
     exploded = (
-        sigs.select(F.col(id_col), F.explode(band_cols).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-        .filter(F.col("sig") != "")
+        lsh_band_table(df, id_col, text_col, num_hashes, bands, shingle_k)
         # force a shuffle join on the band key: a broadcast build side
         # would recompute the md5-signature subplan serially on the
         # driver; identical exchanges on both sides compute in parallel

@@ -83,6 +83,47 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank"))
 
 
+def relax_rounds(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    rounds: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Bounded-hop min-plus relaxation (Bellman-Ford rounds): after k
+    rounds ``cost(v)`` is the cheapest total edge cost over paths of at
+    most k edges from the source set — the weighted generalization of
+    :func:`bfs_hops` with a FIXED round count instead of a convergence
+    check, so the semantics ("cheapest within k hops") are exact and
+    engine-portable rather than dependent on when iteration stops.
+
+    Costs are re-rounded to ``round_digits`` every round (the pagerank/
+    kmeans trick) so float summation order cannot drift the min across
+    engines or partitionings. Each round is one join + one min-agg on
+    the edge list; unreachable-within-k nodes are absent.
+    """
+    e = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(weight).cast("double").alias("w"),
+    ).localCheckpoint()
+    dist = sources.select(F.col("node"), F.lit(0.0).alias("cost")).localCheckpoint()
+    for _ in range(rounds):
+        step = e.join(dist, e["s"] == dist["node"]).select(
+            F.col("d").alias("node"),
+            F.round(F.col("cost") + F.col("w"), round_digits).alias("cost"),
+        )
+        dist = (
+            step.union(dist)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,

@@ -10223,3 +10223,202 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "incremental_corpus_dedup",
+    f"""
+    WITH newdocs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    oldfp AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    ),
+    newfp AS (SELECT doc_id, md5(text) AS fp FROM newdocs),
+    exdup AS (
+        SELECT n.doc_id FROM newfp n JOIN oldfp o ON n.fp = o.fp
+        UNION
+        SELECT n.doc_id FROM newfp n
+        JOIN newfp m ON n.fp = m.fp AND m.doc_id < n.doc_id
+    ),
+    exsurv AS (
+        SELECT doc_id FROM newdocs
+        WHERE doc_id NOT IN (SELECT doc_id FROM exdup)
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
+               {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
+               {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
+               {_d_minhash(6)} AS mh6, {_d_minhash(7)} AS mh7
+        FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS sig FROM sigs
+        UNION ALL SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs
+        UNION ALL SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs
+        UNION ALL SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs
+    ),
+    filt AS (SELECT * FROM bands WHERE sig IS NOT NULL AND sig <> ''),
+    near AS (
+        SELECT DISTINCT a.doc_id
+        FROM filt a
+        JOIN exsurv s ON a.doc_id = s.doc_id
+        JOIN filt b ON a.band = b.band AND a.sig = b.sig
+                   AND a.doc_id <> b.doc_id
+        WHERE b.doc_id % 5 <> 0
+           OR (b.doc_id < a.doc_id
+               AND b.doc_id IN (SELECT doc_id FROM exsurv))
+    )
+    SELECT n.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM newdocs n
+    LEFT JOIN (SELECT doc_id FROM exdup) e ON n.doc_id = e.doc_id
+    LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    ORDER BY n.doc_id
+    """,
+    "INCREMENTAL ingestion dedup — the shape that matters at 100 TB: a "
+    "new batch (doc_id %% 5 = 0 here) is deduped against the EXISTING "
+    "corpus without ever re-comparing the corpus to itself. Exact "
+    "stage: batch fingerprints probe the persisted old-fingerprint set "
+    "(semi join) + a batch-internal min-id window. Near stage: the "
+    "batch's LSH band signatures probe the persisted band INDEX "
+    "(dedup.lsh_band_table) — candidates are (new x old) and (new x "
+    "smaller-id new survivor) only, never (old x old). Per-batch cost "
+    "is O(batch + index probe); the corpus contributes only its "
+    "fingerprint and band artifacts, exactly how a daily crawl lands "
+    "against a petabyte corpus. Verdict per new doc: exact_dup / "
+    "near_dup / kept",
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_new = F.col("doc_id") % 5 == 0
+    new = docs.filter(is_new)
+    old = docs.filter(~is_new)
+    # --- exact stage: probe the persisted old-fingerprint set
+    oldfp = old.select(F.md5("text").alias("fp")).distinct()
+    newfp = new.select("doc_id", F.md5("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    internal_dup = (
+        newfp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    vs_old_dup = newfp.join(oldfp, "fp", "left_semi").select("doc_id")
+    exdup = vs_old_dup.union(internal_dup).distinct().localCheckpoint()
+    exsurv = new.select("doc_id").join(exdup, "doc_id", "left_anti")
+    # --- near stage: batch band signatures probe the band index.
+    # The index covers old docs + batch exact-survivors; at scale the
+    # old half is a PERSISTED table, not recomputed per batch.
+    bands_all = dedup.lsh_band_table(docs, "doc_id", "text")
+    surv_flag = exsurv.withColumn("is_surv", F.lit(1))
+    bands_f = bands_all.join(surv_flag, "doc_id", "left")
+    a = bands_f.filter(F.col("is_surv") == 1).alias("a")
+    b = bands_f.filter(
+        (F.col("doc_id") % 5 != 0) | (F.col("is_surv") == 1)
+    ).alias("b")
+    near = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (
+                (F.col("b.doc_id") % 5 != 0)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    status = (
+        F.when(F.col("is_ex") == 1, "exact_dup")
+        .when(F.col("is_near") == 1, "near_dup")
+        .otherwise("kept")
+    )
+    return (
+        new.select("doc_id")
+        .join(exdup.withColumn("is_ex", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "cheapest_trade_route",
+    """
+    WITH RECURSIVE
+    edges_raw AS (
+        SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS cnt
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    ranked AS (
+        SELECT src, dst, round(1000.0 / cnt, 4) AS w,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cnt DESC, dst) AS rk
+        FROM edges_raw
+    ),
+    edges AS (SELECT src, dst, w FROM ranked WHERE rk <= 2),
+    s0 AS (SELECT min(src) AS node FROM edges),
+    walk(node, cost, hops) AS (
+        SELECT node, CAST(0.0 AS DOUBLE), 0 FROM s0
+        UNION
+        SELECT e.dst, round(w.cost + e.w, 4), w.hops + 1
+        FROM walk w JOIN edges e ON w.node = e.src
+        WHERE w.hops < 4
+    )
+    SELECT node, round(min(cost), 4) AS cost
+    FROM walk GROUP BY node
+    ORDER BY cost, node
+    """,
+    "cheapest-route cost within 4 hops — bounded min-plus relaxation "
+    "(graph.relax_rounds, the weighted Bellman-Ford generalization of "
+    "bfs_shortest_hops): edge cost is inverse lane volume (thin lanes "
+    "are expensive), each round relaxes every edge once with per-round "
+    "rounding so float summation order cannot drift the min across "
+    "engines. The FIXED round count makes the semantics exact "
+    "('cheapest over paths of <= 4 edges') rather than dependent on "
+    "convergence timing — and bounded-hop costs are what routing/"
+    "attribution actually wants. One join + one min-agg per round on "
+    "the aggregated edge list; oracle = hop-bounded recursive CTE",
+)
+def cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))
+    edges_raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["ck"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sk"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    )
+    edges = (
+        edges_raw.withColumn("rk", rk)
+        .filter(F.col("rk") <= 2)
+        .select("src", "dst", F.round(1000.0 / F.col("cnt"), 4).alias("w"))
+    )
+    sources = edges.agg(F.min("src").alias("node"))
+    return (
+        graph.relax_rounds(edges, sources, rounds=4)
+        .select("node", F.round("cost", 4).alias("cost"))
+        .orderBy("cost", "node")
+    )

@@ -254,3 +254,26 @@ def test_bfs_hops_multi_source_min(spark):
         for r in graph.bfs_hops(edges, sources).collect()
     }
     assert got == {"a": 0, "x": 0, "b": 1, "c": 1}
+
+
+def test_relax_rounds_bounded_hops(spark):
+    """min-plus relaxation: cheap long path beats expensive direct edge
+    only once enough rounds allow it; k rounds = paths of <= k edges."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10.0), ("a", "c", 1.0), ("c", "d", 1.0), ("d", "b", 1.0)],
+        "src string, dst string, w double",
+    )
+    sources = spark.createDataFrame([("a",)], "node string")
+    one = {
+        r["node"]: r["cost"]
+        for r in graph.relax_rounds(edges, sources, rounds=1).collect()
+    }
+    assert one["b"] == 10.0  # direct edge only after 1 round
+    three = {
+        r["node"]: r["cost"]
+        for r in graph.relax_rounds(edges, sources, rounds=3).collect()
+    }
+    assert three["b"] == 3.0  # a->c->d->b now visible
+    assert three["a"] == 0.0 and three["c"] == 1.0 and three["d"] == 2.0

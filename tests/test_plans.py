@@ -849,3 +849,21 @@ def test_novelty_no_cartesian(spark):
     plan = _plan(spark, "doc_novelty_fraction")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_incremental_dedup_probe_shapes(spark):
+    """incremental_corpus_dedup: the batch-survivor side is a LeftAnti
+    probe (the exact-stage LeftSemi ran inside the checkpointed exdup
+    subtree); no cartesian anywhere; no Python."""
+    plan = _plan(spark, "incremental_corpus_dedup")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cheapest_route_behind_checkpoint_barrier(spark):
+    """cheapest_trade_route: rounds materialize; the output plan
+    re-executes none of the fact joins."""
+    plan = _plan(spark, "cheapest_trade_route")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
