@@ -10422,3 +10422,250 @@ def cheapest_trade_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.round("cost", 4).alias("cost"))
         .orderBy("cost", "node")
     )
+
+
+@_register(
+    "multi_regression_price",
+    """
+    WITH m AS (
+        SELECT count(*) AS n,
+               avg(l_quantity)              AS mx1,
+               avg(l_discount)              AS mx2,
+               avg(l_extendedprice)         AS my,
+               avg(l_quantity * l_quantity) AS mx1x1,
+               avg(l_discount * l_discount) AS mx2x2,
+               avg(l_quantity * l_discount) AS mx1x2,
+               avg(l_quantity * l_extendedprice) AS mx1y,
+               avg(l_discount * l_extendedprice) AS mx2y
+        FROM lineitem
+    ),
+    c AS (
+        SELECT n,
+               mx1x1 - mx1 * mx1 AS s11,
+               mx2x2 - mx2 * mx2 AS s22,
+               mx1x2 - mx1 * mx2 AS s12,
+               mx1y  - mx1 * my  AS s1y,
+               mx2y  - mx2 * my  AS s2y,
+               mx1, mx2, my
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6)
+               AS beta_quantity,
+           round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6)
+               AS beta_discount,
+           round(my - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * mx1
+                    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * mx2,
+                 4) AS intercept
+    FROM c
+    """,
+    "two-regressor OLS by normal equations — extendedprice ~ quantity "
+    "+ discount: every co-moment accumulates in ONE aggregate pass "
+    "(map-side partials, tree merge) and the 2x2 system solves in "
+    "closed form on the 1-row result; scan count is independent of "
+    "regressor count until the moment matrix itself is the bottleneck "
+    "(hundreds of features — then you shard the Gram matrix, the same "
+    "k×dim-cell update shape as the k-means rollup). The multi-feature "
+    "step past price_quantity_regression's single-var regr_* form",
+)
+def multi_regression_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.avg(x1).alias("mx1"),
+        F.avg(x2).alias("mx2"),
+        F.avg(y).alias("my"),
+        F.avg(x1 * x1).alias("mx1x1"),
+        F.avg(x2 * x2).alias("mx2x2"),
+        F.avg(x1 * x2).alias("mx1x2"),
+        F.avg(x1 * y).alias("mx1y"),
+        F.avg(x2 * y).alias("mx2y"),
+    )
+    s11 = F.col("mx1x1") - F.col("mx1") * F.col("mx1")
+    s22 = F.col("mx2x2") - F.col("mx2") * F.col("mx2")
+    s12 = F.col("mx1x2") - F.col("mx1") * F.col("mx2")
+    s1y = F.col("mx1y") - F.col("mx1") * F.col("my")
+    s2y = F.col("mx2y") - F.col("mx2") * F.col("my")
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(
+            F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4
+        ).alias("intercept"),
+    )
+
+
+@_register(
+    "feature_hashing_vectors",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_D_TOKS}) AS t FROM documents
+        WHERE len(trim(text)) > 0
+    ),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 8 AS INT)
+                   AS bucket
+        FROM tok
+    ),
+    v AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS h0,
+               sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS h1,
+               sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS h2,
+               sum(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS h3,
+               sum(CASE WHEN bucket = 4 THEN 1 ELSE 0 END) AS h4,
+               sum(CASE WHEN bucket = 5 THEN 1 ELSE 0 END) AS h5,
+               sum(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS h6,
+               sum(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS h7
+        FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, h0, h1, h2, h3, h4, h5, h6, h7,
+           round(sqrt(h0*h0 + h1*h1 + h2*h2 + h3*h3
+                    + h4*h4 + h5*h5 + h6*h6 + h7*h7), 4) AS l2_norm
+    FROM v ORDER BY doc_id
+    """,
+    "the hashing trick: tokens map to a FIXED 8-dim count vector via "
+    "md5-bucket assignment — vocabulary-free featurization (no fitted "
+    "dictionary to broadcast or version, collisions absorbed by the "
+    "model), the standard first featurizer for streaming/huge-vocab "
+    "text. One conditional-sum pass per doc builds all dims (sum-of-"
+    "CASE, no pivot shuffle); md5-derived buckets make the vector "
+    "engine- and partitioning-portable. At 100 TB: map-only until the "
+    "per-doc agg, dim count is a constant in the plan, not a join",
+)
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(text.tokens("text")).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint") % 8
+    ).cast("int")
+    b = tok.select("doc_id", bucket.alias("bucket"))
+    hs = [
+        F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).alias(f"h{i}")
+        for i in range(8)
+    ]
+    v = b.groupBy("doc_id").agg(F.count("*").alias("n_tokens"), *hs)
+    l2 = F.round(
+        F.sqrt(
+            sum((F.col(f"h{i}") * F.col(f"h{i}")) for i in range(8))
+        ),
+        4,
+    )
+    return v.select(
+        "doc_id", "n_tokens", *[f"h{i}" for i in range(8)], l2.alias("l2_norm")
+    ).orderBy("doc_id")
+
+
+@_register(
+    "loo_target_encoding",
+    """
+    WITH seg AS (
+        SELECT c_mktsegment,
+               count(*) AS n_seg,
+               sum(c_acctbal) AS sum_bal
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           round(c.c_acctbal, 4) AS c_acctbal,
+           round((s.sum_bal - c.c_acctbal) / (s.n_seg - 1), 4) AS segment_loo_mean
+    FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+    ORDER BY c.c_custkey
+    """,
+    "leave-one-out target encoding — the leakage-safe categorical "
+    "feature: each row's segment mean EXCLUDES its own target value "
+    "((sum - y) / (n - 1)), so the encoding never memorizes the row it "
+    "describes. One per-category rollup (category-cardinality-sized, "
+    "BROADCAST back onto the fact) + map-side arithmetic — no window, "
+    "no per-row re-aggregation; the 100 TB cost is one scan + one "
+    "tiny-table join regardless of category count",
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_seg"), F.sum("c_acctbal").alias("sum_bal")
+    )
+    loo = (F.col("sum_bal") - F.col("c_acctbal")) / (F.col("n_seg") - 1)
+    return (
+        c.join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round("c_acctbal", 4).alias("c_acctbal"),
+            F.round(loo, 4).alias("segment_loo_mean"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@_register(
+    "frequent_part_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey FROM items
+        GROUP BY l_partkey HAVING count(*) >= 3
+    ),
+    fitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN freq f ON i.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM fitems a JOIN fitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    """,
+    "market-basket pair mining with A-PRIORI pruning: items below "
+    "min-support can never appear in a frequent pair, so the per-order "
+    "self-join runs AFTER the frequent-item filter — the downward-"
+    "closure trick that keeps the pair space tractable (the naive "
+    "order self-join is quadratic in basket size over the FULL "
+    "catalog; pruning first cuts both the join input and the pair "
+    "fan-out). Shuffles: one distinct, one item-support rollup (tiny, "
+    "the filter side of a semi-ish join), one order-keyed pair join + "
+    "pair rollup. At 100 TB add a second prune round (pair-support on "
+    "hashed buckets) before materializing pairs — PCY's bitmap trick",
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    fitems = items.join(freq, "l_partkey").localCheckpoint()
+    a = fitems.alias("a")
+    b = fitems.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )

@@ -867,3 +867,36 @@ def test_cheapest_route_behind_checkpoint_barrier(spark):
     plan = _plan(spark, "cheapest_trade_route")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+
+
+def test_multi_regression_single_pass(spark):
+    """multi_regression_price: all nine co-moments in one aggregate —
+    no join, one scan."""
+    plan = _plan(spark, "multi_regression_price")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_feature_hashing_no_pivot_no_join(spark):
+    """feature_hashing_vectors: sum-of-CASE builds all dims in one
+    per-doc aggregate — no pivot shuffle, no join, no Python."""
+    plan = _plan(spark, "feature_hashing_vectors")
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_loo_encoding_broadcasts_category_stats(spark):
+    """loo_target_encoding: the per-segment rollup broadcasts back onto
+    the fact — no fact-sized shuffle for the join, no window."""
+    plan = _plan(spark, "loo_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_frequent_pairs_prunes_before_pair_join(spark):
+    """frequent_part_pairs: the pair self-join reads the checkpointed
+    PRUNED item set (a-priori), not the raw fact."""
+    plan = _plan(spark, "frequent_part_pairs")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
