@@ -10669,3 +10669,214 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .orderBy(F.col("support").desc(), "part_a", "part_b")
     )
+
+
+@_register(
+    "trending_event_types",
+    """
+    WITH mx AS (SELECT max(CAST(ts AS DATE)) AS max_d FROM events),
+    sc AS (
+        SELECT e.event_type,
+               count(*) AS n_events,
+               sum(power(0.5, datediff('day', CAST(e.ts AS DATE), mx.max_d)))
+                   AS decayed
+        FROM events e, mx
+        GROUP BY e.event_type
+    )
+    SELECT CAST(row_number() OVER (ORDER BY decayed DESC, event_type) AS INT)
+               AS rk,
+           event_type, n_events,
+           round(decayed, 4) AS decayed_score
+    FROM sc
+    ORDER BY rk
+    """,
+    "exponentially-decayed trending counts: each event contributes "
+    "0.5^age_days, so yesterday outweighs last month without any "
+    "window cutoff — the trending-dashboard scorer. Decay base 0.5 is "
+    "deliberate: 0.5^k is an exact power of two in binary floating "
+    "point, so both engines produce identical per-event terms and the "
+    "sum is portable after rounding. One scan + a 1-row max-date "
+    "broadcast + a partial-aggregable sum; at 100 TB the decayed "
+    "partial per (type, day) is a maintainable artifact — multiply "
+    "yesterday's total by the decay and add today's count",
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    age = F.datediff(F.col("max_d"), F.to_date("ts"))
+    sc = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.pow(F.lit(0.5), age)).alias("decayed"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("decayed").desc(), "event_type"))
+    return (
+        sc.select(
+            rk.cast("int").alias("rk"),
+            "event_type",
+            "n_events",
+            F.round("decayed", 4).alias("decayed_score"),
+        )
+        .orderBy("rk")
+    )
+
+
+@_register(
+    "acf_multi_lag",
+    """
+    WITH dd AS (
+        SELECT CAST(ts AS DATE) AS d, sum(value) AS v
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lg AS (
+        SELECT v,
+               lag(v, 1) OVER (ORDER BY d) AS l1,
+               lag(v, 2) OVER (ORDER BY d) AS l2,
+               lag(v, 3) OVER (ORDER BY d) AS l3,
+               lag(v, 4) OVER (ORDER BY d) AS l4,
+               lag(v, 5) OVER (ORDER BY d) AS l5,
+               lag(v, 6) OVER (ORDER BY d) AS l6,
+               lag(v, 7) OVER (ORDER BY d) AS l7
+        FROM dd
+    ),
+    c AS (
+        SELECT corr(v, l1) AS c1, corr(v, l2) AS c2, corr(v, l3) AS c3,
+               corr(v, l4) AS c4, corr(v, l5) AS c5, corr(v, l6) AS c6,
+               corr(v, l7) AS c7
+        FROM lg
+    )
+    SELECT t.lag, round(t.acf, 4) + 0.0 AS acf
+    FROM c, LATERAL (VALUES
+        (1, c1), (2, c2), (3, c3), (4, c4), (5, c5), (6, c6), (7, c7)
+    ) AS t(lag, acf)
+    ORDER BY t.lag
+    """,
+    "multi-lag autocorrelation function (lags 1-7) of the global daily "
+    "value series — the weekly-seasonality fingerprint (a lag-7 spike "
+    "= day-of-week cycle) read before choosing window sizes or "
+    "forecast features. The fact collapses to a days-sized series "
+    "FIRST (partial-aggregable), then all seven lag columns share ONE "
+    "ordered window pass and all seven corrs accumulate in ONE "
+    "aggregate — the documented post-agg global-window pattern: the "
+    "single-partition sort touches ~365 rows/year, never the fact",
+)
+def acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dd = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
+    w = Window.orderBy("d")
+    lg = dd.select(
+        "v", *[F.lag("v", i).over(w).alias(f"l{i}") for i in range(1, 8)]
+    )
+    c = lg.agg(*[F.corr("v", f"l{i}").alias(f"c{i}") for i in range(1, 8)])
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(1, 8))
+    return (
+        c.select(F.expr(f"stack(7, {stack_args}) AS (lag, acf0)"))
+        .select("lag", (F.round("acf0", 4) + F.lit(0.0)).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+@_register(
+    "embedding_cluster_separation",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT label, i, avg(v[i]) AS c
+        FROM e, (SELECT unnest(range(1, 65)) AS i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label, list(c ORDER BY i) AS cv FROM dims GROUP BY label
+    ),
+    disp AS (
+        SELECT e.label,
+               count(*) AS n_vecs,
+               avg(sqrt(list_dot_product(e.v, e.v)
+                        - 2 * list_dot_product(e.v, cent.cv)
+                        + list_dot_product(cent.cv, cent.cv))) AS mean_dist
+        FROM e JOIN cent ON e.label = cent.label
+        GROUP BY e.label
+    ),
+    inter AS (
+        SELECT a.label AS label, min(sqrt(
+                   list_dot_product(a.cv, a.cv)
+                   - 2 * list_dot_product(a.cv, b.cv)
+                   + list_dot_product(b.cv, b.cv))) AS nearest_centroid_dist
+        FROM cent a JOIN cent b ON a.label <> b.label
+        GROUP BY a.label
+    )
+    SELECT d.label, CAST(d.n_vecs AS BIGINT) AS n_vecs,
+           round(d.mean_dist, 4) AS intra_dispersion,
+           round(i.nearest_centroid_dist, 4) AS nearest_centroid_dist,
+           round(d.mean_dist / i.nearest_centroid_dist, 4) AS overlap_ratio
+    FROM disp d JOIN inter i ON d.label = i.label
+    ORDER BY d.label
+    """,
+    "embedding cluster-separation audit (Davies-Bouldin-style): per "
+    "label, the centroid (per-dimension mean via posexplode — a "
+    "labels x dims cell rollup, never a vector shuffle), the mean "
+    "member-to-centroid distance (intra dispersion), and the distance "
+    "to the nearest OTHER centroid — overlap_ratio near or above 1 "
+    "means the classes bleed together and a classifier/ANN index "
+    "built on these embeddings will too. Centroids are a tiny "
+    "broadcast; distances use the fixed-order dot decomposition. The "
+    "embedding-quality gate run before committing to an index build",
+)
+def embedding_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
+        .select("label", F.col("ic.c").alias("cv"))
+        .localCheckpoint()
+    )
+    d2 = (
+        similarity.dot(F.col("v"), F.col("v"))
+        - 2 * similarity.dot(F.col("v"), F.col("cv"))
+        + similarity.dot(F.col("cv"), F.col("cv"))
+    )
+    disp = (
+        e.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg(F.sqrt(d2)).alias("mean_dist"),
+        )
+    )
+    a = cent.select(F.col("label"), F.col("cv"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cv_b"))
+    cd2 = (
+        similarity.dot(F.col("cv"), F.col("cv"))
+        - 2 * similarity.dot(F.col("cv"), F.col("cv_b"))
+        + similarity.dot(F.col("cv_b"), F.col("cv_b"))
+    )
+    inter = (
+        a.join(F.broadcast(b), F.col("label") != F.col("label_b"))
+        .groupBy("label")
+        .agg(F.min(F.sqrt(cd2)).alias("nearest_centroid_dist"))
+    )
+    return (
+        disp.join(inter, "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round("mean_dist", 4).alias("intra_dispersion"),
+            F.round("nearest_centroid_dist", 4).alias("nearest_centroid_dist"),
+            F.round(
+                F.col("mean_dist") / F.col("nearest_centroid_dist"), 4
+            ).alias("overlap_ratio"),
+        )
+        .orderBy("label")
+    )

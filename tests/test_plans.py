@@ -900,3 +900,26 @@ def test_frequent_pairs_prunes_before_pair_join(spark):
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trending_broadcasts_max_date(spark):
+    """trending_event_types: 1-row max-date scalar broadcasts; decayed
+    sum is a partial-aggregable single pass."""
+    plan = _plan(spark, "trending_event_types")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_acf_single_window_single_agg(spark):
+    """acf_multi_lag: seven lags share ONE window pass and seven corrs
+    ONE aggregate — plan has exactly one Window node."""
+    plan = _plan(spark, "acf_multi_lag")
+    assert plan.count("Window") == 1
+
+
+def test_cluster_separation_broadcast_centroids(spark):
+    """embedding_cluster_separation: centroids broadcast onto members;
+    no cartesian beyond the tiny labels x labels pair join."""
+    plan = _plan(spark, "embedding_cluster_separation")
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
