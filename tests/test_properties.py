@@ -225,3 +225,108 @@ def test_prefix_filter_lossless_for_any_corpus(spark, docs, threshold):
         if r["jaccard"] is not None and r["jaccard"] >= threshold
     }
     assert got == brute
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_bfs_hops_triangle_inequality(spark, edges):
+    """For ANY digraph: dist(source)=0; every edge (u,v) with u reached
+    satisfies dist(v) <= dist(u) + 1 (relaxed fixed point); every
+    reached non-source node has an in-edge from a node one hop closer
+    (witness property)."""
+    from covid19_etl_pipeline_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    src0 = str(min(a for a, _ in edges))
+    sources = spark.createDataFrame([(src0,)], "node string")
+    dist = {
+        r["node"]: r["hops"] for r in bfs_hops(e, sources).collect()
+    }
+    assert dist[src0] == 0
+    for a, b in edges:
+        ka, kb = str(a), str(b)
+        if ka in dist:
+            assert kb in dist and dist[kb] <= dist[ka] + 1
+    for node, h in dist.items():
+        if h > 0:
+            assert any(
+                str(b) == node and str(a) in dist and dist[str(a)] == h - 1
+                for a, b in edges
+            )
+
+
+@_slow
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.floats(0.1, 9.9)),
+        min_size=1,
+        max_size=12,
+    ),
+    rounds=st.integers(1, 4),
+)
+def test_relax_rounds_monotone_in_rounds(spark, edges, rounds):
+    """More rounds never increase any cost (min-plus relaxation is
+    monotone), and every cost is a sum of <= rounds edge weights."""
+    from covid19_etl_pipeline_spark.operators.graph import relax_rounds
+
+    e = spark.createDataFrame(
+        [(str(a), str(b), round(w, 1)) for a, b, w in edges],
+        "src string, dst string, w double",
+    )
+    sources = spark.createDataFrame(
+        [(str(min(a for a, _, _ in edges)),)], "node string"
+    )
+    d1 = {r["node"]: r["cost"] for r in relax_rounds(e, sources, rounds=rounds).collect()}
+    d2 = {
+        r["node"]: r["cost"]
+        for r in relax_rounds(e, sources, rounds=rounds + 1).collect()
+    }
+    for n, c in d1.items():
+        assert n in d2 and d2[n] <= c + 1e-9
+    max_w = max(round(w, 1) for _, _, w in edges)
+    for n, c in d1.items():
+        assert 0 <= c <= rounds * max_w + 1e-9
+
+
+@_slow
+@given(
+    vals=st.lists(
+        st.floats(0.1, 100.0, allow_nan=False), min_size=2, max_size=12
+    ),
+)
+def test_twap_bounded_by_extremes(spark, vals):
+    """A duration-weighted mean lies within [min, max] of the values
+    that carry positive duration (the last value carries none)."""
+    import datetime
+
+    rows = [
+        (1, i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=10 * i),
+         round(v, 2))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    w_vals = [round(v, 2) for v in vals[:-1]]  # last sample has no duration
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    seg = df.select("user_id", "value", dur.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull() & (F.col("dur_us") > 0)
+    )
+    out = (
+        seg.groupBy("user_id")
+        .agg((F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias("twap"))
+        .collect()
+    )
+    assert len(out) == 1
+    assert min(w_vals) - 1e-6 <= out[0]["twap"] <= max(w_vals) + 1e-6
