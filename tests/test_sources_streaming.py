@@ -436,3 +436,41 @@ def test_observe_quality_rides_the_action(spark):
     observed, obs = observe_quality(df, columns=["v"])
     assert observed.count() == 4
     assert obs.get == {"n_rows": 4, "null_v": 2}
+
+
+def test_sharded_url_source_parallel_read(spark, tmp_path):
+    """Python Data Source (Spark 4): one task per URL shard, fetch runs
+    executor-side; file:// exercises the same code path hermetically."""
+    from covid19_etl_pipeline_spark.sources.pyds import read_sharded_urls
+
+    f1, f2 = tmp_path / "a.txt", tmp_path / "b.txt"
+    f1.write_text("alpha\nbeta\n")
+    f2.write_text("gamma\n")
+    urls = [f1.as_uri(), f2.as_uri()]
+    df = read_sharded_urls(spark, urls)
+    assert df.rdd.getNumPartitions() == 2  # one shard per URL
+    rows = {(r["shard"], r["line"]) for r in df.collect()}
+    assert rows == {(0, "alpha"), (0, "beta"), (1, "gamma")}
+    assert set(df.columns) == {"shard", "url", "line"}
+
+
+def test_sharded_url_fetch_retries_with_backoff(tmp_path):
+    """The in-partition fetch honors the reference retry contract:
+    N attempts, 2**attempt backoff, raises after exhaustion."""
+    import pytest
+
+    from covid19_etl_pipeline_spark.sources.pyds import _fetch_with_retry
+
+    sleeps = []
+    with pytest.raises(Exception):
+        _fetch_with_retry(
+            (tmp_path / "missing.txt").as_uri(),
+            retries=3,
+            timeout=1,
+            sleep=sleeps.append,
+        )
+    assert sleeps == [1, 2]  # 2**0, 2**1; no sleep after the last attempt
+
+    ok = tmp_path / "ok.txt"
+    ok.write_text("payload")
+    assert _fetch_with_retry(ok.as_uri(), retries=1, timeout=1) == "payload"
