@@ -135,3 +135,59 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` processor: per-user lifetime
+    counters in a typed ValueState cell — the Spark-4-native successor
+    to the ``applyInPandasWithState`` form above (RocksDB-backed state,
+    typed state primitives, timer support). Kept semantically identical
+    to ``stateful_running_totals`` so the two APIs cross-check each
+    other in tests.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("totals", "n long, total double")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = self._state.get() if self._state.exists() else None
+        n, total = (prior[0], prior[1]) if prior is not None else (0, 0.0)
+        for pdf in rows:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_running_totals_v2(events: DataFrame) -> DataFrame:
+    """Per-user lifetime event count + value sum via
+    ``transformWithStateInPandas`` (Spark 4 arbitrary stateful API).
+
+    Requires the RocksDB state store provider (set by the caller's
+    session or the test fixture) — typed ValueState replaces the
+    struct-tuple GroupState, and the same processor can register
+    timers for TTL eviction (not needed for monotone counters).
+
+    Environment note: the transformWithState state-server protocol
+    needs ``google.protobuf``, which this container does not ship — the
+    parity test skips where absent (the same gating policy as the
+    multimodal image codec); ``stateful_running_totals`` is the
+    protobuf-free equivalent on the older API.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -293,3 +295,58 @@ def test_streaming_dedup_across_microbatches(spark, sf_dir, tmp_path):
 
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").first()
     assert got["n"] == got["d"] == ev.count()
+
+
+def test_transform_with_state_matches_v1(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas lifetime counters (Spark 4 typed-state
+    API) produce the same final per-user totals as the batch groupBy —
+    the modern twin of the applyInPandasWithState form.
+
+    The state-server protocol needs google.protobuf, which this
+    container does not ship — skip (not fail) where absent, the same
+    environment-gating policy as the image codec stub."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server requires protobuf",
+    )
+    from covid19_etl_pipeline_spark.streaming.stateful import (
+        stateful_running_totals_v2,
+    )
+
+    ev = _events(spark, sf_dir, max_user=8)
+    src = _stage_stream_dir(spark, ev, tmp_path, "totals2", n_files=3)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        _drain(stateful_running_totals_v2(stream), "t_totals2", "update")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    final = spark.sql(
+        """
+        SELECT user_id,
+               max(n_events) AS n_events,
+               max_by(total_value, n_events) AS total_value
+        FROM t_totals2 GROUP BY user_id
+        """
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in final}
+    expected = {
+        r["user_id"]: (r["n"], round(r["tv"], 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert got == expected
