@@ -34,6 +34,10 @@ FLAGSHIPS = (
     ("windowed_funnel_conversion", "ordered funnel — user-keyed min-agg cascade, no windows"),
     ("nation_trade_triangles", "triangle counting — oriented equi-joins over checkpointed edges"),
     ("open_orders_timeline", "sweep-line concurrency — partial-agg to days before the one ordered window"),
+    ("pq_adc_topk", "product-quantization ANN — broadcast distance tables over 4-byte codes"),
+    ("bigram_lm_perplexity", "bigram LM scoring — vocabulary stats broadcast onto the corpus stream"),
+    ("incremental_corpus_dedup", "incremental ingest dedup — batch probes persisted fingerprint + band indexes"),
+    ("bfs_shortest_hops", "distributed BFS — rounds behind a checkpoint barrier"),
 )
 
 HEADER = """# PLANS — executed physical plans of the flagship queries
