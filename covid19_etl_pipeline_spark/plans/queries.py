@@ -10880,3 +10880,60 @@ def embedding_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a stream-readable copy of ``documents`` under a
+    deterministic path keyed on sf_dir (same policy as
+    ``_staged_events_dir`` — written once, reused across runs)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    staging = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_docs_{key}")
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(staging)
+    return staging
+
+
+@_register(
+    "streaming_corpus_gate_live",
+    None,  # genuinely streaming — rows-only check; the batch twins
+    # (text_quality gate + exact_dedup) carry the hash checks
+    "LIVE streaming corpus intake — the ingestion half of the training "
+    "pipeline run as a stream: documents file-stream -> quality gate "
+    "(>= 5 tokens, the training_corpus precondition) -> streaming "
+    "exact dedup on the content fingerprint -> append sink -> per-lang "
+    "admitted counts. Composes the same operators the batch capstone "
+    "verifies, incrementally: a crawl batch landing every few minutes "
+    "is gated and deduped as it arrives instead of re-scanning the "
+    "corpus nightly; fingerprint state is per-key (watermark-evictable "
+    "at scale against a persisted index — the incremental_corpus_dedup "
+    "batch twin is the replay/backfill path)",
+)
+def streaming_corpus_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import run_to_memory_sink
+
+    staging = _staged_docs_dir(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(staging)
+    )
+    gated = (
+        stream.filter(F.size(text.tokens("text")) >= 5)
+        .withColumn("__fp", F.md5(F.col("text").cast("binary")))
+        .dropDuplicates(["__fp"])
+    )
+    run_to_memory_sink(gated, "streaming_corpus_gate_live", output_mode="append")
+    return (
+        spark.table("streaming_corpus_gate_live")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_admitted"),
+            F.sum(F.col("n_chars")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -411,3 +411,28 @@ def verify_manifest(spark: SparkSession, path: str) -> bool:
         row["n_rows"] == manifest["n_rows"]
         and str(row["content_hash"]) == str(manifest["content_hash"])
     )
+
+
+def read_parquet_resilient(
+    spark: SparkSession,
+    path: str,
+    ignore_corrupt: bool = True,
+    ignore_missing: bool = True,
+) -> DataFrame:
+    """Parquet scan that survives corrupt or vanished files — the
+    operational posture for petabyte directories where one bad object
+    must not fail a 10-hour job. ``ignoreCorruptFiles`` drops
+    unreadable FILES (footer/page-level corruption) and
+    ``ignoreMissingFiles`` drops objects deleted between listing and
+    read (eventual-consistency / concurrent-compaction races).
+
+    Deliberately NOT the default read path: silent row loss is worse
+    than a failed job unless the caller has a row-count reconciliation
+    downstream (pair with ``verify_manifest`` / the month-digest
+    queries, which is exactly what they are for).
+    """
+    return (
+        spark.read.option("ignoreCorruptFiles", str(ignore_corrupt).lower())
+        .option("ignoreMissingFiles", str(ignore_missing).lower())
+        .parquet(path)
+    )

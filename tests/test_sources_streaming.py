@@ -474,3 +474,21 @@ def test_sharded_url_fetch_retries_with_backoff(tmp_path):
     ok = tmp_path / "ok.txt"
     ok.write_text("payload")
     assert _fetch_with_retry(ok.as_uri(), retries=1, timeout=1) == "payload"
+
+
+def test_read_parquet_resilient_skips_corrupt_file(spark, sf_dir, tmp_path):
+    """A garbage .parquet object in the directory is skipped (file-level
+    drop), and the surviving rows still read; the strict reader fails."""
+    import pytest
+
+    from covid19_etl_pipeline_spark.sources.io import read_parquet_resilient
+
+    out = str(tmp_path / "res")
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(out)
+    (tmp_path / "res" / "part-corrupt.parquet").write_bytes(b"not a parquet file")
+
+    good = read_parquet_resilient(spark, out)
+    assert good.count() == 25
+
+    with pytest.raises(Exception):
+        spark.read.parquet(out).count()
