@@ -153,3 +153,83 @@ def publish_star_schema(
         }
     finally:
         fact.unpersist()
+
+
+def publish_masked_view(
+    spark: SparkSession,
+    source_view: str,
+    masked_name: str,
+    hash_cols: tuple[str, ...] = (),
+    null_cols: tuple[str, ...] = (),
+) -> None:
+    """Column-masking governance view: consumers query ``masked_name``
+    while direct identifiers are one-way hashed (joinable surrogate
+    stays, value is gone) and sensitive measures are nulled.
+
+    Views are the enforcement point Spark actually has (no row/column
+    ACLs in open-source Spark) — publish the masked view, grant only it
+    downstream, and the physical table never appears in consumer plans.
+    Masking is an expression in the view definition: zero data rewrite,
+    applied at scan time, pushdown on non-masked columns unaffected.
+    """
+    cols = []
+    base = spark.table(source_view)
+    for f in base.schema.fields:
+        if f.name in hash_cols:
+            cols.append(f"md5(CAST({f.name} AS STRING)) AS {f.name}")
+        elif f.name in null_cols:
+            cols.append(f"CAST(NULL AS {f.dataType.simpleString()}) AS {f.name}")
+        else:
+            cols.append(f.name)
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW {masked_name} AS "
+        f"SELECT {', '.join(cols)} FROM {source_view}"
+    )
+
+
+def publish_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    root: str,
+    version: str,
+) -> str:
+    """Versioned publication with an atomic current-pointer — poor-man's
+    snapshot isolation on plain parquet: each publish lands under
+    ``<root>/<name>/v=<version>/`` (immutable), then a tiny ``_CURRENT``
+    pointer file is atomically replaced. Readers resolve the pointer at
+    query start, so an in-flight publish never tears a read, and
+    rollback is rewriting one pointer — no data movement. The pattern
+    table formats (Delta/Iceberg) implement with manifests, from Spark
+    primitives.
+    """
+    import os
+
+    data_dir = f"{root}/{name}/v={version}"
+    write_parquet(with_audit_column(df), data_dir)
+    pointer, tmp = f"{root}/{name}/_CURRENT", f"{root}/{name}/_CURRENT.tmp"
+    os.makedirs(f"{root}/{name}", exist_ok=True)
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, pointer)  # atomic on POSIX
+    return data_dir
+
+
+def read_current(spark: SparkSession, name: str, root: str) -> DataFrame:
+    """Resolve the ``_CURRENT`` pointer and read that version."""
+    with open(f"{root}/{name}/_CURRENT") as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(f"{root}/{name}/v={version}")
+
+
+def rollback_version(name: str, root: str, version: str) -> None:
+    """Point ``_CURRENT`` back at an existing version — one file write,
+    zero data movement."""
+    import os
+
+    if not os.path.isdir(f"{root}/{name}/v={version}"):
+        raise FileNotFoundError(f"no published version {version!r} for {name}")
+    tmp = f"{root}/{name}/_CURRENT.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, f"{root}/{name}/_CURRENT")

@@ -436,3 +436,32 @@ def read_parquet_resilient(
         .option("ignoreMissingFiles", str(ignore_missing).lower())
         .parquet(path)
     )
+
+
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: Sequence[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> str:
+    """Parquet write with per-column BLOOM FILTERS in the file footers.
+
+    Min/max stats prune files for RANGE predicates; bloom filters prune
+    for POINT lookups on high-cardinality, unsorted columns (user ids,
+    request ids) where min/max spans everything — the reader tests the
+    filter before touching any page. Size the ``expected_ndv`` to the
+    per-file distinct count: too low inflates false positives, too
+    high wastes footer bytes (~1.2 bytes/ndv at 1% fpp).
+
+    The lookup-side complement of ``write_clustered``/``write_zordered``
+    (which reorganize rows); this only annotates files, so it composes
+    with either layout.
+    """
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)
+    return path

@@ -256,3 +256,72 @@ processing:
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(report["timings"]) == {"extract", "transform", "load"}
     assert (tmp_path / "o" / "serving" / "covid_cases").exists()
+
+
+def test_write_parquet_bloom_annotates_files(spark, tmp_path):
+    """Bloom-filtered files carry the filter bytes: same data written
+    with blooms is measurably larger than without (pyarrow here does
+    not expose the bloom offset, so size delta is the observable)."""
+    import glob
+    import os
+
+    from covid19_etl_pipeline_spark.sources.io import write_parquet_bloom
+
+    df = spark.range(20000).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.coalesce(1).write.parquet(plain)
+    write_parquet_bloom(df.coalesce(1), bloomed, ["k"], expected_ndv=20000)
+    size = lambda d: sum(
+        os.path.getsize(f) for f in glob.glob(d + "/*.parquet")
+    )
+    assert size(bloomed) > size(plain) + 10_000  # filter bytes present
+    assert spark.read.parquet(bloomed).count() == 20000
+
+
+def test_publish_masked_view_hashes_and_nulls(spark, sf_dir):
+    """Masked view: hashed identifier stays joinable (same input, same
+    surrogate), nulled measure is gone, other columns untouched."""
+    from covid19_etl_pipeline_spark.serving import publish_masked_view
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "cust_raw"
+    )
+    publish_masked_view(
+        spark, "cust_raw", "cust_masked",
+        hash_cols=("c_name",), null_cols=("c_acctbal",),
+    )
+    masked = spark.table("cust_masked")
+    assert set(masked.columns) == set(spark.table("cust_raw").columns)
+    rows = masked.orderBy("c_custkey").limit(2).collect()
+    raw = spark.table("cust_raw").orderBy("c_custkey").limit(2).collect()
+    import hashlib
+
+    assert rows[0]["c_name"] == hashlib.md5(raw[0]["c_name"].encode()).hexdigest()
+    assert rows[0]["c_acctbal"] is None
+    assert rows[0]["c_mktsegment"] == raw[0]["c_mktsegment"]
+    # surrogate is deterministic: same name in two reads -> same hash
+    assert rows[0]["c_name"] == masked.filter(
+        masked.c_custkey == raw[0]["c_custkey"]
+    ).first()["c_name"]
+
+
+def test_versioned_publish_pointer_swap_and_rollback(spark, sf_dir, tmp_path):
+    """Two publishes: readers follow _CURRENT to v2; rollback repoints
+    to v1 with zero data movement; unknown rollback target raises."""
+    import pytest
+
+    from covid19_etl_pipeline_spark.serving import (
+        publish_versioned,
+        read_current,
+        rollback_version,
+    )
+
+    root = str(tmp_path)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    publish_versioned(spark, nation, "dim_nation", root, "20260813")
+    publish_versioned(spark, nation.limit(5), "dim_nation", root, "20260814")
+    assert read_current(spark, "dim_nation", root).count() == 5
+    rollback_version("dim_nation", root, "20260813")
+    assert read_current(spark, "dim_nation", root).count() == 25
+    with pytest.raises(FileNotFoundError):
+        rollback_version("dim_nation", root, "19990101")
