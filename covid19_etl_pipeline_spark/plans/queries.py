@@ -6763,7 +6763,16 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     staging = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_events_{key}")
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staging)
+        # write-to-temp + atomic rename: concurrent stagers race benignly
+        # (one rename wins, losers read the winner's complete copy)
+        tmp = staging + f".tmp{os.getpid()}"
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, staging)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return staging
 
 
@@ -10893,7 +10902,14 @@ def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     staging = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_docs_{key}")
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(staging)
+        tmp = staging + f".tmp{os.getpid()}"
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, staging)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return staging
 
 
@@ -10936,4 +10952,42 @@ def streaming_corpus_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars")).alias("total_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@_register(
+    "paged_orders",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE (CAST(o_orderdate AS DATE), o_orderkey) > (DATE '1996-06-01', 2500)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 25
+    """,
+    "KEYSET pagination — the serving-layer pattern OFFSET cannot "
+    "survive: the next page is WHERE (sort_key, unique_key) > "
+    "(cursor) ORDER BY ... LIMIT n, so every page costs one pruned "
+    "scan + TakeOrdered(n) regardless of page depth, where OFFSET "
+    "100000 re-sorts and discards 100k rows per request. The row "
+    "comparison compiles to a pushable range predicate on the leading "
+    "key; the unique tie-break key makes pages gap- and overlap-free "
+    "under concurrent inserts",
+)
+def paged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    cursor_date, cursor_key = "1996-06-01", 2500
+    after = (od > F.lit(cursor_date).cast("date")) | (
+        (od == F.lit(cursor_date).cast("date")) & (F.col("o_orderkey") > cursor_key)
+    )
+    return (
+        o.filter(after)
+        .select(
+            "o_orderkey",
+            od.alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(25)
     )

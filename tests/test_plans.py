@@ -923,3 +923,12 @@ def test_cluster_separation_broadcast_centroids(spark):
     plan = _plan(spark, "embedding_cluster_separation")
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_paged_orders_pushes_cursor_and_takes_ordered(spark):
+    """paged_orders: the keyset cursor reaches the scan as a pushed
+    range predicate on the leading key, and the page is a
+    TakeOrderedAndProject — no global sort at any page depth."""
+    plan = _plan(spark, "paged_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan
