@@ -125,3 +125,65 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "mime_type", "frame_ts_ms")
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime_type", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def fit_box_dims(width, height, box: int = 224):
+    """Aspect-preserving fit-into-box target dimensions as Column
+    expressions — the metadata half of a resize, computable (and
+    oracle-checkable) without any codec: the longer side becomes
+    ``box``, the shorter side scales by floor(side * box / longer),
+    floored at 1. Upscaling is allowed (train-time resize semantics).
+    """
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    longer = F.greatest(w, h)
+    ow = F.greatest(F.lit(1), F.floor(w * box / longer)).cast("int")
+    oh = F.greatest(F.lit(1), F.floor(h * box / longer)).cast("int")
+    return ow, oh
+
+
+def resize_images(assets: DataFrame, box: int = 224) -> DataFrame:
+    """Arrow-batched image resize over binary payloads.
+
+    The decode→resize→re-encode body is the STUBBED step (no codec in
+    this container — deterministic byte-slice stands in); everything a
+    production resize needs from Spark is real and tested: the
+    iterator-of-batches ``mapInPandas`` shape (one Arrow batch in
+    flight), the aspect-preserving dimension plan computed JVM-side
+    BEFORE Python (so metadata-only consumers never enter the UDF),
+    and the typed output schema. Swap ``_stub_resize`` for a
+    PIL.Image.resize body to go live.
+    """
+    ow, oh = fit_box_dims("width", "height", box)
+    planned = assets.filter(
+        F.col("width").isNotNull() & F.col("height").isNotNull()
+    ).withColumns({"out_width": ow, "out_height": oh})
+
+    def _stub_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = (pdf["out_width"] * pdf["out_height"]).clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime_type": pdf["mime_type"],
+                    "out_width": pdf["out_width"],
+                    "out_height": pdf["out_height"],
+                    "payload": [
+                        (b"" if p is None else bytes(p))[:k]
+                        for p, k in zip(pdf["payload"], n)
+                    ],
+                }
+            )
+
+    return planned.mapInPandas(_stub_resize, schema=_RESIZE_SCHEMA)

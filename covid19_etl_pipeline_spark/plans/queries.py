@@ -10991,3 +10991,47 @@ def paged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(25)
     )
+
+
+@_register(
+    "multimodal_resize_dims",
+    """
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               CAST(1 + (doc_id % 1600) AS INT) AS width,
+               CAST(1 + ((doc_id * 7) % 1200) AS INT) AS height
+        FROM documents
+        WHERE CAST(substr(source, 4, 10) AS INT) % 3 = 0
+    )
+    SELECT asset_id, width, height,
+           CAST(greatest(1, floor(width  * 224 / greatest(width, height)))
+                AS INT) AS out_width,
+           CAST(greatest(1, floor(height * 224 / greatest(width, height)))
+                AS INT) AS out_height
+    FROM assets
+    ORDER BY asset_id
+    """,
+    "image-resize DIMENSION planning (multimodal.fit_box_dims): per "
+    "asset, the aspect-preserving fit-into-224-box target size — the "
+    "metadata half of a resize, computed JVM-side so the plan (and "
+    "this oracle) never needs a codec, and metadata-only consumers "
+    "never enter the Python stage. The Arrow mapInPandas byte path "
+    "around the (stubbed) decode is exercised by the resize_images "
+    "operator test; synthetic per-asset dimensions derive "
+    "deterministically from ids so both engines compute identical "
+    "plans",
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators.multimodal import fit_box_dims
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int") % 3
+    assets = docs.filter(src_num == 0).select(
+        F.col("doc_id").alias("asset_id"),
+        (1 + F.col("doc_id") % 1600).cast("int").alias("width"),
+        (1 + (F.col("doc_id") * 7) % 1200).cast("int").alias("height"),
+    )
+    ow, oh = fit_box_dims("width", "height", 224)
+    return assets.select(
+        "asset_id", "width", "height", ow.alias("out_width"), oh.alias("out_height")
+    ).orderBy("asset_id")

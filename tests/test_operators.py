@@ -277,3 +277,28 @@ def test_relax_rounds_bounded_hops(spark):
     }
     assert three["b"] == 3.0  # a->c->d->b now visible
     assert three["a"] == 0.0 and three["c"] == 1.0 and three["d"] == 2.0
+
+
+def test_resize_images_stub_plumbing(spark):
+    """resize_images: Arrow mapInPandas path produces the planned dims
+    and a payload truncated to out_width*out_height bytes; null-dim
+    assets are excluded before Python."""
+    from covid19_etl_pipeline_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image/png", b"x" * 1000, 400, 200, None),
+            (2, "image/png", b"y" * 10, 10, 40, None),
+            (3, "image/png", b"z", None, 5, None),  # no width -> excluded
+        ],
+        "asset_id long, mime_type string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    out = {r["asset_id"]: r for r in resize_images(assets, box=224).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["out_width"], r1["out_height"]) == (224, 112)  # 400x200 -> fit
+    assert len(r1["payload"]) == min(1000, 224 * 112)
+    r2 = out[2]
+    assert (r2["out_width"], r2["out_height"]) == (56, 224)  # upscale allowed
+    assert len(r2["payload"]) == 10  # stub truncation capped by source bytes
