@@ -11035,3 +11035,122 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.select(
         "asset_id", "width", "height", ow.alias("out_width"), oh.alias("out_height")
     ).orderBy("asset_id")
+
+
+@_register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+                   AS hv
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r
+        FROM h
+    ),
+    sk AS (SELECT event_type, hv, r FROM rk WHERE r <= 64),
+    per AS (
+        SELECT event_type,
+               max(CASE WHEN r = 64 THEN hv END) AS kth,
+               count(*) AS n_in_sketch
+        FROM sk GROUP BY event_type
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    ),
+    merged AS (
+        SELECT hv, row_number() OVER (ORDER BY hv) AS r
+        FROM (SELECT DISTINCT hv FROM sk)
+    ),
+    g AS (
+        SELECT max(CASE WHEN r = 64 THEN hv END) AS kth,
+               count(*) AS n_in_sketch
+        FROM merged WHERE r <= 64
+    ),
+    gex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events),
+    scored AS (
+        SELECT p.event_type, e.n_exact,
+               CASE WHEN p.kth IS NULL THEN CAST(p.n_in_sketch AS DOUBLE)
+                    ELSE 63.0 * power(16.0, 15.0) / p.kth END AS est
+        FROM per p JOIN ex e ON p.event_type = e.event_type
+        UNION ALL
+        SELECT '__all__', gex.n_exact,
+               CASE WHEN g.kth IS NULL THEN CAST(g.n_in_sketch AS DOUBLE)
+                    ELSE 63.0 * power(16.0, 15.0) / g.kth END
+        FROM g, gex
+    )
+    SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+           round(est, 4) AS kmv_estimate,
+           abs(est - n_exact) <= 0.5 * n_exact AS kmv_ok
+    FROM scored
+    ORDER BY event_type
+    """,
+    "KMV (k-minimum-values) distinct sketch built from RELATIONAL "
+    "PRIMITIVES — unlike HLL (engine-specific registers, only the "
+    "error contract is checkable), a KMV sketch IS data: the k=64 "
+    "smallest md5 fractions of the key per group, so both engines "
+    "compute bit-identical sketches AND estimates ((k-1)/kth-min "
+    "fraction), making the estimator itself hash-comparable. "
+    "Mergeability is demonstrated structurally: the '__all__' row is "
+    "estimated from the UNION of the per-type sketches (min-wise "
+    "merge, k smallest of the pooled mins) — never re-touching the "
+    "fact, exactly how persisted per-segment sketches answer global "
+    "questions at 100 TB. Sub-k groups fall back to exact (sketch is "
+    "the full hash set). Error bound ~1/sqrt(k-1): a 50% gate at "
+    "k=64 (the tight contract is audited by approx_distinct_users)",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    k = 64
+    space = 16.0 ** 15
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    ).localCheckpoint()  # the persisted per-segment sketch artifact
+    per = sk.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == k, F.col("hv"))).alias("kth"),
+        F.count("*").alias("n_in_sketch"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = F.when(
+        F.col("kth").isNull(), F.col("n_in_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(space) / F.col("kth"))
+    scored = per.join(ex, "event_type").select(
+        "event_type", "n_exact", est.alias("est")
+    )
+    merged = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("r") <= k)
+    )
+    g = merged.agg(
+        F.max(F.when(F.col("r") == k, F.col("hv"))).alias("kth"),
+        F.count("*").alias("n_in_sketch"),
+    )
+    gex = ev.select("user_id").agg(F.countDistinct("user_id").alias("n_exact"))
+    g_row = g.crossJoin(F.broadcast(gex)).select(
+        F.lit("__all__").alias("event_type"), "n_exact", est.alias("est")
+    )
+    return (
+        scored.unionByName(g_row)
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round("est", 4).alias("kmv_estimate"),
+            (F.abs(F.col("est") - F.col("n_exact")) <= 0.5 * F.col("n_exact")).alias(
+                "kmv_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -932,3 +932,11 @@ def test_paged_orders_pushes_cursor_and_takes_ordered(spark):
     plan = _plan(spark, "paged_orders")
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters" in plan
+
+
+def test_kmv_sketch_behind_checkpoint_merge_from_sketch(spark):
+    """kmv_distinct_users: the global '__all__' estimate reads the
+    CHECKPOINTED per-type sketches (min-wise merge), not the fact —
+    structural proof of mergeability."""
+    plan = _plan(spark, "kmv_distinct_users")
+    assert "Scan ExistingRDD" in plan  # merged pool reads the sketch artifact
