@@ -1,0 +1,233 @@
+"""Repo-wide physical-plan lint: every registry query's executed plan,
+checked for the antipatterns that kill 100 TB runs.
+
+Rules (allowlists document the reviewed exceptions):
+- no CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only for 1-row scalar / tiny-literal
+  broadcasts (the scalar-subquery pattern) — queries where the pattern
+  is structural are allowlisted by name after review;
+- no row-at-a-time Python (BatchEvalPython); Arrow paths
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) only in the
+  allowlisted Pandas-operator queries;
+- no SinglePartition window outside the documented post-aggregate
+  global-series queries.
+
+tests/test_plan_lint.py runs this over the FULL registry — adding a
+query with a bad plan fails CI, not the next 100 TB run.
+
+Usage: PYTHONPATH=. python tools/plan_lint.py [--sf /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+#: Arrow/pandas execution is the documented design for these (grouped
+#: EWMA fold; multimodal decode plumbing).
+PANDAS_OK = {
+    "ewma_daily_value",
+    "multimodal_feature_extract",
+}
+
+#: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
+#: (cross-join of a grand aggregate) or reviewed tiny-side patterns.
+BNLJ_OK = {
+    "scalar_subquery_ratio",
+    "above_avg_orders",
+    "global_stats",
+    "tfidf_top_terms",
+    "bm25_doc_retrieval",
+    "token_entropy_quality",
+    "zipf_term_slope",
+    "unigram_logprob_quality",
+    "bigram_lm_perplexity",
+    "corpus_duplicate_ngrams",
+    "vocab_growth_by_source",
+    "decontaminate_eval_overlap",
+    "hll_union_event_types",
+    "bigram_pmi_collocations",  # vocabulary scalar totals broadcast
+    "recent_days",  # 1-row max-date scalar broadcast
+
+    "hll_user_overlap_estimate",
+    "hll_user_overlap_audit",
+    "minhash_estimate_accuracy",
+    "kmeans_refined_centroids",
+    "sim_bruteforce_topk",
+    "hard_negative_mining",
+    "embedding_neardup_pairs",
+    "embedding_dimension_whitening",
+    "embedding_cluster_separation",
+    "quantize_embeddings_int8",
+    "random_projection_embeddings",
+    "cluster_balanced_sample",
+    "sim_ivf_topk",
+    "ivf_multiprobe_recall",
+    "lsh_banding_recall",
+    "sim_lsh_ann_topk",
+    "semantic_doc_retrieval",
+    "recsys_negative_samples",
+    "source_mixture_weights",
+    "epoch_upsample_documents",
+    "weighted_sample_documents",
+    "source_calibrated_quality",
+    "price_distribution_psi",
+    "customers_active_every_quarter",
+    "cusum_changepoint_days",
+    "join_key_skew_report",
+    "join_key_skew_profile",
+    "seasonal_decomposition_daily",
+    "ab_test_conversion_lift",
+    "discount_revenue_forecast",
+    "dormant_premium_customers",
+    "supplier_value_concentration",
+    "national_market_share",
+    "promo_revenue_ratio",
+    "cumulative_distinct_users",
+    "trending_event_types",
+    "kmv_distinct_users",
+    "bpe_merge_induction",
+    "bpe_apply_merges",
+    "pq_adc_topk",
+    "multi_regression_price",
+    "nation_trade_pagerank",
+    "timed_conversion_rate",
+    "truncation_audit",
+    "pack_training_sequences",
+    "equidepth_deciles",
+    "winsorize_values",
+    "approx_percentile_check",
+    "histogram_totalprice",
+    "distribution_moments",
+    "measure_correlation_matrix",
+    "price_quantity_regression",
+    "price_percentile_ranks",
+    "global_stats",
+    "null_profile_enriched",
+    "training_corpus",
+    "leakage_safe_split",
+    "dup_cluster_size_distribution",
+    "acf_multi_lag",
+}
+
+#: Documented post-aggregate global series (days-sized input) where an
+#: unpartitioned window is the stated design.
+SINGLE_PARTITION_OK = {
+    "daily_rollup_7day",
+    "gap_fill_daily",
+    "interpolate_daily",
+    "locf_fill_daily",
+    "sliding_window_rollup",
+    "cumulative_distinct_users",
+    "discount_revenue_forecast",
+    "autocorr_lag1_users",  # global rank over per-user rollup output
+    "seasonal_decomposition_daily",
+    "cusum_changepoint_days",
+    "open_orders_timeline",
+    "acf_multi_lag",
+    "dow_seasonality_profile",
+    "equidepth_deciles",
+    "zipf_term_slope",
+    "rfm_customer_segments",  # ntile over entity-sized rollup
+    "rank_distribution",
+    "price_percentile_ranks",
+    "supplier_value_concentration",
+    "top_revenue_supplier",
+    "cohort_retention",
+    "cohort_retention_matrix",
+    "vocab_growth_by_source",
+    "source_mixture_weights",
+    "bpe_merge_induction",
+    "bpe_apply_merges",
+    "approx_top_event_types",
+    "trending_event_types",
+    "kmv_distinct_users",
+    "minhash_estimate_accuracy",
+    "lsh_banding_recall",
+    "word_count_topk",
+    "tfidf_top_terms",
+    "bigram_pmi_collocations",
+    "heavy_hitters_cms",
+    "user_value_ohlc_daily",
+    "join_key_skew_report",
+    "join_key_skew_profile",
+    "ab_test_conversion_lift",
+    "weighted_median_unit_price",
+    "first_touch_attribution",
+    "bm25_doc_retrieval",  # df window over the term-count-sized tf rollup
+    "customer_revenue_gini",  # ordered cumulative over the entity rollup
+    "nation_trade_pagerank",  # final rank over the 25-node graph
+    "recsys_negative_samples",  # item-index window over the part DIMENSION
+    "revenue_contribution",  # percent-of-total over the entity rollup
+    "small_order_revenue",  # per-part avg window over the part-sized rollup
+}
+
+#: Streaming queries execute sinks on build — lint the batch surface.
+SKIP = {
+    "streaming_daily_rollup_live",
+    "streaming_session_rollup_live",
+    "streaming_dedup_live",
+    "streaming_join_live",
+    "streaming_corpus_gate_live",
+}
+
+
+def lint(spark, sf_dir: str, names=None) -> dict[str, list[str]]:
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    problems: dict[str, list[str]] = {}
+    for name, spec in REGISTRY.items():
+        if name in SKIP or (names and name not in names):
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        issues = []
+        if "CartesianProduct" in plan:
+            issues.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            issues.append("BatchEvalPython (row-at-a-time Python)")
+        if (
+            ("ArrowEvalPython" in plan or "MapInPandas" in plan
+             or "FlatMapGroupsInPandas" in plan)
+            and name not in PANDAS_OK
+        ):
+            issues.append("unreviewed Pandas/Arrow exec node")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            issues.append("unreviewed BroadcastNestedLoopJoin")
+        if (
+            "Window" in plan
+            and "SinglePartition" in plan
+            and name not in SINGLE_PARTITION_OK
+        ):
+            issues.append("unreviewed SinglePartition window")
+        if issues:
+            problems[name] = issues
+    return problems
+
+
+def main(argv=None) -> int:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = p.parse_args(argv)
+
+    from covid19_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-lint")
+    problems = lint(spark, args.sf)
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    n_checked = len(REGISTRY) - len(SKIP)
+    if problems:
+        for name, issues in sorted(problems.items()):
+            print(f"{name}: {', '.join(issues)}")
+        print(f"\n{len(problems)}/{n_checked} queries flagged")
+    else:
+        print(f"all {n_checked} query plans clean")
+    spark.stop()
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
