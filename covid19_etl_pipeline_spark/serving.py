@@ -233,3 +233,44 @@ def rollback_version(name: str, root: str, version: str) -> None:
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, f"{root}/{name}/_CURRENT")
+
+
+def cached_query(
+    spark: SparkSession,
+    sql: str,
+    cache_root: str,
+    ttl_seconds: int = 3600,
+) -> DataFrame:
+    """TTL result cache for serving queries — the engine-side analog of
+    the reference dashboard's 1-hour ``@st.cache_data(ttl=3600)``
+    (dashboard.py:68,86,105,124), but shared across PROCESSES: results
+    snapshot to parquet keyed on the md5 of the SQL text, and any
+    session younger than the TTL reads the snapshot instead of
+    re-executing. Staleness is the contract (a dashboard refresh may
+    be up to ttl old); invalidate by version-bumping the SQL text or
+    deleting the key dir. The snapshot write uses the same
+    write-temp-then-rename publication as the versioned store, so
+    concurrent missers race benignly.
+    """
+    import hashlib
+    import os
+    import time
+
+    key = hashlib.md5(sql.encode()).hexdigest()[:16]
+    snap = os.path.join(cache_root, f"q_{key}")
+    marker = os.path.join(snap, "_SUCCESS")
+    if os.path.exists(marker) and time.time() - os.path.getmtime(marker) < ttl_seconds:
+        return spark.read.parquet(snap)
+    tmp = f"{snap}.tmp{os.getpid()}"
+    spark.sql(sql).write.mode("overwrite").parquet(tmp)
+    try:
+        import shutil
+
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        os.rename(tmp, snap)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(snap)

@@ -325,3 +325,30 @@ def test_versioned_publish_pointer_swap_and_rollback(spark, sf_dir, tmp_path):
     assert read_current(spark, "dim_nation", root).count() == 25
     with pytest.raises(FileNotFoundError):
         rollback_version("dim_nation", root, "19990101")
+
+
+def test_cached_query_ttl_hit_and_expiry(spark, sf_dir, tmp_path):
+    """Within TTL the snapshot is served (source changes invisible);
+    after expiry the query re-executes and sees the new data — the
+    reference dashboard's ttl=3600 contract, cross-process."""
+    import os
+    import time
+
+    from covid19_etl_pipeline_spark.serving import cached_query
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").limit(10).createOrReplaceTempView(
+        "cq_nation"
+    )
+    sql = "SELECT count(*) AS n FROM cq_nation"
+    root = str(tmp_path)
+    assert cached_query(spark, sql, root, ttl_seconds=3600).first()["n"] == 10
+
+    # source changes under the cache: still served stale within TTL
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("cq_nation")
+    assert cached_query(spark, sql, root, ttl_seconds=3600).first()["n"] == 10
+
+    # expire the snapshot: next call re-executes and sees 25
+    key_dir = next(p for p in os.listdir(root) if p.startswith("q_"))
+    marker = os.path.join(root, key_dir, "_SUCCESS")
+    os.utime(marker, (time.time() - 7200, time.time() - 7200))
+    assert cached_query(spark, sql, root, ttl_seconds=3600).first()["n"] == 25
