@@ -352,3 +352,54 @@ def test_cached_query_ttl_hit_and_expiry(spark, sf_dir, tmp_path):
     marker = os.path.join(root, key_dir, "_SUCCESS")
     os.utime(marker, (time.time() - 7200, time.time() - 7200))
     assert cached_query(spark, sql, root, ttl_seconds=3600).first()["n"] == 25
+
+
+def test_governed_publication_capstone(spark, sf_dir, tmp_path):
+    """Round-2 serving capstone — the governed publication chain end to
+    end: versioned publish with atomic pointer -> masked consumer view
+    over the CURRENT version -> TTL-cached query on the masked view ->
+    rollback flips what every downstream layer sees, with zero data
+    movement."""
+    from covid19_etl_pipeline_spark.serving import (
+        cached_query,
+        publish_masked_view,
+        publish_versioned,
+        read_current,
+        rollback_version,
+    )
+
+    root = str(tmp_path / "store")
+    cache = str(tmp_path / "cache")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    publish_versioned(spark, cust, "dim_customer", root, "v1")
+    publish_versioned(spark, cust.limit(100), "dim_customer", root, "v2")
+
+    read_current(spark, "dim_customer", root).createOrReplaceTempView("cust_cur")
+    publish_masked_view(
+        spark, "cust_cur", "cust_gov",
+        hash_cols=("c_name",), null_cols=("c_acctbal",),
+    )
+    gov = spark.table("cust_gov")
+    assert gov.count() == 100                      # consumers see v2
+    assert gov.filter(gov.c_acctbal.isNotNull()).count() == 0
+    assert gov.first()["c_name"] not in {r["c_name"] for r in cust.limit(1).collect()}
+
+    # TTL cache serves the governed result; rollback + re-registration
+    # changes the physical data, the stale snapshot still serves until
+    # expiry (the dashboard-freshness contract)
+    n1 = cached_query(
+        spark, "SELECT count(*) AS n FROM cust_gov", cache
+    ).first()["n"]
+    assert n1 == 100
+    rollback_version("dim_customer", root, "v1")
+    read_current(spark, "dim_customer", root).createOrReplaceTempView("cust_cur")
+    publish_masked_view(
+        spark, "cust_cur", "cust_gov",
+        hash_cols=("c_name",), null_cols=("c_acctbal",),
+    )
+    assert spark.table("cust_gov").count() == cust.count()  # live view: v1
+    n_cached = cached_query(
+        spark, "SELECT count(*) AS n FROM cust_gov", cache
+    ).first()["n"]
+    assert n_cached == 100  # snapshot within TTL stays authoritative
