@@ -105,3 +105,24 @@ def bucketed_equi_join(
     for repeated fact⋈fact joins where neither side broadcasts.
     """
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def reliable_checkpoint(df: DataFrame, checkpoint_dir: str) -> DataFrame:
+    """Reliable (storage-backed) checkpoint — the production form of
+    the ``localCheckpoint`` barriers used throughout the iterative
+    operators (connected components, pagerank, BFS, k-means).
+
+    ``localCheckpoint`` stores blocks on executors: fast, but lost with
+    an executor — fine on local[n], wrong for a 10-hour 1000-executor
+    job. This sets the SparkContext checkpoint dir (HDFS/object storage
+    in production) and materializes ``df`` there, truncating lineage
+    AND surviving executor loss; an iterative caller passes
+    ``barrier=lambda d: reliable_checkpoint(d, dir)`` where it would
+    use ``DataFrame.localCheckpoint``.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None or not str(sc.getCheckpointDir()).startswith(
+        checkpoint_dir.rstrip("/")
+    ):
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)

@@ -465,3 +465,26 @@ def write_parquet_bloom(
         )
     writer.parquet(path)
     return path
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+) -> str:
+    """Dynamic partition overwrite — replace ONLY the partitions present
+    in ``df``, leaving sibling partitions untouched: the daily-backfill
+    idiom (re-land one day into a date-partitioned dataset without
+    rewriting or truncating the year). Static overwrite mode would drop
+    EVERY partition first; the dynamic conf scopes the overwrite to the
+    partitions the job actually produced. The conf is set per-write and
+    restored, so the session default stays static (the safer global).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return path

@@ -492,3 +492,48 @@ def test_read_parquet_resilient_skips_corrupt_file(spark, sf_dir, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.parquet(out).count()
+
+
+def test_dynamic_partition_overwrite_replaces_only_landed(spark, sf_dir, tmp_path):
+    """Re-landing one priority partition leaves the others intact and
+    fully replaces that partition's rows (no append-duplication)."""
+    from covid19_etl_pipeline_spark.sources.io import overwrite_partitions_dynamic
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    out = str(tmp_path / "dyn")
+    overwrite_partitions_dynamic(orders, out, ["o_orderpriority"])
+    before = spark.read.parquet(out).count()
+
+    one = orders.filter(orders.o_orderpriority == "1-URGENT")
+    relanded = one.limit(3)
+    overwrite_partitions_dynamic(relanded, out, ["o_orderpriority"])
+
+    after = spark.read.parquet(out)
+    assert after.filter(after.o_orderpriority == "1-URGENT").count() == 3
+    assert (
+        after.filter(after.o_orderpriority != "1-URGENT").count()
+        == before - one.count()
+    )
+    # session default restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
+        == "STATIC"
+    )
+
+
+def test_reliable_checkpoint_truncates_lineage(spark, sf_dir, tmp_path):
+    """The checkpointed frame reads back identical rows and its plan is
+    a checkpoint scan, not the original join tree."""
+    from covid19_etl_pipeline_spark.operators.partitioning import (
+        reliable_checkpoint,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = nation.join(region, nation.n_regionkey == region.r_regionkey)
+    ck = reliable_checkpoint(joined, str(tmp_path / "ckpt"))
+    assert ck.count() == joined.count()
+    plan = ck._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "Join" not in plan
