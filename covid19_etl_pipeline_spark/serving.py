@@ -274,3 +274,27 @@ def cached_query(
 
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(snap)
+
+
+def list_versions(spark: SparkSession, name: str, root: str) -> DataFrame:
+    """Metadata view of the versioned store (the snapshots table a
+    table format would give you): one row per published version with
+    its row count and whether it is current. Counts come from parquet
+    footers (metadata-only), not data scans."""
+    import os
+
+    base = f"{root}/{name}"
+    current = None
+    cur_path = os.path.join(base, "_CURRENT")
+    if os.path.exists(cur_path):
+        with open(cur_path) as fh:
+            current = fh.read().strip()
+    rows = []
+    for entry in sorted(os.listdir(base)):
+        if entry.startswith("v="):
+            version = entry[2:]
+            n = spark.read.parquet(os.path.join(base, entry)).count()
+            rows.append((version, n, version == current))
+    return spark.createDataFrame(
+        rows, "version string, n_rows long, is_current boolean"
+    )

@@ -403,3 +403,17 @@ def test_governed_publication_capstone(spark, sf_dir, tmp_path):
         spark, "SELECT count(*) AS n FROM cust_gov", cache
     ).first()["n"]
     assert n_cached == 100  # snapshot within TTL stays authoritative
+
+
+def test_list_versions_metadata(spark, sf_dir, tmp_path):
+    from covid19_etl_pipeline_spark.serving import list_versions, publish_versioned
+
+    root = str(tmp_path)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    publish_versioned(spark, nation, "t", root, "v1")
+    publish_versioned(spark, nation.limit(4), "t", root, "v2")
+    got = {
+        r["version"]: (r["n_rows"], r["is_current"])
+        for r in list_versions(spark, "t", root).collect()
+    }
+    assert got == {"v1": (25, False), "v2": (4, True)}
