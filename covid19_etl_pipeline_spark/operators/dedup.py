@@ -509,8 +509,17 @@ def connected_components(
     adj = bi.union(
         nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))
     ).localCheckpoint()
-    labels = nodes.withColumn("label", F.col("node"))
-    prev_sum = None
+    # round 0 fused: with identity starting labels, the first
+    # neighborhood-min is just min(s) per d over adj (the self-loop
+    # carries the node's own id) — one agg instead of a join+agg round.
+    # For the near-clique graphs dedup produces this IS the fixed
+    # point, so the loop below typically runs once to confirm.
+    labels = (
+        adj.groupBy(F.col("d").alias("node"))
+        .agg(F.min("s").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels, adj["s"] == labels["node"])

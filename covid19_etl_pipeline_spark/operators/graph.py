@@ -61,25 +61,28 @@ def pagerank(
     ).localCheckpoint()
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             trans.join(ranks, trans.src == ranks.node)
             .select("dst", (F.col("p") * F.col("r")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(teleport)
-                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
-                    round_digits,
-                ).alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            F.round(
+                F.lit(teleport)
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                round_digits,
+            ).alias("r"),
         )
+        # each round references the previous ranks exactly ONCE, so the
+        # unrolled plan grows linearly and Catalyst compiles the whole
+        # power iteration into a single job — no per-round barrier
+        # needed. Only cut lineage periodically so deep iteration counts
+        # don't blow up the optimizer or the task-closure size.
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank"))
 
 
