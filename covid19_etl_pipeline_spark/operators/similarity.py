@@ -199,10 +199,12 @@ def lloyd_iterations(
     """
     # pts is read by EVERY round's assignment — materialize it once
     # (MLlib caches its training set for the same reason; at 100 TB
-    # this is a .persist() of the feature table). Each round's
-    # centroid table is likewise checkpointed: it is k×dim TINY, and
-    # without the barrier round r's lineage re-executes rounds
-    # 1..r-1 on every reference.
+    # this is a .persist() of the feature table). The centroid table,
+    # by contrast, is referenced exactly ONCE per round (the broadcast
+    # build side of the next assignment), so the unrolled plan grows
+    # linearly and short runs compile into a single job — only cut
+    # lineage periodically so deep iteration counts don't blow up the
+    # optimizer.
     pts = emb.select(
         F.col(id_col).alias("pid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -211,7 +213,7 @@ def lloyd_iterations(
         F.col("pid").alias("cid"),
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
     )
-    for _ in range(iters):
+    for i in range(iters):
         assigned = _nearest_centroid(pts, cent)
         cent = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
@@ -224,6 +226,7 @@ def lloyd_iterations(
                     lambda s: s.getField("m"),
                 ).alias("cv")
             )
-            .localCheckpoint()
         )
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            cent = cent.localCheckpoint()
     return _nearest_centroid(pts, cent, keep_dist=True), cent
