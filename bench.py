@@ -73,10 +73,12 @@ HEADLINE = (
     "weighted_sample_documents",
     "recsys_negative_samples",
     "epoch_upsample_documents",
-    # round-2 flagships: PQ-ADC ANN, bigram LM scoring, KMV sketch
+    # round-2 flagships: PQ-ADC ANN, bigram LM scoring, KMV sketch,
+    # SemDeDup semantic dedup
     "pq_adc_topk",
     "bigram_lm_perplexity",
     "kmv_distinct_users",
+    "semdedup_survivors",
 )
 
 

@@ -171,7 +171,7 @@ def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) 
     scored = pts.join(F.broadcast(cent)).withColumn("d2", d2)
     w = Window.partitionBy("pid").orderBy("d2", "cid")
     out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    cols = ["pid", "cid", "v"] + (["d2"] if keep_dist else [])
+    cols = list(pts.columns) + ["cid"] + (["d2"] if keep_dist else [])
     return out.select(*cols)
 
 
@@ -230,3 +230,68 @@ def lloyd_iterations(
         if (i + 1) % 4 == 0 and (i + 1) < iters:
             cent = cent.localCheckpoint()
     return _nearest_centroid(pts, cent, keep_dist=True), cent
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the corpus with
+    a coarse quantizer (deterministic first-k centroids — the trained
+    k-means ``lloyd_iterations`` refines in production), compute cosine
+    pairs WITHIN each cluster only, and drop every vector that has a
+    lower-id near-duplicate in its cluster.
+
+    The point of clustering first is that the pair join is keyed on the
+    cluster id: candidate volume is Σ|cell|² instead of |corpus|², and
+    each cell's pairs compute shuffle-local. At 100 TB the quantizer is
+    the IVF coarse index (k in the thousands) and cells stay bounded,
+    so the within-cell O(|cell|²) verify is the same cost envelope as
+    ``sim_ivf_topk``'s probe stage. Embedding-space dedup catches the
+    paraphrase/translation near-dups that shingle-based MinHash cannot
+    (Abbas et al., "SemDeDup", arXiv:2303.09540 — public method).
+
+    Survivor rule (deterministic, engine-portable): keep ``min(id)`` of
+    every duplicate pair; a vector is dropped iff it is the GREATER id
+    of at least one within-cluster pair with cosine ≥ threshold.
+    Zero-norm vectors never pair (cosine undefined → never duplicates).
+
+    Returns (id, extra_cols..., cid) for surviving vectors.
+    """
+    pts = spread(emb, id_col).select(
+        F.col(id_col).alias("pid"),
+        *[F.col(c) for c in extra_cols],
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.select("pid", "v").filter(F.col("pid") < k).select(
+        F.col("pid").alias("cid"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
+    )
+    # assignment carries extra cols through (one broadcast nested loop,
+    # no shuffle); materialize once — it feeds both pair-join sides AND
+    # the survivor anti-join.
+    assigned = _nearest_centroid(pts, cent).localCheckpoint()
+    unit = assigned.filter(dot(F.col("v"), F.col("v")) > 0).select(
+        "pid",
+        "cid",
+        F.transform(
+            "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
+        ).alias("uv"),
+    )
+    a = unit.select(F.col("pid").alias("pa"), "cid", F.col("uv").alias("ua"))
+    b = unit.select(F.col("pid").alias("pb"), "cid", F.col("uv").alias("ub"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
+        .select(F.col("pb").alias("pid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "pid", "left_anti")
+        .select(F.col("pid").alias(id_col), *extra_cols, "cid")
+    )

@@ -11154,3 +11154,65 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "semdedup_survivors",
+    """
+    WITH pts AS (
+        SELECT vec_id AS pid, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS cv
+        FROM pts WHERE pid < 8
+    ),
+    s AS (
+        SELECT p.pid, p.label, c.cid, p.v,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c0 c
+    ),
+    a AS (
+        SELECT pid, label, cid, v FROM (
+            SELECT pid, label, cid, v,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s) WHERE rn = 1
+    ),
+    u AS (
+        SELECT pid, cid,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM a WHERE list_dot_product(v, v) > 0
+    ),
+    dropped AS (
+        SELECT DISTINCT y.pid
+        FROM u x JOIN u y ON x.cid = y.cid AND x.pid < y.pid
+        WHERE list_dot_product(x.uv, y.uv) >= 0.35
+    )
+    SELECT a.pid AS vec_id, a.label, a.cid
+    FROM a LEFT JOIN dropped d ON a.pid = d.pid
+    WHERE d.pid IS NULL
+    ORDER BY vec_id
+    """,
+    "SemDeDup-style SEMANTIC deduplication (Abbas et al., "
+    "arXiv:2303.09540 — public method): coarse-quantize the embedding "
+    "corpus (deterministic first-k centroids, the IVF cell assignment "
+    "sim_ivf_topk also uses), then cosine near-dup pairs WITHIN each "
+    "cell only, dropping every vector with a lower-id near-duplicate "
+    "in its cell. The cluster-scoped pair join is keyed on the cell "
+    "id — candidate volume is sum(|cell|^2), never |corpus|^2, and "
+    "each cell's pairs compute shuffle-local; at 100 TB k grows to "
+    "keep cells bounded (same envelope as the IVF probe stage). "
+    "Catches the paraphrase near-dups shingle-based MinHash cannot. "
+    "Complements embedding_neardup_pairs (which audits the pair "
+    "metric brute-force) with the production survivor-selection path",
+)
+def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.semdedup_survivors(
+            emb, k=8, threshold=0.35, extra_cols=("label",)
+        )
+        .select("vec_id", "label", "cid")
+        .orderBy("vec_id")
+    )

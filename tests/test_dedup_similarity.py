@@ -187,3 +187,27 @@ def test_containment_catches_quote_jaccard_misses(spark):
         candidates=spark.createDataFrame([(1, 2)], ["doc_id_a", "doc_id_b"]),
     ).collect()[0]["jaccard"]
     assert jac < 0.2                        # Jaccard would never flag this pair
+
+
+def test_semdedup_survivor_rule(spark):
+    # two clusters by construction (k=2: centroids = vec 0 and vec 1).
+    # vec 2 ~ vec 0 (same cell, cosine ~1) -> dropped, 0 kept (min id).
+    # vec 3 ~ vec 1 likewise. vec 4 is near-orthogonal in its cell ->
+    # kept. vec 5 is a zero vector -> never pairs, always kept.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.0, 0.98, 0.02]),
+        (4, [0.1, 0.0, 0.99]),
+        (5, [0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = similarity.semdedup_survivors(emb, k=2, threshold=0.9)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {0, 1, 4, 5}
+    # survivors carry their cell assignment
+    cells = {r["vec_id"]: r["cid"] for r in out.collect()}
+    assert cells[0] == 0 and cells[1] == 1
