@@ -11216,3 +11216,210 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "cid")
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "length_bucketed_batches",
+    f"""
+    WITH t AS (
+        SELECT doc_id, len({_D_TOKS}) AS n_tokens FROM documents
+    ),
+    b AS (
+        SELECT CAST(floor(n_tokens / 64) AS INT) AS bucket, n_tokens FROM t
+    )
+    SELECT bucket,
+           CAST(bucket * 64 AS INT) AS len_lo,
+           CAST(bucket * 64 + 63 AS INT) AS len_hi,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(max(n_tokens) AS INT) AS max_tokens,
+           round(1.0 - sum(n_tokens) * 1.0 / (count(*) * max(n_tokens)), 4)
+               AS pad_waste_frac
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    "length-bucketed batching audit — the padding-waste number that "
+    "drives sequence-bucketing decisions in training dataloaders: "
+    "docs are binned into width-64 token-length buckets and each "
+    "bucket reports how much compute pad-to-max batching would waste "
+    "(1 - sum/(n*max)). Map-only projection + one agg keyed on the "
+    "bucket id; at 100 TB this is a single pass over token counts "
+    "(already materialized by the quality gate), shuffle is "
+    "O(n_buckets) cells. The decision query BEFORE "
+    "pack_training_sequences (which implements the packing itself)",
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.floor(text.token_count("text") / 64).cast("int").alias("bucket"),
+        text.token_count("text").alias("n_tokens"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("n_tokens").cast("int").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 64).cast("int").alias("len_lo"),
+            (F.col("bucket") * 64 + 63).cast("int").alias("len_hi"),
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            F.round(
+                1.0 - F.col("sum_tokens") / (F.col("n_docs") * F.col("max_tokens")), 4
+            ).alias("pad_waste_frac"),
+        )
+        .select("bucket", "len_lo", "len_hi", "n_docs", "sum_tokens", "max_tokens", "pad_waste_frac")
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "curriculum_order_documents",
+    f"""
+    WITH s AS (
+        SELECT doc_id, len({_D_TOKS}) AS n_tokens FROM documents
+    ),
+    q AS (
+        SELECT round(quantile_cont(n_tokens, 0.75), 6) AS q75,
+               round(quantile_cont(n_tokens, 0.50), 6) AS q50,
+               round(quantile_cont(n_tokens, 0.25), 6) AS q25
+        FROM s
+    ),
+    tiers AS (
+        SELECT s.doc_id,
+               CASE WHEN s.n_tokens >= q.q75 THEN 1
+                    WHEN s.n_tokens >= q.q50 THEN 2
+                    WHEN s.n_tokens >= q.q25 THEN 3
+                    ELSE 4 END AS tier
+        FROM s, q
+    )
+    SELECT doc_id, CAST(tier AS INT) AS tier,
+           CAST(row_number() OVER (
+                    ORDER BY tier,
+                             md5(CAST(doc_id AS VARCHAR)),
+                             doc_id) AS BIGINT) AS curriculum_rank
+    FROM tiers ORDER BY curriculum_rank
+    """,
+    "curriculum ordering for staged training: docs fall into 4 "
+    "difficulty tiers by QUARTILE CUTOFFS (token count as the "
+    "difficulty proxy; any quality/perplexity score drops in), then "
+    "are DETERMINISTICALLY shuffled within tier via md5(doc_id) so "
+    "each epoch's order is reproducible. No global window anywhere: "
+    "cutoffs are one scalar percentile row broadcast to a map-side "
+    "CASE (at 100 TB: percentile_approx on the stats pass), the rank "
+    "is a per-tier row_number (window keyed on tier) plus each "
+    "tier's cumulative-count offset from a tiny self-joined count "
+    "table — the distributed total-order idiom. Oracle states the "
+    "same rank as one global window; thresholds rounded to 6dp on "
+    "both sides so interpolation ulps cannot flip a boundary doc",
+)
+def curriculum_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    cuts = docs.agg(
+        F.round(F.percentile("n_tokens", F.lit(0.75)), 6).alias("q75"),
+        F.round(F.percentile("n_tokens", F.lit(0.50)), 6).alias("q50"),
+        F.round(F.percentile("n_tokens", F.lit(0.25)), 6).alias("q25"),
+    )
+    tier = (
+        F.when(F.col("n_tokens") >= F.col("q75"), 1)
+        .when(F.col("n_tokens") >= F.col("q50"), 2)
+        .when(F.col("n_tokens") >= F.col("q25"), 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    tiers = docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        tier.alias("tier"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("__shuf"),
+    )
+    per_tier = tiers.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("tier").orderBy("__shuf", "doc_id")
+        ),
+    )
+    counts = tiers.groupBy("tier").agg(F.count("*").alias("__n"))
+    c2 = counts.select(F.col("tier").alias("__t2"), F.col("__n").alias("__n2"))
+    offsets = (
+        counts.join(F.broadcast(c2), F.col("__t2") < F.col("tier"), "left")
+        .groupBy("tier")
+        .agg(F.coalesce(F.sum("__n2"), F.lit(0)).alias("__off"))
+    )
+    return (
+        per_tier.join(F.broadcast(offsets), "tier")
+        .select(
+            "doc_id",
+            "tier",
+            (F.col("__rk") + F.col("__off")).cast("bigint").alias("curriculum_rank"),
+        )
+        .orderBy("curriculum_rank")
+    )
+
+
+@_register(
+    "corpus_datacard",
+    f"""
+    WITH t AS (
+        SELECT source, lang,
+               len({_D_TOKS}) AS n_tokens,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fp
+        FROM documents
+    )
+    SELECT coalesce(source, '__all__') AS source,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT lang) AS INT) AS n_langs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4)
+               AS exact_dup_frac
+    FROM t
+    GROUP BY GROUPING SETS ((source), ())
+    ORDER BY source
+    """,
+    "corpus datacard — the per-source summary block a dataset "
+    "datasheet publishes: doc/lang counts, token totals, exact "
+    "interpolated token-length quantiles, and the exact-dup fraction "
+    "from normalized-text fingerprints. One scan, GROUPING SETS "
+    "(per-source + grand total in a single Expand pass, no UNION "
+    "re-scan); count(DISTINCT fp) and count(DISTINCT lang) expand to "
+    "the standard two-phase distinct-agg. At 100 TB the quantiles "
+    "swap to percentile_approx (KLL sketch, mergeable) — the "
+    "approx_percentile_check query audits exactly that substitution",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+        F.md5(text.normalized_text("text").cast("binary")).alias("fp"),
+    )
+    g = t.groupingSets([["source"], []], "source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.round(1.0 - F.countDistinct("fp") / F.count("*"), 4).alias(
+            "exact_dup_frac"
+        ),
+    )
+    return g.select(
+        F.coalesce("source", F.lit("__all__")).alias("source"),
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "avg_tokens",
+        "p50_tokens",
+        "p90_tokens",
+        "exact_dup_frac",
+    ).orderBy("source")

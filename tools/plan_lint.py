@@ -108,6 +108,7 @@ BNLJ_OK = {
     "leakage_safe_split",
     "dup_cluster_size_distribution",
     "acf_multi_lag",
+    "curriculum_order_documents",  # 1-row quantile-cutoff scalar + 4-row tier-offset self-join
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
@@ -160,6 +161,7 @@ SINGLE_PARTITION_OK = {
     "recsys_negative_samples",  # item-index window over the part DIMENSION
     "revenue_contribution",  # percent-of-total over the entity rollup
     "small_order_revenue",  # per-part avg window over the part-sized rollup
+    "curriculum_order_documents",  # SinglePartition is the 1-row quantile-cutoff agg; the only window is keyed on tier
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
