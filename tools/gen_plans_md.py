@@ -38,6 +38,7 @@ FLAGSHIPS = (
     ("bigram_lm_perplexity", "bigram LM scoring — vocabulary stats broadcast onto the corpus stream"),
     ("incremental_corpus_dedup", "incremental ingest dedup — batch probes persisted fingerprint + band indexes"),
     ("bfs_shortest_hops", "distributed BFS — rounds behind a checkpoint barrier"),
+    ("semdedup_survivors", "semantic dedup — cell-keyed cosine pair join, broadcast quantizer"),
 )
 
 HEADER = """# PLANS — executed physical plans of the flagship queries
