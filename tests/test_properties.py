@@ -330,3 +330,72 @@ def test_twap_bounded_by_extremes(spark, vals):
     )
     assert len(out) == 1
     assert min(w_vals) - 1e-6 <= out[0]["twap"] <= max(w_vals) + 1e-6
+
+
+@_slow
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, allow_infinity=False),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    k=st.integers(1, 4),
+)
+def test_semdedup_survivor_rule_invariants(spark, vecs, k):
+    """For ANY corpus: (a) no two same-cell survivors are >= t similar,
+    and (b) every dropped vector has a lower-id same-cell neighbor at
+    >= t (the survivor rule, verified brute-force)."""
+    import math
+
+    from covid19_etl_pipeline_spark.operators.similarity import (
+        semdedup_survivors,
+    )
+
+    t = 0.95
+    emb = spark.createDataFrame(
+        list(enumerate(vecs)), ["vec_id", "embedding"]
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = {r["vec_id"]: r["cid"] for r in semdedup_survivors(emb, k=k, threshold=t).collect()}
+
+    # brute-force reference: same assignment (nearest first-k centroid,
+    # squared euclidean, tie on centroid id) on float32-rounded inputs
+    import struct as _struct
+
+    def f32r(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    pts = {i: [f32r(x) for x in v] for i, v in enumerate(vecs)}
+    cents = {i: [round(x, 6) for x in pts[i]] for i in pts if i < k}
+
+    def d2(a, b):
+        return (
+            sum(x * x for x in a) - 2 * sum(x * y for x, y in zip(a, b))
+            + sum(y * y for y in b)
+        )
+
+    cell = {i: min(cents, key=lambda c: (d2(v, cents[c]), c)) for i, v in pts.items()}
+
+    def cos(a, b):
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        if na == 0 or nb == 0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    survivors = set(out)
+    for i in pts:
+        if i in survivors:
+            assert out[i] == cell[i]
+        else:
+            assert any(
+                j < i and cell[j] == cell[i] and (cos(pts[j], pts[i]) or -2) >= t - 1e-9
+                for j in pts
+            )
+    for a in survivors:
+        for b in survivors:
+            if a < b and cell[a] == cell[b]:
+                c = cos(pts[a], pts[b])
+                assert c is None or c < t + 1e-9
