@@ -11423,3 +11423,122 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_tokens",
         "exact_dup_frac",
     ).orderBy("source")
+
+
+@_register(
+    "multimodal_audio_segments",
+    """
+    WITH a AS (
+        SELECT doc_id, text AS payload, octet_length(encode(text)) AS n_bytes
+        FROM documents
+        WHERE CAST(substr(source, 4, 10) AS INT) % 3 = 1
+    ),
+    d AS (
+        SELECT doc_id, payload,
+               CAST(ceil(n_bytes / 4.0) AS BIGINT) AS duration_ms
+        FROM a
+    ),
+    seg AS (
+        SELECT doc_id, duration_ms, seg_start,
+               (('0x' || substr(md5(substring(payload,
+                                              CAST(seg_start * 4 + 1 AS INT),
+                                              400)), 1, 8))::UBIGINT % 1000)
+                   / 1000.0 AS energy
+        FROM (SELECT doc_id, duration_ms, payload,
+                     unnest(range(0, duration_ms, 50)) AS seg_start
+              FROM d)
+    )
+    SELECT doc_id,
+           duration_ms,
+           count(*) AS n_segments,
+           round(avg(energy), 4) AS mean_energy,
+           CAST(sum(CASE WHEN energy < 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent,
+           min(CASE WHEN energy >= 0.2 THEN seg_start END) AS first_active_ms
+    FROM seg
+    GROUP BY doc_id, duration_ms
+    ORDER BY doc_id
+    """,
+    "audio-segmentation plumbing — the third modality beside "
+    "multimodal_feature_extract (image) and multimodal_frame_sample "
+    "(video): audio/wav assets (synthesized from documents like the "
+    "other multimodal queries; payload = the BINARY column, 4 "
+    "bytes/ms PCM stand-in) are cut into OVERLAPPING 100ms windows at "
+    "a 50ms hop via sequence+explode, each window's bytes sliced with "
+    "substring-on-binary and featurized (md5-derived energy proxy — "
+    "the librosa/FFT slot), then rolled up into the "
+    "voice-activity-style per-asset profile (silence count, first "
+    "active window). Fully UDF-free: the whole segment-featurize-gate "
+    "chain is JVM expressions, which is the point — at 100 TB only "
+    "the codec call itself needs mapInPandas, every surrounding "
+    "window/slice/gate stays in whole-stage codegen, and rows fan out "
+    "duration/hop-fold via one explode, not a driver loop. Oracle "
+    "slices the varchar twin (ASCII corpus: byte==char)",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(
+        F.substring("source", 4, 10).cast("int") % 3 == 1
+    ).select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.length(F.col("text").cast("binary")).alias("n_bytes"),
+    )
+    d = a.select(
+        "doc_id",
+        "payload",
+        F.ceil(F.col("n_bytes") / 4.0).cast("bigint").alias("duration_ms"),
+    )
+    seg = d.select(
+        "doc_id",
+        "duration_ms",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("duration_ms") - 1, F.lit(50).cast("bigint"))
+        ).alias("seg_start"),
+    ).select(
+        "doc_id",
+        "duration_ms",
+        "seg_start",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.substring(
+                                F.col("payload"),
+                                (F.col("seg_start") * 4 + 1).cast("int"),
+                                400,
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 1000
+            )
+            / 1000.0
+        ).alias("energy"),
+    )
+    return (
+        seg.groupBy("doc_id", "duration_ms")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.round(F.avg("energy"), 4).alias("mean_energy"),
+            F.sum((F.col("energy") < 0.2).cast("bigint")).alias("n_silent"),
+            F.min(F.when(F.col("energy") >= 0.2, F.col("seg_start"))).alias(
+                "first_active_ms"
+            ),
+        )
+        .select(
+            "doc_id",
+            "duration_ms",
+            "n_segments",
+            "mean_energy",
+            "n_silent",
+            "first_active_ms",
+        )
+        .orderBy("doc_id")
+    )
