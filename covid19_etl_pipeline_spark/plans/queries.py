@@ -11542,3 +11542,72 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT source, unnest(list_distinct({_D_SHINGLES})) AS g
+        FROM documents
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared,
+           round(count(*) * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM sh a
+    JOIN sh b ON a.g = b.g AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    ORDER BY source_a, source_b
+    """,
+    "inter-source boilerplate matrix — which sources share content: "
+    "per (source_a, source_b) pair, the count of distinct trigram "
+    "shingles present in BOTH, plus containment (shared / smaller "
+    "side's shingle vocabulary) — the number that decides whether a "
+    "new crawl source adds anything or re-scrapes existing ones. The "
+    "pair join is keyed on the SHINGLE (uniform md5-free text key; "
+    "the per-shingle fan-out is bounded by sources-per-shingle, "
+    "never source x source over the corpus), and per-source "
+    "vocabulary sizes broadcast back onto the pair rollup. At 100 TB "
+    "cap per-shingle source spread (or drop df-saturated shingles, "
+    "rare-first style) to bound the quadratic-in-spread explode — "
+    "saturated shingles carry no discrimination anyway",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        spread(docs, "doc_id")
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(text.shingles(text.tokens("text"), k=3))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 4).alias(
+                "containment"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
