@@ -11611,3 +11611,74 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@_register(
+    "embedding_outlier_docs",
+    """
+    WITH pts AS (
+        SELECT vec_id AS pid, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS cv
+        FROM pts WHERE pid < 8
+    ),
+    s AS (
+        SELECT p.pid, p.label, c.cid,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c0 c
+    ),
+    a AS (
+        SELECT pid, label, cid, d2 FROM (
+            SELECT pid, label, cid, d2,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s) WHERE rn = 1
+    ),
+    cut AS (SELECT round(quantile_cont(d2, 0.95), 6) AS p95 FROM a)
+    SELECT a.pid AS vec_id, a.label, a.cid,
+           round(a.d2, 4) AS d2,
+           round(cut.p95, 4) AS p95_d2
+    FROM a, cut
+    WHERE a.d2 > cut.p95
+    ORDER BY vec_id
+    """,
+    "embedding-space outlier gate — the corpus-filtering complement "
+    "of semdedup_survivors: assign every vector to its coarse-"
+    "quantizer cell (broadcast nested loop, no shuffle), then flag "
+    "vectors whose squared distance to their OWN centroid exceeds "
+    "the corpus p95 — mislabeled/garbled/off-distribution documents "
+    "that quality classifiers built on text features miss. The "
+    "threshold is one scalar percentile row broadcast back (at "
+    "100 TB: percentile_approx on the assignment stats pass); the "
+    "gate itself is a map-side predicate. Same quantizer, rounding "
+    "and tie-break conventions as the kmeans/semdedup family, so "
+    "the whole embedding-curation stack shares one cell assignment "
+    "artifact",
+)
+def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.select("pid", "v").filter(F.col("pid") < 8).select(
+        F.col("pid").alias("cid"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
+    )
+    assigned = similarity._nearest_centroid(pts, cent, keep_dist=True).localCheckpoint()
+    cut = assigned.agg(F.round(F.percentile("d2", F.lit(0.95)), 6).alias("p95"))
+    return (
+        assigned.crossJoin(F.broadcast(cut))
+        .filter(F.col("d2") > F.col("p95"))
+        .select(
+            F.col("pid").alias("vec_id"),
+            "label",
+            "cid",
+            F.round("d2", 4).alias("d2"),
+            F.round("p95", 4).alias("p95_d2"),
+        )
+        .orderBy("vec_id")
+    )

@@ -109,6 +109,7 @@ BNLJ_OK = {
     "dup_cluster_size_distribution",
     "acf_multi_lag",
     "curriculum_order_documents",  # 1-row quantile-cutoff scalar + 4-row tier-offset self-join
+    "embedding_outlier_docs",  # broadcast k-centroid quantizer + 1-row p95 scalar
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
