@@ -298,3 +298,69 @@ def list_versions(spark: SparkSession, name: str, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version string, n_rows long, is_current boolean"
     )
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_by: tuple[str, ...],
+) -> int:
+    """Targeted physical delete (right-to-be-forgotten): remove every
+    row matching ``keys`` from a partitioned parquet dataset, rewriting
+    ONLY the partitions that contain a match.
+
+    Shape: (1) a broadcast semi-join finds the affected partition
+    values (dynamic partition pruning keeps the probe scan
+    partition-local); (2) only those partitions are re-read, the keys
+    anti-joined away, and the survivors land via dynamic partition
+    overwrite — untouched partitions' files are never read or
+    rewritten; (3) partitions whose every row matched are purged
+    directly (dynamic overwrite only replaces partitions present in
+    the written data). The partition-values collect is metadata-scale
+    (bounded by the partition count, never rows). At 100 TB this is
+    the compliance-delete pattern table formats implement natively —
+    here from Spark + filesystem primitives, like publish_versioned.
+
+    Returns the number of rows deleted.
+    """
+    import os
+    import shutil
+
+    kc, pc = list(key_cols), list(partition_by)
+    tbl = spark.read.parquet(path)
+    keys_d = keys.select(*kc).distinct().localCheckpoint()
+    affected = (
+        tbl.join(F.broadcast(keys_d), kc, "left_semi")
+        .select(*pc)
+        .distinct()
+        .localCheckpoint()
+    )
+    pruned = tbl.join(F.broadcast(affected), pc, "left_semi")
+    n_before = pruned.count()
+    # the barrier cuts the read->overwrite dependency on `path`
+    remaining = pruned.join(F.broadcast(keys_d), kc, "left_anti").localCheckpoint()
+    n_deleted = n_before - remaining.count()
+    if n_deleted == 0:
+        return 0
+    if remaining.isEmpty():
+        kept_parts: set[tuple] = set()
+    else:
+        from covid19_etl_pipeline_spark.sources.io import (
+            overwrite_partitions_dynamic,
+        )
+
+        overwrite_partitions_dynamic(remaining, path, pc)
+        kept_parts = {
+            tuple(r[c] for c in pc)
+            for r in remaining.select(*pc).distinct().collect()
+        }
+    for r in affected.collect():
+        part = tuple(r[c] for c in pc)
+        if part not in kept_parts:
+            shutil.rmtree(
+                os.path.join(path, *[f"{c}={v}" for c, v in zip(pc, part)]),
+                ignore_errors=True,
+            )
+    return n_deleted

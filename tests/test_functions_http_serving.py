@@ -417,3 +417,44 @@ def test_list_versions_metadata(spark, sf_dir, tmp_path):
         for r in list_versions(spark, "t", root).collect()
     }
     assert got == {"v1": (25, False), "v2": (4, True)}
+
+
+def test_delete_keys_partition_scoped(spark, tmp_path):
+    """Targeted delete rewrites only affected partitions, purges
+    fully-deleted ones, and never touches unaffected files."""
+    import os
+
+    from covid19_etl_pipeline_spark.serving import delete_keys
+
+    path = str(tmp_path / "tbl")
+    rows = [
+        # (user_id, region, v)
+        (1, "eu", 10), (2, "eu", 20), (3, "us", 30),
+        (4, "us", 40), (5, "apac", 50),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "region", "v"])
+    df.write.partitionBy("region").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"region={part}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    us_before = files("us")
+    # delete user 1 (partial partition eu) and user 5 (ALL of apac)
+    keys = spark.createDataFrame([(1,), (5,)], ["user_id"])
+    n = delete_keys(spark, path, keys, ("user_id",), ("region",))
+    assert n == 2
+    left = spark.read.parquet(path)
+    assert {r["user_id"] for r in left.collect()} == {2, 3, 4}
+    # untouched partition: identical files, identical mtimes
+    assert files("us") == us_before
+    # fully-deleted partition directory purged
+    assert files("apac") is None
+    # idempotent: nothing left to delete
+    assert delete_keys(spark, path, keys, ("user_id",), ("region",)) == 0
