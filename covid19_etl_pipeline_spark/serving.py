@@ -364,3 +364,36 @@ def delete_keys(
                 ignore_errors=True,
             )
     return n_deleted
+
+
+def vacuum_versions(name: str, root: str, keep_last: int = 2) -> list[str]:
+    """Retention cleanup for the versioned store: delete all but the
+    newest ``keep_last`` published versions — but NEVER the one
+    ``_CURRENT`` points at, even if it is older (a rollback must stay
+    readable until re-published). The VACUUM half of the
+    publish/rollback lifecycle: publishes are immutable and accumulate;
+    this bounds storage without touching the pointer protocol. Returns
+    the deleted version ids (lexicographic version order, the same
+    ordering list_versions displays).
+    """
+    import os
+    import shutil
+
+    base = f"{root}/{name}"
+    current = None
+    cur_path = os.path.join(base, "_CURRENT")
+    if os.path.exists(cur_path):
+        with open(cur_path) as fh:
+            current = fh.read().strip()
+    versions = sorted(
+        e[2:] for e in os.listdir(base) if e.startswith("v=")
+    )
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    if current is not None:
+        keep.add(current)
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(base, f"v={v}"))
+            deleted.append(v)
+    return deleted

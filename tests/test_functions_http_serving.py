@@ -458,3 +458,27 @@ def test_delete_keys_partition_scoped(spark, tmp_path):
     assert files("apac") is None
     # idempotent: nothing left to delete
     assert delete_keys(spark, path, keys, ("user_id",), ("region",)) == 0
+
+
+def test_vacuum_versions_keeps_current_and_newest(spark, tmp_path):
+    import os
+
+    from covid19_etl_pipeline_spark.serving import (
+        publish_versioned,
+        read_current,
+        rollback_version,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path)
+    df = spark.createDataFrame([(1,)], ["x"])
+    for v in ("2026-01-01", "2026-01-02", "2026-01-03"):
+        publish_versioned(spark, df, "t", root, v)
+    # roll back so _CURRENT points at the OLDEST version
+    rollback_version("t", root, "2026-01-01")
+    deleted = vacuum_versions("t", root, keep_last=1)
+    # newest kept, current kept despite age, middle deleted
+    assert deleted == ["2026-01-02"]
+    left = sorted(e for e in os.listdir(os.path.join(root, "t")) if e.startswith("v="))
+    assert left == ["v=2026-01-01", "v=2026-01-03"]
+    assert read_current(spark, "t", root).count() == 1
