@@ -11682,3 +11682,114 @@ def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "embedding_curation_pipeline",
+    """
+    WITH pts AS (
+        SELECT vec_id AS pid, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS cv
+        FROM pts WHERE pid < 8
+    ),
+    s AS (
+        SELECT p.pid, p.label, c.cid, p.v,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c0 c
+    ),
+    a AS (
+        SELECT pid, label, cid, v, d2 FROM (
+            SELECT pid, label, cid, v, d2,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s) WHERE rn = 1
+    ),
+    cut AS (SELECT round(quantile_cont(d2, 0.95), 6) AS p95 FROM a),
+    inl AS (SELECT a.* FROM a, cut WHERE a.d2 <= cut.p95),
+    u AS (
+        SELECT pid, cid,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM inl WHERE list_dot_product(v, v) > 0
+    ),
+    dropped AS (
+        SELECT DISTINCT y.pid
+        FROM u x JOIN u y ON x.cid = y.cid AND x.pid < y.pid
+        WHERE list_dot_product(x.uv, y.uv) >= 0.35
+    ),
+    surv AS (
+        SELECT i.pid, i.label, i.cid
+        FROM inl i LEFT JOIN dropped d ON i.pid = d.pid
+        WHERE d.pid IS NULL
+    )
+    SELECT pid AS vec_id, label, cid FROM (
+        SELECT pid, label, cid,
+               row_number() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(pid AS VARCHAR)), pid) AS rk
+        FROM surv) WHERE rk <= 16
+    ORDER BY vec_id
+    """,
+    "CAPSTONE for the embedding-curation stack — the vector-side twin "
+    "of training_corpus's composition proof: outlier gate (drop "
+    "vectors beyond the corpus p95 distance to their own centroid) -> "
+    "SemDeDup within-cell near-dup drop -> deterministic md5-ranked "
+    "per-cell sample of 16 (cluster-balanced subset for probe/eval "
+    "sets). Every stage is an operator verified standalone "
+    "(embedding_outlier_docs, semdedup_survivors, "
+    "cluster_balanced_sample); this proves they COMPOSE against one "
+    "unrolled oracle. One cell-assignment artifact feeds gate, dedup "
+    "pair join and sampling window — at 100 TB it is the persisted "
+    "IVF assignment table, computed once per corpus snapshot",
+)
+def embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = pts.select("pid", "v").filter(F.col("pid") < 8).select(
+        F.col("pid").alias("cid"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
+    )
+    # ONE assignment artifact feeds the gate, the pair join (both
+    # sides) and the sampling window — materialize it once.
+    assigned = similarity._nearest_centroid(pts, cent, keep_dist=True).localCheckpoint()
+    cut = assigned.agg(F.round(F.percentile("d2", F.lit(0.95)), 6).alias("p95"))
+    inl = (
+        assigned.crossJoin(F.broadcast(cut))
+        .filter(F.col("d2") <= F.col("p95"))
+        .select("pid", "label", "cid", "v")
+        .localCheckpoint()
+    )
+    unit = inl.filter(similarity.dot(F.col("v"), F.col("v")) > 0).select(
+        "pid",
+        "cid",
+        F.transform(
+            "v", lambda x: x / F.sqrt(similarity.dot(F.col("v"), F.col("v")))
+        ).alias("uv"),
+    )
+    a = unit.select(F.col("pid").alias("pa"), "cid", F.col("uv").alias("ua"))
+    b = unit.select(F.col("pid").alias("pb"), "cid", F.col("uv").alias("ub"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(similarity.dot(F.col("ua"), F.col("ub")) >= 0.35)
+        .select(F.col("pb").alias("pid"))
+        .distinct()
+    )
+    surv = inl.join(dropped, "pid", "left_anti")
+    rk = F.row_number().over(
+        Window.partitionBy("cid").orderBy(
+            F.md5(F.col("pid").cast("string").cast("binary")), "pid"
+        )
+    )
+    return (
+        surv.withColumn("rk", rk)
+        .filter(F.col("rk") <= 16)
+        .select(F.col("pid").alias("vec_id"), "label", "cid")
+        .orderBy("vec_id")
+    )
