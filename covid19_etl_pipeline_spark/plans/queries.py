@@ -11793,3 +11793,116 @@ def embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pid").alias("vec_id"), "label", "cid")
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "incremental_embedding_dedup",
+    """
+    WITH pts AS (
+        SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS cv
+        FROM pts WHERE pid < 10 AND pid % 5 <> 0
+    ),
+    s AS (
+        SELECT p.pid, c.cid, p.v,
+               list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM pts p, c0 c
+    ),
+    a AS (
+        SELECT pid, cid, v FROM (
+            SELECT pid, cid, v,
+                   row_number() OVER (PARTITION BY pid ORDER BY d2, cid) AS rn
+            FROM s) WHERE rn = 1
+    ),
+    u AS (
+        SELECT pid, cid,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM a WHERE list_dot_product(v, v) > 0
+    ),
+    newu AS (SELECT * FROM u WHERE pid % 5 = 0),
+    oldu AS (SELECT * FROM u WHERE pid % 5 <> 0),
+    dropped AS (
+        SELECT DISTINCT n.pid
+        FROM newu n JOIN oldu o ON n.cid = o.cid
+        WHERE list_dot_product(n.uv, o.uv) >= 0.35
+        UNION
+        SELECT DISTINCT n.pid
+        FROM newu n JOIN newu m ON n.cid = m.cid AND m.pid < n.pid
+        WHERE list_dot_product(n.uv, m.uv) >= 0.35
+    )
+    SELECT a.pid AS vec_id, a.cid,
+           CASE WHEN d.pid IS NOT NULL THEN 'near_dup' ELSE 'kept' END
+               AS status
+    FROM a LEFT JOIN dropped d ON a.pid = d.pid
+    WHERE a.pid % 5 = 0
+    ORDER BY vec_id
+    """,
+    "INCREMENTAL semantic dedup — the embedding twin of "
+    "incremental_corpus_dedup: a new vector batch (vec_id %% 5 = 0) "
+    "is deduped against the EXISTING corpus without ever re-comparing "
+    "the corpus to itself. The persisted state is the cell-assignment "
+    "artifact (quantizer = first 8 OLD vectors — the trained coarse "
+    "index a production system loads, not retrains): new vectors "
+    "assign map-side, then cosine pairs run (new x old) and (new x "
+    "smaller-id new) WITHIN cells only — never (old x old). Per-batch "
+    "cost is O(batch x cell-occupancy); a daily embedding drop lands "
+    "against yesterday's index at probe cost. Verdicts: near_dup "
+    "(old or smaller-id batch neighbor >= 0.35) / kept",
+)
+def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    pts = emb.select(
+        F.col("vec_id").alias("pid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = (
+        pts.filter((F.col("pid") < 10) & (F.col("pid") % 5 != 0))
+        .select(
+            F.col("pid").alias("cid"),
+            F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
+        )
+    )
+    # the persisted assignment artifact: old rows come from state, new
+    # rows assign map-side against the broadcast quantizer — one
+    # materialization feeds the probe joins and the verdict join.
+    assigned = similarity._nearest_centroid(pts, cent).localCheckpoint()
+    unit = assigned.filter(similarity.dot(F.col("v"), F.col("v")) > 0).select(
+        "pid",
+        "cid",
+        F.transform(
+            "v", lambda x: x / F.sqrt(similarity.dot(F.col("v"), F.col("v")))
+        ).alias("uv"),
+    )
+    new_u = unit.filter(F.col("pid") % 5 == 0)
+    old_u = unit.filter(F.col("pid") % 5 != 0)
+    vs_old = (
+        new_u.select(F.col("pid").alias("np"), "cid", F.col("uv").alias("nu"))
+        .join(old_u.select("cid", F.col("uv").alias("ou")), "cid")
+        .filter(similarity.dot(F.col("nu"), F.col("ou")) >= 0.35)
+        .select(F.col("np").alias("pid"))
+    )
+    n_a = new_u.select(F.col("pid").alias("np"), "cid", F.col("uv").alias("nu"))
+    n_b = new_u.select(F.col("pid").alias("mp"), "cid", F.col("uv").alias("mu"))
+    vs_new = (
+        n_a.join(n_b, "cid")
+        .filter(F.col("mp") < F.col("np"))
+        .filter(similarity.dot(F.col("nu"), F.col("mu")) >= 0.35)
+        .select(F.col("np").alias("pid"))
+    )
+    dropped = vs_old.union(vs_new).distinct()
+    return (
+        assigned.filter(F.col("pid") % 5 == 0)
+        .join(dropped.withColumn("__d", F.lit(1)), "pid", "left")
+        .select(
+            F.col("pid").alias("vec_id"),
+            "cid",
+            F.when(F.col("__d").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+        .orderBy("vec_id")
+    )
