@@ -11906,3 +11906,135 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@_register(
+    "hybrid_retrieval_rrf",
+    r"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    dsc AS (
+        SELECT query_id, vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_dot_product(qv, cv)
+                            / (sqrt(list_dot_product(qv, qv))
+                               * sqrt(list_dot_product(cv, cv))) DESC,
+                            vec_id) AS INT) AS rank_dense
+        FROM q JOIN c ON vec_id <> query_id
+    ),
+    dense AS (SELECT * FROM dsc WHERE rank_dense <= 20),
+    qt AS (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   t -> lower(t)))) AS term
+        FROM documents WHERE doc_id < 3
+    ),
+    ct AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   t -> lower(t)))) AS term
+        FROM documents
+    ),
+    lexs AS (
+        SELECT qt.query_id, ct.doc_id, count(*) AS shared_terms
+        FROM qt JOIN ct USING (term)
+        WHERE ct.doc_id <> qt.query_id
+        GROUP BY qt.query_id, ct.doc_id
+    ),
+    lexr AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY shared_terms DESC, doc_id) AS INT) AS rank_lex
+        FROM lexs
+    ),
+    lex AS (SELECT * FROM lexr WHERE rank_lex <= 20),
+    fused AS (
+        SELECT coalesce(d.query_id, l.query_id) AS query_id,
+               coalesce(d.doc_id, l.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + d.rank_dense), 0)
+                     + coalesce(1.0 / (60 + l.rank_lex), 0), 6) AS rrf_score,
+               d.rank_dense, l.rank_lex
+        FROM dense d FULL JOIN lex l
+          ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    ),
+    ranked AS (
+        SELECT query_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+               doc_id, rrf_score, rank_dense, rank_lex
+        FROM fused
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    "hybrid retrieval with reciprocal-rank fusion (RRF, k=60): the "
+    "dense cosine top-20 (`semantic_doc_retrieval`'s side) and a "
+    "lexical distinct-shared-term top-20 (`bm25_doc_retrieval`'s "
+    "side) fused as sum(1/(60+rank)) — rank-only fusion needs no "
+    "score calibration between the two retrievers, which is why RRF "
+    "is the default hybrid in production search. Scale shape: each "
+    "retriever's candidate list is |Q| x 20 rows, so the full-outer "
+    "fusion join and the final re-rank window cost nothing; the "
+    "dense side swaps to the IVF/LSH ANN variants and the lexical "
+    "side to BM25 without touching the fusion stage. Query terms "
+    "broadcast onto the candidate term stream (no corpus shuffle on "
+    "the lexical side); rank integers fuse to exact doubles, so the "
+    "fused order is engine-deterministic with the doc_id tie-break",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    dense = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=20
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_dense"),
+    )
+    toks = F.array_distinct(F.transform(text.tokens("text"), F.lower))
+    qt = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.explode(toks).alias("term")
+    )
+    ct = spread(docs, "doc_id").select("doc_id", F.explode(toks).alias("term"))
+    lexs = (
+        ct.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("shared_terms"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("shared_terms").desc(), "doc_id"
+    )
+    lex = (
+        lexs.withColumn("rank_lex", F.row_number().over(wl).cast("int"))
+        .filter(F.col("rank_lex") <= 20)
+        .drop("shared_terms")
+    )
+    fused = dense.join(lex, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rank_dense")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "rank_dense",
+        "rank_lex",
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "rrf_score", "rank_dense", "rank_lex")
+        .orderBy("query_id", "rank")
+    )
