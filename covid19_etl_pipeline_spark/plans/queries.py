@@ -12038,3 +12038,235 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "rrf_score", "rank_dense", "rank_lex")
         .orderBy("query_id", "rank")
     )
+
+
+@_register(
+    "ks_price_drift",
+    """
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / 1000) AS INT), 999) AS bucket,
+               CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+                    THEN 1 ELSE 0 END AS is_base
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               sum(is_base)     AS n_base,
+               sum(1 - is_base) AS n_curr
+        FROM binned GROUP BY bucket
+    ),
+    tot AS (
+        SELECT sum(n_base) AS tot_base, sum(n_curr) AS tot_curr FROM counts
+    ),
+    cum AS (
+        SELECT sum(c.n_base) OVER (ORDER BY c.bucket) * 1.0 / t.tot_base
+                   AS f_base,
+               sum(c.n_curr) OVER (ORDER BY c.bucket) * 1.0 / t.tot_curr
+                   AS f_curr,
+               t.tot_base, t.tot_curr
+        FROM counts c, tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(tot_base) AS BIGINT) AS n_base,
+           CAST(max(tot_curr) AS BIGINT) AS n_curr,
+           round(max(abs(f_base - f_curr)), 6) AS ks_d,
+           round(1.358 * sqrt((max(tot_base) + max(tot_curr)) * 1.0
+                              / (max(tot_base) * max(tot_curr))), 6) AS ks_crit,
+           max(abs(f_base - f_curr))
+               > 1.358 * sqrt((max(tot_base) + max(tot_curr)) * 1.0
+                              / (max(tot_base) * max(tot_curr))) AS drifted
+    FROM cum
+    """,
+    "two-sample Kolmogorov-Smirnov drift test between the baseline "
+    "(<=1997) and current order-price distributions: D = max ECDF gap "
+    "over 1000-unit price buckets, compared against the alpha=0.05 "
+    "critical value 1.358*sqrt((n+m)/nm) — the distribution-free "
+    "companion to `price_distribution_psi` (PSI scores magnitude, KS "
+    "gives a significance threshold). Scale shape: the fact collapses "
+    "to bucket-sized counts BEFORE the only ordered window (same "
+    "post-agg-window rule as `cusum_changepoint_days` / "
+    "`seasonal_decomposition_daily`), totals ride in as one broadcast "
+    "row; ECDF fractions are exact integer ratios, so D is "
+    "engine-deterministic",
+)
+def ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    is_base = (
+        F.when(F.year(F.col("o_orderdate").cast("date")) <= 1997, 1)
+        .otherwise(0)
+    )
+    counts = (
+        o.select(
+            F.least(
+                F.floor(F.col("o_totalprice") / 1000).cast("int"), F.lit(999)
+            ).alias("bucket"),
+            is_base.alias("is_base"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(1 - F.col("is_base")).alias("n_curr"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_curr").alias("tot_curr")
+    )
+    # the ordered window runs on bucket-sized post-agg data (<=1000
+    # rows), never the fact — the single partition is intentional
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.crossJoin(F.broadcast(tot)).select(
+        (F.sum("n_base").over(w) * 1.0 / F.col("tot_base")).alias("f_base"),
+        (F.sum("n_curr").over(w) * 1.0 / F.col("tot_curr")).alias("f_curr"),
+        "tot_base",
+        "tot_curr",
+    )
+    crit = 1.358 * F.sqrt(
+        (F.max("tot_base") + F.max("tot_curr"))
+        * 1.0
+        / (F.max("tot_base") * F.max("tot_curr"))
+    )
+    return cum.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("tot_base").cast("bigint").alias("n_base"),
+        F.max("tot_curr").cast("bigint").alias("n_curr"),
+        F.round(F.max(F.abs(F.col("f_base") - F.col("f_curr"))), 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit"),
+        (F.max(F.abs(F.col("f_base") - F.col("f_curr"))) > crit).alias("drifted"),
+    )
+
+
+@_register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+        SELECT CAST(floor(o_totalprice
+                          / power(10, floor(log10(o_totalprice)))) AS INT)
+                   AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+        SELECT digit, count(*) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1.0 / t.tot, 6) AS observed_frac,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_frac,
+           round(abs(c.n * 1.0 / t.tot - log10(1.0 + 1.0 / c.digit)), 6)
+               AS abs_dev
+    FROM c, t
+    ORDER BY c.digit
+    """,
+    "Benford's-law first-significant-digit audit on order totals: "
+    "observed digit fractions vs the log10(1+1/d) expectation — the "
+    "classic anomaly/fabrication screen for financial measures (a "
+    "synthetic uniform price generator fails it loudly, which is "
+    "itself a data-provenance signal). Map-only digit extraction + a "
+    "9-group aggregate with the total broadcast back; exact integer "
+    "ratios keep both engines bit-identical",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    c = (
+        o.select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("observed_frac"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_frac"),
+            F.round(
+                F.abs(
+                    F.col("n") * 1.0 / F.col("tot")
+                    - F.log10(1.0 + 1.0 / F.col("digit"))
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@_register(
+    "chi2_event_type_weekday",
+    """
+    WITH cells AS (
+        SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS n
+        FROM events GROUP BY event_type, isodow(ts) - 1
+    ),
+    rt AS (SELECT event_type, sum(n) AS row_tot FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, sum(n) AS col_tot FROM cells GROUP BY dow),
+    g  AS (SELECT sum(n) AS grand,
+                  count(DISTINCT event_type) AS n_types,
+                  count(DISTINCT dow) AS n_dows
+           FROM cells),
+    x AS (
+        SELECT sum(power(c.n - rt.row_tot * ct.col_tot * 1.0 / g.grand, 2)
+                   / (rt.row_tot * ct.col_tot * 1.0 / g.grand)) AS chi2,
+               max(g.grand) AS grand,
+               max((g.n_types - 1) * (g.n_dows - 1)) AS dof,
+               max(CASE WHEN g.n_types < g.n_dows
+                        THEN g.n_types ELSE g.n_dows END) - 1 AS mindim
+        FROM cells c
+        JOIN rt USING (event_type) JOIN ct USING (dow), g
+    )
+    SELECT round(chi2, 4) AS chi2,
+           CAST(dof AS INT) AS dof,
+           CAST(grand AS BIGINT) AS n,
+           round(sqrt(chi2 / (grand * mindim)), 6) AS cramers_v
+    FROM x
+    """,
+    "chi-square independence test (event_type x weekday contingency) "
+    "with Cramer's V effect size — the categorical drift/association "
+    "screen next to KS (continuous) and PSI (binned). The fact "
+    "collapses to a types-x-7 cell table first; margins and the grand "
+    "total are cell-table rollups joined back onto cells (all "
+    "broadcast-sized), so the test costs one shuffle on the cell key. "
+    "Margins are exact integer sums; the chi2 sum over ~35 cells is "
+    "rounded to 4dp, far above double summation-order noise",
+)
+def chi2_event_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", F.weekday("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("n").alias("row_tot"))
+    ct = cells.groupBy("dow").agg(F.sum("n").alias("col_tot"))
+    g = cells.agg(
+        F.sum("n").alias("grand"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("dow").alias("n_dows"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("grand")
+    x = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(F.pow(F.col("n") - expected, 2) / expected).alias("chi2"),
+            F.max("grand").alias("grand"),
+            F.max((F.col("n_types") - 1) * (F.col("n_dows") - 1)).alias("dof"),
+            (F.max(F.least("n_types", "n_dows")) - 1).alias("mindim"),
+        )
+    )
+    return x.select(
+        F.round("chi2", 4).alias("chi2"),
+        F.col("dof").cast("int").alias("dof"),
+        F.col("grand").cast("bigint").alias("n"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("grand") * F.col("mindim"))), 6)
+            .alias("cramers_v"),
+    )
