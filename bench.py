@@ -79,6 +79,9 @@ HEADLINE = (
     "bigram_lm_perplexity",
     "kmv_distinct_users",
     "semdedup_survivors",
+    # round-2 flagships (late batch): RRF hybrid retrieval, KS drift
+    "hybrid_retrieval_rrf",
+    "ks_price_drift",
 )
 
 

@@ -110,6 +110,10 @@ BNLJ_OK = {
     "acf_multi_lag",
     "curriculum_order_documents",  # 1-row quantile-cutoff scalar + 4-row tier-offset self-join
     "embedding_outlier_docs",  # broadcast k-centroid quantizer + 1-row p95 scalar
+    "hybrid_retrieval_rrf",  # |Q|-row query-vector broadcast (brute_force_topk dense side)
+    "ks_price_drift",  # 1-row period-totals scalar broadcast
+    "benford_first_digit",  # 1-row digit-total scalar broadcast
+    "chi2_event_type_weekday",  # 1-row grand-total/dims scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
@@ -158,6 +162,7 @@ SINGLE_PARTITION_OK = {
     "first_touch_attribution",
     "bm25_doc_retrieval",  # df window over the term-count-sized tf rollup
     "customer_revenue_gini",  # ordered cumulative over the entity rollup
+    "ks_price_drift",  # ECDF cumulative over the <=1000-bucket rollup
     "nation_trade_pagerank",  # final rank over the 25-node graph
     "recsys_negative_samples",  # item-index window over the part DIMENSION
     "revenue_contribution",  # percent-of-total over the entity rollup
