@@ -173,3 +173,73 @@ def bfs_hops(
             break
         prev_state = state
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic weighted label propagation (community detection).
+
+    Synchronous LPA with a total tie order: each round every node
+    adopts ``argmax_l Σ_{u∈N(v), lbl(u)=l} w(u,v)``, ties broken by
+    the smallest label — the randomized-update ambiguity of classic
+    LPA is removed so the result is reproducible across runs, engines,
+    and partitionings (same design stance as ``pagerank``'s per-round
+    rounding). Edges are symmetrized (parallel edges' weights summed,
+    self-loops dropped); isolated nodes keep their own label.
+
+    Known synchronous-LPA caveat (shared with GraphX's implementation):
+    on bipartite-like structures where a node's vote is dominated by a
+    single neighbor (e.g. an isolated pair), simultaneous updates swap
+    labels every round instead of converging — the result is still
+    DETERMINISTIC for a fixed ``iterations`` (round parity decides),
+    which is what the oracle contract needs; community graphs with
+    intra-community triangles (the case the operator targets) converge
+    normally.
+
+    Scale shape: one round = one equi-join of the aggregated edge list
+    against the label table + one (node, label) aggregation + one
+    per-node argmax window — all keyed on node, so rounds reuse the
+    same hash partitioning. Labels are checkpointed per round: the
+    keep-semantics left join references the label table twice, which
+    would double the unrolled plan per round without a barrier.
+
+    Returns (node, lbl).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    sym = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
+    )
+    e = (
+        sym.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    wv = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("lbl"))
+    for _ in range(iterations):
+        best = (
+            e.join(labels, e["b"] == labels["node"])
+            .groupBy("a", "lbl")
+            .agg(F.sum("w").alias("s"))
+            .withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("bn"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, labels["node"] == best["bn"], "left")
+            .select(
+                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -12270,3 +12270,207 @@ def chi2_event_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("chi2") / (F.col("grand") * F.col("mindim"))), 6)
             .alias("cramers_v"),
     )
+
+
+@_register(
+    "nation_trade_communities",
+    """
+    WITH raw AS (
+        SELECT cn.n_name AS a, sn.n_name AS b, count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    sym AS (
+        SELECT a, b, CAST(sum(w) AS DOUBLE) AS w
+        FROM (
+            SELECT a, b, w FROM raw
+            UNION ALL
+            SELECT b AS a, a AS b, w FROM raw
+        )
+        WHERE a <> b
+        GROUP BY a, b
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    s1 AS (SELECT e.a, p.lbl, sum(e.w) AS s
+           FROM sym e JOIN l0 p ON e.b = p.node GROUP BY e.a, p.lbl),
+    b1 AS (SELECT a, lbl FROM (
+               SELECT a, lbl, row_number() OVER (
+                   PARTITION BY a ORDER BY s DESC, lbl) AS rn FROM s1)
+           WHERE rn = 1),
+    l1 AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+           FROM l0 p LEFT JOIN b1 b ON p.node = b.a),
+    s2 AS (SELECT e.a, p.lbl, sum(e.w) AS s
+           FROM sym e JOIN l1 p ON e.b = p.node GROUP BY e.a, p.lbl),
+    b2 AS (SELECT a, lbl FROM (
+               SELECT a, lbl, row_number() OVER (
+                   PARTITION BY a ORDER BY s DESC, lbl) AS rn FROM s2)
+           WHERE rn = 1),
+    l2 AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+           FROM l1 p LEFT JOIN b2 b ON p.node = b.a),
+    s3 AS (SELECT e.a, p.lbl, sum(e.w) AS s
+           FROM sym e JOIN l2 p ON e.b = p.node GROUP BY e.a, p.lbl),
+    b3 AS (SELECT a, lbl FROM (
+               SELECT a, lbl, row_number() OVER (
+                   PARTITION BY a ORDER BY s DESC, lbl) AS rn FROM s3)
+           WHERE rn = 1),
+    l3 AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+           FROM l2 p LEFT JOIN b3 b ON p.node = b.a)
+    SELECT node AS nation, lbl AS community,
+           CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT)
+               AS community_size
+    FROM l3
+    ORDER BY community, nation
+    """,
+    "community detection by deterministic weighted label propagation "
+    "over the customer-nation -> supplier-nation trade graph (3 "
+    "synchronous rounds, argmax neighbor-label weight with min-label "
+    "tie-break — classic LPA's randomized update order removed so the "
+    "partition is reproducible across engines/partitionings; the "
+    "community side of the graph family next to `nation_trade_pagerank` "
+    "(influence), `dup_clusters` (connectivity), and "
+    "`nation_trade_triangles` (cohesion)). Scale shape: the fact "
+    "collapses to the aggregated edge list once (one keyed shuffle + "
+    "broadcast dims); every round then joins/aggregates on the node "
+    "key only — integer-valued weight sums keep the argmax exact. "
+    "graph.label_propagation checkpoints labels per round because the "
+    "keep-semantics left join consumes the label table twice",
+)
+def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("src"))
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("dst"))
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    labels = graph.label_propagation(edges, "src", "dst", weight="w", iterations=3)
+    wc = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("node").alias("nation"),
+        F.col("lbl").alias("community"),
+        F.count("*").over(wc).alias("community_size"),
+    ).orderBy("community", "nation")
+
+
+@_register(
+    "kaplan_meier_retention",
+    """
+    WITH obs AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS obs_end FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey,
+               min(CAST(o_orderdate AS DATE)) AS first_d,
+               max(CAST(o_orderdate AS DATE)) AS last_d
+        FROM orders GROUP BY o_custkey
+    ),
+    subj AS (
+        SELECT CAST(floor((last_d - first_d) / 30) AS INT) AS duration_p,
+               CASE WHEN last_d < obs_end - INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM cust, obs
+    ),
+    per AS (
+        SELECT duration_p,
+               sum(churned)     AS n_churned,
+               sum(1 - churned) AS n_censored
+        FROM subj GROUP BY duration_p
+    ),
+    risk AS (
+        SELECT duration_p, n_churned, n_censored,
+               sum(n_churned + n_censored) OVER (
+                   ORDER BY duration_p DESC) AS n_at_risk
+        FROM per
+    )
+    SELECT duration_p,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned AS BIGINT) AS n_churned,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           round(exp(sum(ln(1.0 - n_churned * 1.0 / n_at_risk)) OVER (
+               ORDER BY duration_p)), 6) + 0.0 AS survival
+    FROM risk
+    ORDER BY duration_p
+    """,
+    "Kaplan-Meier survival estimator for customer retention: subjects "
+    "are customers, lifetime = 30-day periods between first and last "
+    "order, churn event = went quiet >90 days before the observation "
+    "end (otherwise right-censored) — the survival curve S(t) = "
+    "prod(1 - d_t/r_t) that a naive churn-rate average gets wrong "
+    "because censored customers leave the risk set without counting "
+    "as events. Scale shape: one per-customer rollup shuffle, then "
+    "the life table collapses to duration-period grain before the "
+    "ordered windows (the post-agg-window rule); at-risk counts come "
+    "from a reverse-cumulative sum, the product via exp-sum-ln "
+    "(integer-ratio hazards, rounded at output only)",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("obs_end"))
+    cust = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    subj = cust.crossJoin(F.broadcast(obs)).select(
+        F.floor(F.datediff("last_d", "first_d") / 30)
+        .cast("int")
+        .alias("duration_p"),
+        F.when(F.col("last_d") < F.date_sub(F.col("obs_end"), 90), 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    per = subj.groupBy("duration_p").agg(
+        F.sum("churned").alias("n_churned"),
+        F.sum(1 - F.col("churned")).alias("n_censored"),
+    )
+    # both windows run on the duration-period life table (a handful of
+    # rows after the rollup), never the customer set — the documented
+    # post-aggregate single-partition pattern
+    w_risk = Window.orderBy(F.col("duration_p").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_surv = Window.orderBy("duration_p").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = per.withColumn(
+        "n_at_risk", F.sum(F.col("n_churned") + F.col("n_censored")).over(w_risk)
+    )
+    return risk.select(
+        "duration_p",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("n_churned").cast("bigint").alias("n_churned"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        (
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("n_churned") * 1.0 / F.col("n_at_risk"))
+                    ).over(w_surv)
+                ),
+                6,
+            )
+            + 0.0
+        ).alias("survival"),
+    ).orderBy("duration_p")

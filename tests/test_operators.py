@@ -279,6 +279,54 @@ def test_relax_rounds_bounded_hops(spark):
     assert three["a"] == 0.0 and three["c"] == 1.0 and three["d"] == 2.0
 
 
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one weak bridge resolve to two
+    communities; min-label tie-break makes each community's label the
+    lexicographically smallest member. Symmetrization is implicit
+    (edges given one-directional)."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5.0), ("b", "c", 5.0), ("a", "c", 5.0),
+            ("x", "y", 5.0), ("y", "z", 5.0), ("x", "z", 5.0),
+            ("c", "x", 1.0),  # weak bridge
+        ],
+        "src string, dst string, w double",
+    )
+    got = {
+        r["node"]: r["lbl"]
+        for r in graph.label_propagation(edges, weight="w", iterations=4).collect()
+    }
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == got["z"] == "x"
+
+
+def test_label_propagation_pair_swap_is_deterministic(spark):
+    """Documented synchronous-LPA behavior: an isolated pair swaps
+    labels every round (no convergence), but the outcome for a FIXED
+    iteration count is deterministic — round parity decides. Self-loops
+    are dropped, so a self-loop-only node is absent from the output."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("c", "c", 9.0)],  # c: self-loop only
+        "src string, dst string, w double",
+    )
+
+    def run(iters):
+        return {
+            r["node"]: r["lbl"]
+            for r in graph.label_propagation(
+                edges, weight="w", iterations=iters
+            ).collect()
+        }
+
+    assert run(1) == {"a": "b", "b": "a"}  # odd parity: swapped
+    assert run(2) == {"a": "a", "b": "b"}  # even parity: back home
+    assert run(2) == run(2)  # reproducible
+
+
 def test_resize_images_stub_plumbing(spark):
     """resize_images: Arrow mapInPandas path produces the planned dims
     and a payload truncated to out_width*out_height bytes; null-dim

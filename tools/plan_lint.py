@@ -114,6 +114,7 @@ BNLJ_OK = {
     "ks_price_drift",  # 1-row period-totals scalar broadcast
     "benford_first_digit",  # 1-row digit-total scalar broadcast
     "chi2_event_type_weekday",  # 1-row grand-total/dims scalar broadcast
+    "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
@@ -163,6 +164,7 @@ SINGLE_PARTITION_OK = {
     "bm25_doc_retrieval",  # df window over the term-count-sized tf rollup
     "customer_revenue_gini",  # ordered cumulative over the entity rollup
     "ks_price_drift",  # ECDF cumulative over the <=1000-bucket rollup
+    "kaplan_meier_retention",  # life-table windows over the duration-period rollup
     "nation_trade_pagerank",  # final rank over the 25-node graph
     "recsys_negative_samples",  # item-index window over the part DIMENSION
     "revenue_contribution",  # percent-of-total over the entity rollup
