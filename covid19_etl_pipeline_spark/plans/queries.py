@@ -12474,3 +12474,208 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("survival"),
     ).orderBy("duration_p")
+
+
+@_register(
+    "mann_whitney_price_drift",
+    """
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / 1000) AS INT), 999) AS bucket,
+               CASE WHEN year(CAST(o_orderdate AS DATE)) <= 1997
+                    THEN 1 ELSE 0 END AS is_base
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               sum(is_base)            AS n_base,
+               sum(1 - is_base)        AS n_curr,
+               count(*)                AS n_all
+        FROM binned GROUP BY bucket
+    ),
+    ranked AS (
+        SELECT bucket, n_base, n_curr, n_all,
+               coalesce(sum(n_all) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + (n_all + 1) / 2.0 AS midrank
+        FROM counts
+    ),
+    agg AS (
+        SELECT sum(n_base)                    AS n1,
+               sum(n_curr)                    AS n2,
+               sum(n_base + n_curr)           AS n,
+               sum(n_base * midrank)          AS r1,
+               sum(n_all * n_all * n_all - n_all) AS tie_term
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_base,
+           CAST(n2 AS BIGINT) AS n_curr,
+           round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - tie_term * 1.0 / (n * (n - 1)))), 4)
+               + 0.0 AS z_score,
+           abs((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt(n1 * n2 / 12.0
+                      * ((n + 1) - tie_term * 1.0 / (n * (n - 1))))) > 1.96
+               AS shifted
+    FROM agg
+    """,
+    "Mann-Whitney U rank-sum test between baseline (<=1997) and "
+    "current order prices — the nonparametric LOCATION-shift "
+    "companion to `ks_price_drift` (shape) and "
+    "`price_distribution_psi` (magnitude): tie-corrected normal "
+    "approximation, |z| > 1.96 flags a median shift no mean-based "
+    "t-test assumption is needed for. Distributed trick: exact "
+    "per-observation ranks are never materialized — observations "
+    "collapse to price buckets and each bucket contributes its "
+    "MIDRANK (cum-before + (n+1)/2) times its group count, which is "
+    "algebraically the exact tied-rank sum. One fact pass to bucket "
+    "counts, one ordered window over <=1000 bucket rows, one scalar "
+    "row out; all sums are integer/half-integer-valued doubles, so "
+    "both engines agree bit-for-bit before the final rounded division",
+)
+def mann_whitney_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    is_base = (
+        F.when(F.year(F.col("o_orderdate").cast("date")) <= 1997, 1)
+        .otherwise(0)
+    )
+    counts = (
+        o.select(
+            F.least(
+                F.floor(F.col("o_totalprice") / 1000).cast("int"), F.lit(999)
+            ).alias("bucket"),
+            is_base.alias("is_base"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_base").alias("n_base"),
+            F.sum(1 - F.col("is_base")).alias("n_curr"),
+            F.count("*").alias("n_all"),
+        )
+    )
+    # midranks over the bucket-sized rollup (documented post-agg window)
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = counts.withColumn(
+        "midrank",
+        F.coalesce(F.sum("n_all").over(w_prev), F.lit(0))
+        + (F.col("n_all") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("n_base").alias("n1"),
+        F.sum("n_curr").alias("n2"),
+        F.sum(F.col("n_base") + F.col("n_curr")).alias("n"),
+        F.sum(F.col("n_base") * F.col("midrank")).alias("r1"),
+        F.sum(
+            F.col("n_all") * F.col("n_all") * F.col("n_all") - F.col("n_all")
+        ).alias("tie_term"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term") * 1.0 / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    z = (u - F.col("n1") * F.col("n2") / 2.0) / sigma
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_base"),
+        F.col("n2").cast("bigint").alias("n_curr"),
+        F.round(u, 1).alias("u_stat"),
+        (F.round(z, 4) + 0.0).alias("z_score"),
+        (F.abs(z) > 1.96).alias("shifted"),
+    )
+
+
+@_register(
+    "source_unigram_jsd",
+    r"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                     t -> lower(t))) AS term
+        FROM documents
+    ),
+    st AS (
+        SELECT source, term, count(*) AS n FROM toks GROUP BY source, term
+    ),
+    j AS (
+        SELECT st.source, st.term,
+               st.n * 1.0 / sum(st.n) OVER (PARTITION BY st.source) AS p,
+               sum(st.n) OVER (PARTITION BY st.term) * 1.0
+                   / sum(st.n) OVER () AS q,
+               sum(st.n) OVER (PARTITION BY st.source) AS tot
+        FROM st
+    )
+    SELECT source,
+           CAST(max(tot) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_terms,
+           round(sum(q), 6) + 0.0 AS corpus_coverage,
+           round(0.5 * sum(p * ln(2 * p / (p + q))
+                           + q * ln(2 * q / (p + q)))
+                 + 0.5 * (1 - sum(q)) * ln(2), 6) + 0.0 AS jsd_vs_corpus
+    FROM j GROUP BY source ORDER BY source
+    """,
+    "per-source Jensen-Shannon divergence from the corpus unigram "
+    "distribution — the mixture-health metric that tells you which "
+    "crawl source's token distribution has drifted from the blend "
+    "(`source_mixture_weights` reweights by SIZE; this flags "
+    "reweighting by CONTENT). Algebraic trick for scale: the "
+    "absent-term half of the JSD sum collapses to "
+    "0.5*(1 - coverage)*ln2, so only source-PRESENT (source, term) "
+    "rows are ever joined — no |sources| x |vocab| expansion; one "
+    "(source, term) rollup, corpus/term/source masses via windows on "
+    "that rollup, one per-source aggregate out. Rounded at output: "
+    "the term-sum order differs across engines, 6dp sits far above "
+    "double accumulation noise",
+)
+def source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    st = (
+        docs.select(
+            "source",
+            F.explode(F.transform(text.tokens("text"), F.lower)).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w_src = Window.partitionBy("source")
+    w_term = Window.partitionBy("term")
+    # corpus total as a 1-row broadcast scalar, NOT an unpartitioned
+    # window — a global window would single-partition the vocab-sized
+    # rollup at scale
+    ctot = st.agg(F.sum("n").alias("ctot"))
+    j = st.crossJoin(F.broadcast(ctot)).select(
+        "source",
+        "term",
+        (F.col("n") * 1.0 / F.sum("n").over(w_src)).alias("p"),
+        (F.sum("n").over(w_term) * 1.0 / F.col("ctot")).alias("q"),
+        F.sum("n").over(w_src).alias("tot"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab_terms"),
+            (F.round(F.sum("q"), 6) + 0.0).alias("corpus_coverage"),
+            (
+                F.round(
+                    0.5
+                    * F.sum(
+                        F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q")))
+                        + F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+                    )
+                    + 0.5 * (1 - F.sum("q")) * float(__import__("math").log(2.0)),
+                    6,
+                )
+                + 0.0
+            ).alias("jsd_vs_corpus"),
+        )
+        .orderBy("source")
+    )

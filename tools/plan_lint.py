@@ -115,6 +115,7 @@ BNLJ_OK = {
     "benford_first_digit",  # 1-row digit-total scalar broadcast
     "chi2_event_type_weekday",  # 1-row grand-total/dims scalar broadcast
     "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
+    "source_unigram_jsd",  # 1-row corpus-token-total scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
@@ -165,6 +166,7 @@ SINGLE_PARTITION_OK = {
     "customer_revenue_gini",  # ordered cumulative over the entity rollup
     "ks_price_drift",  # ECDF cumulative over the <=1000-bucket rollup
     "kaplan_meier_retention",  # life-table windows over the duration-period rollup
+    "mann_whitney_price_drift",  # midrank window over the <=1000-bucket rollup
     "nation_trade_pagerank",  # final rank over the 25-node graph
     "recsys_negative_samples",  # item-index window over the part DIMENSION
     "revenue_contribution",  # percent-of-total over the entity rollup
