@@ -12679,3 +12679,245 @@ def source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@_register(
+    "readability_scores",
+    r"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(regexp_split_to_array(trim(text), '\s+')) AS words,
+               greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+                   AS sentences,
+               greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1,
+                        1) AS syllables
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (words * 1.0 / sentences)
+                 - 84.6 * (syllables * 1.0 / words), 4) + 0.0
+               AS flesch_score
+    FROM m
+    WHERE words > 0
+    ORDER BY doc_id
+    """,
+    "Flesch reading-ease scoring per document — the readability gate "
+    "a children's-content / plain-language corpus filter runs "
+    "(Flesch 1948: 206.835 - 1.015*(words/sentence) - "
+    "84.6*(syllables/word)); syllables approximated as vowel-group "
+    "runs, the standard codepoint-only heuristic when no dictionary "
+    "is shippable. Map-only (three regexp splits per row, all "
+    "RE2-safe), no shuffle at any scale; integer counts make the "
+    "formula engine-exact before the output rounding",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.split(F.lower(F.col("text")), r"[aeiouy]+")) - 1, F.lit(1)
+    )
+    m = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter(F.col("words") > 0)
+    return m.select(
+        "doc_id",
+        "lang",
+        F.col("words").cast("bigint").alias("n_words"),
+        F.col("sentences").cast("bigint").alias("n_sentences"),
+        F.col("syllables").cast("bigint").alias("n_syllables"),
+        (
+            F.round(
+                206.835
+                - 1.015 * (F.col("words") * 1.0 / F.col("sentences"))
+                - 84.6 * (F.col("syllables") * 1.0 / F.col("words")),
+                4,
+            )
+            + 0.0
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "nation_trade_assortativity",
+    """
+    WITH raw AS (
+        SELECT cn.n_name AS a, sn.n_name AS b, count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    symw AS (
+        SELECT a, b, sum(w) AS w FROM (
+            SELECT a, b, w FROM raw UNION ALL SELECT b AS a, a AS b, w FROM raw
+        ) WHERE a <> b GROUP BY a, b
+    ),
+    mw AS (SELECT avg(w) AS mean_w FROM symw),
+    sym AS (SELECT a, b FROM symw, mw WHERE symw.w > mw.mean_w),
+    deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+    ed AS (
+        SELECT da.d * 1.0 AS x, db.d * 1.0 AS y
+        FROM sym e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+    ),
+    mo AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM ed
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy)
+                           / (sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy)) END, 4)
+               + 0.0 AS assortativity
+    FROM mo
+    """,
+    "degree assortativity of the trade-graph BACKBONE (Newman 2002): "
+    "edges are first thresholded to above-mean weight (the disparity-"
+    "filter-lite backbone — a raw TPC-H-ish trade graph is complete, "
+    "where every degree ties and assortativity is undefined), then "
+    "Pearson correlation of endpoint degrees over the surviving "
+    "symmetrized edges — positive means hubs trade with hubs "
+    "(resilient core), negative a hub-and-spoke topology (skew "
+    "warning for graph-partitioned workloads). Computed from ONE "
+    "moment-aggregate pass over edges joined to the broadcast-sized "
+    "degree table (the `multi_regression_price` closed-form trick — "
+    "no second scan, no built-in corr() whose accumulation internals "
+    "differ per engine); zero-variance degenerate graphs return NULL "
+    "instead of dividing by zero; integer degree products sum "
+    "exactly, rounded at output",
+)
+def nation_trade_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("a"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("b"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    symw = (
+        raw.unionByName(
+            raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    # backbone threshold: above-mean edge weight (1-row scalar broadcast)
+    mw = symw.agg(F.avg("w").alias("mean_w"))
+    sym = (
+        symw.crossJoin(F.broadcast(mw))
+        .filter(F.col("w") > F.col("mean_w"))
+        .select("a", "b")
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    ed = (
+        sym.join(F.broadcast(deg.select(F.col("node").alias("na"), F.col("d").alias("da"))), F.col("a") == F.col("na"))
+        .join(F.broadcast(deg.select(F.col("node").alias("nb"), F.col("d").alias("db"))), F.col("b") == F.col("nb"))
+        .select((F.col("da") * 1.0).alias("x"), (F.col("db") * 1.0).alias("y"))
+    )
+    mo = ed.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
+    )
+    return mo.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        (F.round(r, 4) + 0.0).alias("assortativity"),
+    )
+
+
+@_register(
+    "event_transition_entropy",
+    """
+    WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    tc AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    rt AS (SELECT cur, sum(n) AS tot FROM tc GROUP BY cur)
+    SELECT tc.cur AS event_type,
+           CAST(rt.tot AS BIGINT) AS n_transitions,
+           CAST(count(*) AS INT) AS n_next_states,
+           round(-sum((tc.n * 1.0 / rt.tot) * ln(tc.n * 1.0 / rt.tot)), 6)
+               + 0.0 AS transition_entropy
+    FROM tc JOIN rt ON tc.cur = rt.cur
+    GROUP BY tc.cur, rt.tot
+    ORDER BY event_type
+    """,
+    "per-state entropy of the event-type transition distribution "
+    "H(next | cur) — the sequence-predictability metric over the "
+    "Markov chain `next_event_training_pairs` builds: near-zero means "
+    "scripted/bot-like sessions, near-ln(k) uniform wandering. One "
+    "(user, time)-keyed lag window on the fact, then all aggregation "
+    "happens on the types^2-sized transition table with its row "
+    "totals joined back broadcast-sized; exact integer ratios feed "
+    "ln, rounded at output. The deterministic (ts, event_id) sort key "
+    "pins tie order across engines",
+)
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    rt = tc.groupBy("cur").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        tc.join(F.broadcast(rt), "cur")
+        .groupBy(F.col("cur").alias("event_type"), F.col("tot"))
+        .agg(
+            F.count("*").cast("int").alias("n_next_states"),
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias("transition_entropy"),
+        )
+        .select(
+            "event_type",
+            F.col("tot").cast("bigint").alias("n_transitions"),
+            "n_next_states",
+            "transition_entropy",
+        )
+        .orderBy("event_type")
+    )

@@ -116,6 +116,7 @@ BNLJ_OK = {
     "chi2_event_type_weekday",  # 1-row grand-total/dims scalar broadcast
     "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
     "source_unigram_jsd",  # 1-row corpus-token-total scalar broadcast
+    "nation_trade_assortativity",  # 1-row mean-edge-weight scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
