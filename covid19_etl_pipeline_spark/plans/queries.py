@@ -12921,3 +12921,174 @@ def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "user_event_burstiness",
+    """
+    WITH gaps AS (
+        SELECT user_id,
+               epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+        FROM events
+    ),
+    mo AS (
+        SELECT user_id, count(*) AS n,
+               sum(gap_s) AS s1, sum(gap_s * gap_s) AS s2
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id HAVING count(*) >= 10
+    ),
+    st AS (
+        SELECT user_id, n,
+               s1 / n AS mu,
+               sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+        FROM mo
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           round(mu, 4) AS mean_gap_s,
+           round(sigma / mu, 4) + 0.0 AS gap_cv,
+           round((sigma - mu) / (sigma + mu), 4) + 0.0 AS burstiness
+    FROM st
+    WHERE mu > 0
+    ORDER BY user_id
+    """,
+    "per-user burstiness of event inter-arrival times (Goh & Barabasi "
+    "B = (sigma-mu)/(sigma+mu) in [-1,1]: -1 periodic/bot-like metronome, "
+    "0 Poisson, ->1 extreme bursts) plus the coefficient of variation — "
+    "the temporal-signature screen that separates organic users from "
+    "schedulers. One (user, time) lag window co-keyed with the "
+    "per-user moment aggregate (same exchange), variance from explicit "
+    "moment sums so both engines share the formula rather than a "
+    "stddev() implementation; integer epoch-second gaps sum exactly",
+)
+def user_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    mo = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        mo.select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.round(mu, 4).alias("mean_gap_s"),
+            (F.round(sigma / mu, 4) + 0.0).alias("gap_cv"),
+            (F.round((sigma - mu) / (sigma + mu), 4) + 0.0).alias("burstiness"),
+            mu.alias("__mu"),
+        )
+        .filter(F.col("__mu") > 0)
+        .drop("__mu")
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "cdc_chunk_documents",
+    r"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents WHERE doc_id < 100
+    ),
+    idx AS (
+        SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr))) AS pos
+        FROM arrs
+    ),
+    toks AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, arr[pos] AS term FROM idx
+    ),
+    marked AS (
+        SELECT doc_id, term, pos,
+               CASE WHEN pos > 1 AND
+                    CAST(('0x' || substr(md5(lower(term)), 1, 6)) AS BIGINT)
+                        % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM toks
+    ),
+    chunked AS (
+        SELECT doc_id, term, pos,
+               sum(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        FROM marked
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(lower(term), ' ' ORDER BY pos)) AS chunk_hash
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id
+    """,
+    "content-defined chunking (FastCDC/rsync family): chunk "
+    "boundaries fall where md5(token) lands in 1/16 of hash space, so "
+    "an insertion near the head re-chunks only its neighborhood — "
+    "fixed-window `chunk_documents` re-shifts EVERY downstream chunk, "
+    "which is why storage dedup uses CDC. Emits (doc, chunk, hash) "
+    "rows ready for the cross-doc chunk-level dedup join. One "
+    "doc-keyed window over the exploded token stream (posexplode "
+    "keeps order without a global sort); the chunk hash aggregates "
+    "position-ordered tokens so it is engine-deterministic",
+)
+def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    boundary = (
+        F.when(
+            (F.col("pos") > 1)
+            & (
+                F.conv(F.substring(F.md5(F.lower("term")), 1, 6), 16, 10)
+                .cast("bigint")
+                % 16
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunked = toks.withColumn("boundary", boundary).withColumn(
+        "chunk_id", F.sum("boundary").over(w)
+    )
+    return (
+        chunked.groupBy("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", F.lower("term").alias("t")))
+                        ),
+                        lambda s: s["t"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
