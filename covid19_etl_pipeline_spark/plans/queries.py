@@ -13000,6 +13000,55 @@ def user_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared CDC chunk table: (doc_id, chunk_id, n_tokens, chunk_hash)
+    for docs < 100 — consumed by `cdc_chunk_documents` (the chunk
+    listing) and `chunk_dedup_ratio` (the cross-doc dedup rollup)."""
+    docs = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    boundary = (
+        F.when(
+            (F.col("pos") > 1)
+            & (
+                F.conv(F.substring(F.md5(F.lower("term")), 1, 6), 16, 10)
+                .cast("bigint")
+                % 16
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    chunked = toks.withColumn("boundary", boundary).withColumn(
+        "chunk_id", F.sum("boundary").over(w)
+    )
+    return chunked.groupBy(
+        "doc_id", F.col("chunk_id").cast("int").alias("chunk_id")
+    ).agg(
+        F.count("*").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.lower("term").alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_hash"),
+    )
+
+
+
 @_register(
     "cdc_chunk_documents",
     r"""
@@ -13048,47 +13097,85 @@ def user_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "position-ordered tokens so it is engine-deterministic",
 )
 def cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        spread(load_table(spark, sf_dir, "documents"), "doc_id")
-        .filter(F.col("doc_id") < 100)
+    return _cdc_chunks(spark, sf_dir).orderBy("doc_id", "chunk_id")
+
+
+@_register(
+    "chunk_dedup_ratio",
+    r"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents WHERE doc_id < 100
+    ),
+    idx AS (
+        SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr))) AS pos
+        FROM arrs
+    ),
+    toks AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos, arr[pos] AS term FROM idx
+    ),
+    marked AS (
+        SELECT doc_id, term, pos,
+               CASE WHEN pos > 1 AND
+                    CAST(('0x' || substr(md5(lower(term)), 1, 6)) AS BIGINT)
+                        % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM toks
+    ),
+    chunked AS (
+        SELECT doc_id, term, pos,
+               sum(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        FROM marked
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id, count(*) AS n_tokens,
+               md5(string_agg(lower(term), ' ' ORDER BY pos)) AS chunk_hash
+        FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    firsts AS (
+        SELECT chunk_hash, min(doc_id) AS first_doc FROM chunks
+        GROUP BY chunk_hash
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(text.tokens("text")).alias("pos0", "term")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    boundary = (
-        F.when(
-            (F.col("pos") > 1)
-            & (
-                F.conv(F.substring(F.md5(F.lower("term")), 1, 6), 16, 10)
-                .cast("bigint")
-                % 16
-                == 0
-            ),
-            1,
-        )
-        .otherwise(0)
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    chunked = toks.withColumn("boundary", boundary).withColumn(
-        "chunk_id", F.sum("boundary").over(w)
-    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.first_doc < c.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           round(sum(CASE WHEN f.first_doc < c.doc_id
+                          THEN c.n_tokens ELSE 0 END) * 1.0
+                 / sum(c.n_tokens), 6) + 0.0 AS dup_token_fraction
+    FROM chunks c JOIN firsts f ON c.chunk_hash = f.chunk_hash
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    "chunk-level storage-dedup ratio over the CDC chunk table "
+    "(`cdc_chunk_documents`): a chunk is a duplicate when its hash was "
+    "first emitted by an EARLIER doc (min-doc-id first-writer rule, "
+    "the same convention as `doc_novelty_fraction` at shingle grain) — "
+    "per doc, the duplicate-chunk count and the token mass a "
+    "dedup-store would not re-write. One chunk-hash rollup + join-back "
+    "keyed on the hash; content-defined boundaries are what make the "
+    "ratio robust to insert/delete edits (fixed windows would shift "
+    "every downstream chunk and report near-zero reuse)",
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _cdc_chunks(spark, sf_dir)
+    firsts = chunks.groupBy("chunk_hash").agg(F.min("doc_id").alias("first_doc"))
+    is_dup = (F.col("first_doc") < F.col("doc_id")).cast("int")
     return (
-        chunked.groupBy("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"))
+        chunks.join(firsts, "chunk_hash")
+        .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", F.lower("term").alias("t")))
-                        ),
-                        lambda s: s["t"],
-                    ),
-                    " ",
-                ).cast("binary")
-            ).alias("chunk_hash"),
+            F.count("*").alias("n_chunks"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_chunks"),
+            (
+                F.round(
+                    F.sum(is_dup * F.col("n_tokens")) * 1.0 / F.sum("n_tokens"),
+                    6,
+                )
+                + 0.0
+            ).alias("dup_token_fraction"),
         )
-        .orderBy("doc_id", "chunk_id")
+        .orderBy("doc_id")
     )
