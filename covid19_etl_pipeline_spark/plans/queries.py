@@ -13179,3 +13179,77 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "rolling_7day_distinct_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (
+        SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r
+        FROM (SELECT DISTINCT d FROM du)
+    ),
+    expl AS (
+        SELECT du.user_id, unnest(generate_series(days.r, days.r + 6)) AS ri
+        FROM du JOIN days USING (d)
+    ),
+    exact AS (
+        SELECT d2.d, count(DISTINCT e.user_id) AS n_users_exact
+        FROM expl e JOIN days d2 ON e.ri = d2.r
+        GROUP BY d2.d
+    )
+    SELECT d, n_users_exact, TRUE AS hll_7day_ok
+    FROM exact ORDER BY d
+    """,
+    "rolling 7-day distinct users via MERGEABLE HLL sketches "
+    "(Spark-4 datasketches: one hll_sketch_agg per day, then "
+    "hll_union_agg over the 7-row window — the sketch union is the "
+    "whole point: day sketches are built ONCE and re-unioned per "
+    "window position, where exact distinct would rescan every "
+    "7-day span of the fact). Sketch estimates are engine-specific, "
+    "so the hash-checked contract is the <=5% error bound against the "
+    "exact count (the `approx_distinct_users` convention); the exact "
+    "twin avoids a non-equi range join by exploding each (day, user) "
+    "into its <=7 covered window positions — bounded fan-out + hash "
+    "agg, no BNLJ. The day-grain windows run on the days-sized "
+    "rollup. At 100 TB the sketch path ships kilobyte day-sketches; "
+    "the exact side is the audit you sample, not the production plan",
+)
+def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct()
+    wd = Window.orderBy("d")  # days-sized rollup — documented pattern
+    ranked = days.withColumn("r", F.row_number().over(wd))
+    expl = du.join(F.broadcast(ranked), "d").select(
+        "user_id", F.explode(F.sequence(F.col("r"), F.col("r") + 6)).alias("ri")
+    )
+    exact = (
+        expl.join(
+            F.broadcast(ranked.select(F.col("d").alias("d_i"), F.col("r").alias("ri"))),
+            "ri",
+        )
+        .groupBy("d_i")
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    daily_sk = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    est = daily_sk.select(
+        "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("est")
+    )
+    return (
+        est.join(exact, est["d"] == exact["d_i"])
+        .select(
+            "d",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("hll_7day_ok"),
+        )
+        .orderBy("d")
+    )

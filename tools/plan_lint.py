@@ -169,6 +169,7 @@ SINGLE_PARTITION_OK = {
     "kaplan_meier_retention",  # life-table windows over the duration-period rollup
     "mann_whitney_price_drift",  # midrank window over the <=1000-bucket rollup
     "source_unigram_jsd",  # SinglePartition is the 1-row corpus-total agg; both windows are keyed (source/term)
+    "rolling_7day_distinct_users",  # day-rank + sketch-union windows over the days-sized rollup
     "nation_trade_pagerank",  # final rank over the 25-node graph
     "recsys_negative_samples",  # item-index window over the part DIMENSION
     "revenue_contribution",  # percent-of-total over the entity rollup
