@@ -13253,3 +13253,69 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@_register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'orders_without_lines',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+    UNION ALL
+    SELECT 'orders_orphan_customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'suppliers_unreferenced',
+           (SELECT count(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_suppkey = s.s_suppkey))
+    ORDER BY check_name
+    """,
+    "referential-integrity audit across the star schema: orphan "
+    "lineitems (fact rows whose order vanished — the partial-load "
+    "smoking gun), childless orders, orders pointing at missing "
+    "customers, and unreferenced suppliers — the FK checks a "
+    "warehouse load gate runs because parquet enforces none of them. "
+    "Each check is one LEFT ANTI join (dimension sides broadcast, "
+    "the fact-fact pair shuffles on the join key once); the four "
+    "1-row counts union into a fixed 4-row report, so driver state "
+    "is constant regardless of table size",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_bad")).select(
+            F.lit(name).alias("check_name"), "n_bad"
+        )
+
+    checks = [
+        count_row(
+            "lineitem_orphans",
+            li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti"),
+        ),
+        count_row(
+            "orders_without_lines",
+            o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_anti"),
+        ),
+        count_row(
+            "orders_orphan_customer",
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left_anti"),
+        ),
+        count_row(
+            "suppliers_unreferenced",
+            s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_anti"),
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), checks).orderBy("check_name")
