@@ -79,9 +79,11 @@ HEADLINE = (
     "bigram_lm_perplexity",
     "kmv_distinct_users",
     "semdedup_survivors",
-    # round-2 flagships (late batch): RRF hybrid retrieval, KS drift
+    # round-2 flagships (late batch): RRF hybrid retrieval, KS drift,
+    # mergeable-sketch rolling distinct
     "hybrid_retrieval_rrf",
     "ks_price_drift",
+    "rolling_7day_distinct_users",
 )
 
 
