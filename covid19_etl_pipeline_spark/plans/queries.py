@@ -13319,3 +13319,104 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), checks).orderBy("check_name")
+
+
+_BOOT_B = 20  # bootstrap replicates (one-pass Poisson bootstrap)
+
+
+def _boot_u_sql(b: int) -> str:
+    """Deterministic uniform in [0,1) for (order, replicate): md5-derived,
+    bit-identical in Spark and DuckDB (the minhash hash convention)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|{b}'), 1, 8)) "
+        "AS BIGINT) / 4294967296.0"
+    )
+
+
+def _boot_w_sql(b: int) -> str:
+    """Poisson(1)-approximating weight from the uniform draw (pmf
+    cumulative cuts .3679/.7358/.9197/.9810, tail mass on 4)."""
+    u = _boot_u_sql(b)
+    return (
+        f"CASE WHEN {u} < 0.3679 THEN 0 WHEN {u} < 0.7358 THEN 1 "
+        f"WHEN {u} < 0.9197 THEN 2 WHEN {u} < 0.9810 THEN 3 ELSE 4 END"
+    )
+
+
+@_register(
+    "bootstrap_mean_ci",
+    f"""
+    WITH a AS (
+        SELECT count(*) AS n, avg(o_totalprice) AS grand_mean,
+           {", ".join(f"sum(({_boot_w_sql(b)}) * o_totalprice) AS wx{b}, sum({_boot_w_sql(b)}) AS w{b}" for b in range(_BOOT_B))}
+        FROM orders
+    ),
+    m AS (
+        SELECT n, grand_mean,
+               list_sort([{", ".join(f"round(wx{b} / w{b}, 4)" for b in range(_BOOT_B))}]) AS means
+        FROM a
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           round(grand_mean, 4) AS grand_mean,
+           means[2] + 0.0 AS boot_ci_lo,
+           means[{_BOOT_B - 1}] + 0.0 AS boot_ci_hi
+    FROM m
+    """,
+    "one-pass Poisson bootstrap 90% CI for the mean order price: each "
+    "of 20 replicates weights every row by a deterministic "
+    "md5-derived Poisson(1)-approximating count, so ALL replicate "
+    "sums accumulate in a SINGLE scan/aggregate (the resample-free "
+    "bootstrap used on datasets too large to resample; Chamandy et "
+    "al., 'Estimating Uncertainty for Massive Data Streams') — no "
+    "per-replicate pass, no data copy, and the percentile CI falls "
+    "out of sorting the 20-element replicate-mean array driver-side-"
+    "free. Deterministic hash weights make the CI itself "
+    "hash-comparable across engines; replicate means round to 4dp "
+    "before the sort so summation order cannot reorder ties",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def u(b: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{b}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        )
+
+    def w(b: int):
+        ub = u(b)
+        return (
+            F.when(ub < 0.3679, 0)
+            .when(ub < 0.7358, 1)
+            .when(ub < 0.9197, 2)
+            .when(ub < 0.9810, 3)
+            .otherwise(4)
+        )
+
+    aggs = [F.count("*").alias("n"), F.avg("o_totalprice").alias("grand_mean")]
+    for b in range(_BOOT_B):
+        aggs.append(F.sum(w(b) * F.col("o_totalprice")).alias(f"wx{b}"))
+        aggs.append(F.sum(w(b)).alias(f"w{b}"))
+    a = o.agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.round(F.col(f"wx{b}") / F.col(f"w{b}"), 4)
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("grand_mean", 4).alias("grand_mean"),
+        (F.element_at(means, 2) + 0.0).alias("boot_ci_lo"),
+        (F.element_at(means, _BOOT_B - 1) + 0.0).alias("boot_ci_hi"),
+    )
