@@ -13420,3 +13420,157 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at(means, 2) + 0.0).alias("boot_ci_lo"),
         (F.element_at(means, _BOOT_B - 1) + 0.0).alias("boot_ci_hi"),
     )
+
+
+@_register(
+    "trade_community_modularity",
+    """
+    WITH raw AS (
+        SELECT cn.n_name AS a, sn.n_name AS b, count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    sym AS (
+        SELECT a, b, CAST(sum(w) AS DOUBLE) AS w
+        FROM (
+            SELECT a, b, w FROM raw
+            UNION ALL
+            SELECT b AS a, a AS b, w FROM raw
+        )
+        WHERE a <> b
+        GROUP BY a, b
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    s1 AS (SELECT e.a, p.lbl, sum(e.w) AS s
+           FROM sym e JOIN l0 p ON e.b = p.node GROUP BY e.a, p.lbl),
+    b1 AS (SELECT a, lbl FROM (
+               SELECT a, lbl, row_number() OVER (
+                   PARTITION BY a ORDER BY s DESC, lbl) AS rn FROM s1)
+           WHERE rn = 1),
+    l1 AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+           FROM l0 p LEFT JOIN b1 b ON p.node = b.a),
+    s2 AS (SELECT e.a, p.lbl, sum(e.w) AS s
+           FROM sym e JOIN l1 p ON e.b = p.node GROUP BY e.a, p.lbl),
+    b2 AS (SELECT a, lbl FROM (
+               SELECT a, lbl, row_number() OVER (
+                   PARTITION BY a ORDER BY s DESC, lbl) AS rn FROM s2)
+           WHERE rn = 1),
+    l2 AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+           FROM l1 p LEFT JOIN b2 b ON p.node = b.a),
+    s3 AS (SELECT e.a, p.lbl, sum(e.w) AS s
+           FROM sym e JOIN l2 p ON e.b = p.node GROUP BY e.a, p.lbl),
+    b3 AS (SELECT a, lbl FROM (
+               SELECT a, lbl, row_number() OVER (
+                   PARTITION BY a ORDER BY s DESC, lbl) AS rn FROM s3)
+           WHERE rn = 1),
+    lab AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+            FROM l2 p LEFT JOIN b3 b ON p.node = b.a),
+    mm AS (SELECT sum(w) AS m2 FROM sym),
+    deg AS (SELECT a AS node, sum(w) AS dw FROM sym GROUP BY a),
+    dc AS (SELECT l.lbl, sum(d.dw) AS d_c, count(*) AS n_members
+           FROM deg d JOIN lab l ON d.node = l.node GROUP BY l.lbl),
+    ec AS (SELECT la.lbl, sum(e.w) AS e_c
+           FROM sym e
+           JOIN lab la ON e.a = la.node
+           JOIN lab lb ON e.b = lb.node
+           WHERE la.lbl = lb.lbl
+           GROUP BY la.lbl)
+    SELECT dc.lbl AS community,
+           CAST(dc.n_members AS BIGINT) AS n_members,
+           round(coalesce(ec.e_c, 0) / mm.m2, 6) + 0.0 AS internal_frac,
+           round(dc.d_c / mm.m2, 6) + 0.0 AS degree_frac,
+           round(coalesce(ec.e_c, 0) / mm.m2
+                 - (dc.d_c / mm.m2) * (dc.d_c / mm.m2), 6) + 0.0
+               AS modularity_contrib
+    FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl, mm
+    ORDER BY community
+    """,
+    "Newman modularity decomposition of the label-propagation "
+    "partition (`nation_trade_communities`): per community, the "
+    "within-community edge fraction e_c/2m against the null "
+    "expectation (d_c/2m)^2 — the audit that tells you whether LPA "
+    "found structure or noise (sum of contributions ~0 means the "
+    "partition is no better than random wiring). Runs the SAME "
+    "deterministic 3-round LPA, then two rollups over the aggregated "
+    "edge list with the 25-node label table broadcast everywhere and "
+    "the total edge mass as a 1-row scalar; integer-valued weight "
+    "sums keep both engines exact before the rounded divisions",
+)
+def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    labels = graph.label_propagation(edges, "src", "dst", weight="w", iterations=3)
+    e0 = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("w").cast("double").alias("w")
+    )
+    sym = (
+        e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    mm = sym.agg(F.sum("w").alias("m2"))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("dw"))
+    lab = labels.select("node", "lbl").localCheckpoint()
+    dc = (
+        deg.join(F.broadcast(lab), "node")
+        .groupBy("lbl")
+        .agg(F.sum("dw").alias("d_c"), F.count("*").alias("n_members"))
+    )
+    ec = (
+        sym.join(
+            F.broadcast(lab.select(F.col("node").alias("a"), F.col("lbl").alias("la"))), "a"
+        )
+        .join(
+            F.broadcast(lab.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))), "b"
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.sum("w").alias("e_c"))
+    )
+    return (
+        dc.join(ec, "lbl", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("lbl").alias("community"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.round(F.coalesce("e_c", F.lit(0.0)) / F.col("m2"), 6) + 0.0).alias(
+                "internal_frac"
+            ),
+            (F.round(F.col("d_c") / F.col("m2"), 6) + 0.0).alias("degree_frac"),
+            (
+                F.round(
+                    F.coalesce("e_c", F.lit(0.0)) / F.col("m2")
+                    - (F.col("d_c") / F.col("m2")) * (F.col("d_c") / F.col("m2")),
+                    6,
+                )
+                + 0.0
+            ).alias("modularity_contrib"),
+        )
+        .orderBy("community")
+    )

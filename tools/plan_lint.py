@@ -117,6 +117,7 @@ BNLJ_OK = {
     "kaplan_meier_retention",  # 1-row observation-end scalar broadcast
     "source_unigram_jsd",  # 1-row corpus-token-total scalar broadcast
     "nation_trade_assortativity",  # 1-row mean-edge-weight scalar broadcast
+    "trade_community_modularity",  # 1-row total-edge-mass scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
