@@ -13574,3 +13574,79 @@ def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@_register(
+    "revenue_theil_decomposition",
+    """
+    WITH cr AS (
+        SELECT o.o_custkey, c.c_nationkey, sum(o.o_totalprice) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_nationkey
+    ),
+    g AS (
+        SELECT n.n_name AS nation,
+               count(*) AS n_g,
+               sum(cr.x) AS x_g,
+               sum(cr.x * ln(cr.x)) AS xlx_g
+        FROM cr JOIN nation n ON cr.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT sum(n_g) AS n, sum(x_g) AS x FROM g)
+    SELECT nation,
+           CAST(n_g AS BIGINT) AS n_customers,
+           round(x_g / tot.x, 6) + 0.0 AS revenue_share,
+           round((x_g / tot.x) * (xlx_g / x_g - ln(x_g / n_g)), 6) + 0.0
+               AS theil_within,
+           round((x_g / tot.x) * ln((x_g / n_g) / (tot.x / tot.n)), 6) + 0.0
+               AS theil_between
+    FROM g, tot
+    ORDER BY nation
+    """,
+    "Theil-T inequality decomposition of customer revenue by nation — "
+    "the grouped analysis Gini cannot do: total inequality splits "
+    "EXACTLY into within-nation spread (share-weighted per-nation "
+    "Theil) plus between-nation mean gaps, so you can tell whether "
+    "revenue concentration lives inside markets or across them. "
+    "Computed entirely from per-nation moment sums (n, sum x, "
+    "sum x*ln x): T_g = (sum x ln x)/X_g - ln(mu_g) needs NO second "
+    "pass over customers — one custkey rollup, one broadcast-dim "
+    "nation rollup, grand totals as a 1-row scalar; rounded at "
+    "output, far above the summation-order noise floor",
+)
+def revenue_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cr = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    g = (
+        cr.join(F.broadcast(n), cr["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum("x").alias("x_g"),
+            F.sum(F.col("x") * F.log("x")).alias("xlx_g"),
+        )
+    )
+    tot = g.agg(F.sum("n_g").alias("n"), F.sum("x_g").alias("x"))
+    share = F.col("x_g") / F.col("x")
+    mu_g = F.col("x_g") / F.col("n_g")
+    mu = F.col("x") / F.col("n")
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("n_g").cast("bigint").alias("n_customers"),
+            (F.round(share, 6) + 0.0).alias("revenue_share"),
+            (
+                F.round(share * (F.col("xlx_g") / F.col("x_g") - F.log(mu_g)), 6)
+                + 0.0
+            ).alias("theil_within"),
+            (F.round(share * F.log(mu_g / mu), 6) + 0.0).alias("theil_between"),
+        )
+        .orderBy("nation")
+    )

@@ -118,6 +118,7 @@ BNLJ_OK = {
     "source_unigram_jsd",  # 1-row corpus-token-total scalar broadcast
     "nation_trade_assortativity",  # 1-row mean-edge-weight scalar broadcast
     "trade_community_modularity",  # 1-row total-edge-mass scalar broadcast
+    "revenue_theil_decomposition",  # 1-row grand-total scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
