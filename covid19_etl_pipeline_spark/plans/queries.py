@@ -13650,3 +13650,86 @@ def revenue_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@_register(
+    "lang_id_agreement_kappa",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_d_lang_score('de')} AS s_de,
+               {_d_lang_score('en')} AS s_en,
+               {_d_lang_score('es')} AS s_es,
+               {_d_lang_score('fr')} AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM scored
+    ),
+    cm AS (
+        SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT sum(n) AS n FROM cm),
+    po AS (SELECT coalesce(sum(n), 0) AS agree FROM cm WHERE lang = lang_pred),
+    rt AS (SELECT lang AS lbl, sum(n) AS r FROM cm GROUP BY lang),
+    ct AS (SELECT lang_pred AS lbl, sum(n) AS c FROM cm GROUP BY lang_pred),
+    pe AS (
+        SELECT sum(coalesce(rt.r, 0) * coalesce(ct.c, 0)) AS rc
+        FROM rt FULL JOIN ct ON rt.lbl = ct.lbl
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_docs,
+           round(po.agree * 1.0 / tot.n, 6) AS observed_agreement,
+           round(pe.rc * 1.0 / (tot.n * tot.n), 6) AS expected_agreement,
+           round((po.agree * 1.0 / tot.n - pe.rc * 1.0 / (tot.n * tot.n))
+                 / (1 - pe.rc * 1.0 / (tot.n * tot.n)), 6) + 0.0
+               AS cohens_kappa
+    FROM tot, po, pe
+    """,
+    "Cohen's kappa between the stopword-coverage lang-id heuristic "
+    "(`lang_id`) and the labeled language — chance-corrected "
+    "agreement, the honest version of raw accuracy when the label "
+    "distribution is skewed (a majority-class guesser scores high "
+    "accuracy but kappa ~0). The classifier-vs-reference audit shape "
+    "that also serves annotator-agreement QA on labeling pipelines. "
+    "Everything reduces to the labels^2-sized confusion matrix: "
+    "marginals re-aggregate it, the three scalars cross in as 1-row "
+    "broadcasts; exact integer ratios make kappa engine-deterministic",
+)
+def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pred = text.language_id(docs.select("doc_id", "lang", "text"), "text").select(
+        "lang", "lang_pred"
+    )
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    tot = cm.agg(F.sum("n").alias("n"))
+    po = cm.filter(F.col("lang") == F.col("lang_pred")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("agree")
+    )
+    rt = cm.groupBy(F.col("lang").alias("lbl")).agg(F.sum("n").alias("r"))
+    ct = cm.groupBy(F.col("lang_pred").alias("lbl")).agg(F.sum("n").alias("c"))
+    pe = (
+        rt.join(ct, "lbl", "full")
+        .agg(
+            F.sum(
+                F.coalesce("r", F.lit(0)) * F.coalesce("c", F.lit(0))
+            ).alias("rc")
+        )
+    )
+    po_f = F.col("agree") * 1.0 / F.col("n")
+    pe_f = F.col("rc") * 1.0 / (F.col("n") * F.col("n"))
+    return (
+        tot.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(po_f, 6).alias("observed_agreement"),
+            F.round(pe_f, 6).alias("expected_agreement"),
+            (F.round((po_f - pe_f) / (1 - pe_f), 6) + 0.0).alias("cohens_kappa"),
+        )
+    )

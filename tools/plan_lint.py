@@ -119,6 +119,7 @@ BNLJ_OK = {
     "nation_trade_assortativity",  # 1-row mean-edge-weight scalar broadcast
     "trade_community_modularity",  # 1-row total-edge-mass scalar broadcast
     "revenue_theil_decomposition",  # 1-row grand-total scalar broadcast
+    "lang_id_agreement_kappa",  # three 1-row confusion-scalar broadcasts
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
