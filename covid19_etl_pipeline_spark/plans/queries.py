@@ -13733,3 +13733,121 @@ def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round((po_f - pe_f) / (1 - pe_f), 6) + 0.0).alias("cohens_kappa"),
         )
     )
+
+
+@_register(
+    "lang_id_class_prf",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_d_lang_score('de')} AS s_de,
+               {_d_lang_score('en')} AS s_en,
+               {_d_lang_score('es')} AS s_es,
+               {_d_lang_score('fr')} AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred
+        FROM scored
+    ),
+    cm AS (
+        SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+    ),
+    rt AS (SELECT lang AS lbl, sum(n) AS n_true FROM cm GROUP BY lang),
+    ct AS (SELECT lang_pred AS lbl, sum(n) AS n_pred FROM cm GROUP BY lang_pred),
+    tp AS (SELECT lang AS lbl, sum(n) AS n_correct FROM cm
+           WHERE lang = lang_pred GROUP BY lang),
+    j AS (
+        SELECT coalesce(rt.lbl, ct.lbl) AS label,
+               coalesce(rt.n_true, 0) AS n_true,
+               coalesce(ct.n_pred, 0) AS n_pred,
+               coalesce(tp.n_correct, 0) AS n_correct
+        FROM rt
+        FULL JOIN ct ON rt.lbl = ct.lbl
+        LEFT JOIN tp ON coalesce(rt.lbl, ct.lbl) = tp.lbl
+    )
+    SELECT label,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           round(CASE WHEN n_pred > 0
+                      THEN n_correct * 1.0 / n_pred END, 6) + 0.0 AS precision,
+           round(CASE WHEN n_true > 0
+                      THEN n_correct * 1.0 / n_true END, 6) + 0.0 AS recall,
+           round(CASE WHEN n_correct > 0
+                      THEN 2.0 * n_correct / (n_pred + n_true)
+                      ELSE 0.0 END, 6) + 0.0 AS f1
+    FROM j
+    ORDER BY label
+    """,
+    "per-class precision / recall / F1 for the lang-id heuristic "
+    "against labels — the confusion-matrix decomposition kappa "
+    "summarizes (`lang_id_agreement_kappa`): which languages the "
+    "classifier over-claims (low precision) vs misses (low recall), "
+    "including labels it never predicts (zh -> recall 0, NULL "
+    "precision) and predictions with no true class (und). One "
+    "labels^2 confusion rollup re-aggregated three ways, "
+    "full-outer-joined on the label union — output is labels-sized; "
+    "exact integer ratios, F1 = 2TP/(pred+true) avoids the P+R "
+    "division chain (exact in both engines)",
+)
+def lang_id_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pred = text.language_id(docs.select("doc_id", "lang", "text"), "text").select(
+        "lang", "lang_pred"
+    )
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    rt = cm.groupBy(F.col("lang").alias("lbl")).agg(F.sum("n").alias("n_true"))
+    ct = cm.groupBy(F.col("lang_pred").alias("lbl")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tp = (
+        cm.filter(F.col("lang") == F.col("lang_pred"))
+        .groupBy(F.col("lang").alias("lbl"))
+        .agg(F.sum("n").alias("n_correct"))
+    )
+    j = (
+        rt.join(ct, "lbl", "full")
+        .join(tp, "lbl", "left")
+        .select(
+            F.col("lbl").alias("label"),
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    return j.select(
+        "label",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        (
+            F.round(
+                F.when(F.col("n_pred") > 0, F.col("n_correct") * 1.0 / F.col("n_pred")),
+                6,
+            )
+            + 0.0
+        ).alias("precision"),
+        (
+            F.round(
+                F.when(F.col("n_true") > 0, F.col("n_correct") * 1.0 / F.col("n_true")),
+                6,
+            )
+            + 0.0
+        ).alias("recall"),
+        (
+            F.round(
+                F.when(
+                    F.col("n_correct") > 0,
+                    2.0 * F.col("n_correct") / (F.col("n_pred") + F.col("n_true")),
+                ).otherwise(0.0),
+                6,
+            )
+            + 0.0
+        ).alias("f1"),
+    ).orderBy("label")
