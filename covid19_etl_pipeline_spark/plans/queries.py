@@ -13851,3 +13851,52 @@ def lang_id_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("f1"),
     ).orderBy("label")
+
+
+@_register(
+    "source_diversity_by_lang",
+    """
+    WITH c AS (
+        SELECT lang, source, count(*) AS n
+        FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY lang)
+    SELECT c.lang,
+           CAST(max(t.tot) AS BIGINT) AS n_docs,
+           CAST(count(*) AS INT) AS n_sources,
+           round(sum(power(c.n * 1.0 / t.tot, 2)), 6) AS simpson_index,
+           round(1.0 / sum(power(c.n * 1.0 / t.tot, 2)), 4)
+               AS effective_sources,
+           round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6)
+               + 0.0 AS shannon_entropy
+    FROM c JOIN t ON c.lang = t.lang
+    GROUP BY c.lang
+    ORDER BY c.lang
+    """,
+    "source-diversity audit per language: Simpson concentration "
+    "sum(p^2), its inverse (the EFFECTIVE number of sources — 20 "
+    "sources contributing like 3 means the language rides on 3 "
+    "crawls), and Shannon entropy — the mixture-robustness check "
+    "before trusting a language's volume number, and the ecological "
+    "twin of `source_mixture_weights` (size) and `source_unigram_jsd` "
+    "(content). Everything reduces to the langs x sources cell "
+    "rollup with per-language totals joined back broadcast-sized; "
+    "exact integer ratios under the rounding",
+)
+def source_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_docs"),
+            F.count("*").cast("int").alias("n_sources"),
+            F.round(F.sum(F.pow(p, 2)), 6).alias("simpson_index"),
+            F.round(1.0 / F.sum(F.pow(p, 2)), 4).alias("effective_sources"),
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias("shannon_entropy"),
+        )
+        .orderBy("lang")
+    )
