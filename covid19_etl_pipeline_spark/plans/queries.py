@@ -58,6 +58,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def _register(name: str, oracle: str | None, description: str):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        assert name not in REGISTRY, f"duplicate registry entry: {name}"
         REGISTRY[name] = QuerySpec(name, fn, oracle, description)
         return fn
 
@@ -12409,7 +12410,8 @@ def nation_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_at_risk AS BIGINT) AS n_at_risk,
            CAST(n_churned AS BIGINT) AS n_churned,
            CAST(n_censored AS BIGINT) AS n_censored,
-           round(exp(sum(ln(1.0 - n_churned * 1.0 / n_at_risk)) OVER (
+           round(exp(sum(ln(greatest(1.0 - n_churned * 1.0 / n_at_risk,
+                                     1e-12))) OVER (
                ORDER BY duration_p)), 6) + 0.0 AS survival
     FROM risk
     ORDER BY duration_p
@@ -12466,7 +12468,16 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.exp(
                     F.sum(
-                        F.log(1.0 - F.col("n_churned") * 1.0 / F.col("n_at_risk"))
+                        # hazard=1 (fully-churned deepest bucket) would be
+                        # ln(0): clamp so S(t) collapses to ~0 identically
+                        # in Spark and the DuckDB oracle instead of NULL/-inf
+                        F.log(
+                            F.greatest(
+                                1.0
+                                - F.col("n_churned") * 1.0 / F.col("n_at_risk"),
+                                F.lit(1e-12),
+                            )
+                        )
                     ).over(w_surv)
                 ),
                 6,
@@ -13188,7 +13199,7 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
     ),
     days AS (
-        SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS r
+        SELECT d, CAST(d - DATE '1970-01-01' AS BIGINT) AS r
         FROM (SELECT DISTINCT d FROM du)
     ),
     expl AS (
@@ -13210,25 +13221,32 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window position, where exact distinct would rescan every "
     "7-day span of the fact). Sketch estimates are engine-specific, "
     "so the hash-checked contract is the <=5% error bound against the "
-    "exact count (the `approx_distinct_users` convention); the exact "
-    "twin avoids a non-equi range join by exploding each (day, user) "
-    "into its <=7 covered window positions — bounded fan-out + hash "
-    "agg, no BNLJ. The day-grain windows run on the days-sized "
-    "rollup. At 100 TB the sketch path ships kilobyte day-sketches; "
-    "the exact side is the audit you sample, not the production plan",
+    "exact count (the `approx_distinct_users` convention); windows are "
+    "7 CALENDAR days (rangeBetween over the days-since-epoch ordinal), "
+    "so a zero-event day still advances the window instead of silently "
+    "stretching it; the exact twin avoids a non-equi range join by "
+    "exploding each (day, user) into its <=7 covered day ordinals — "
+    "bounded fan-out + hash agg, no BNLJ. The day-grain windows run on "
+    "the days-sized rollup. At 100 TB the sketch path ships kilobyte "
+    "day-sketches; the exact side is the audit you sample, not the "
+    "production plan",
 )
 def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    days = du.select("d").distinct()
-    wd = Window.orderBy("d")  # days-sized rollup — documented pattern
-    ranked = days.withColumn("r", F.row_number().over(wd))
-    expl = du.join(F.broadcast(ranked), "d").select(
+    # calendar-day ordinal (days since epoch): a day with zero events still
+    # advances the window, so the '7-day' span is 7 CALENDAR days even
+    # across gaps — rangeBetween over the ordinal, not rowsBetween over
+    # observed rows
+    days = du.select("d").distinct().withColumn(
+        "r", F.unix_date("d").cast("bigint")
+    )
+    expl = du.join(F.broadcast(days), "d").select(
         "user_id", F.explode(F.sequence(F.col("r"), F.col("r") + 6)).alias("ri")
     )
     exact = (
         expl.join(
-            F.broadcast(ranked.select(F.col("d").alias("d_i"), F.col("r").alias("ri"))),
+            F.broadcast(days.select(F.col("d").alias("d_i"), F.col("r").alias("ri"))),
             "ri",
         )
         .groupBy("d_i")
@@ -13237,7 +13255,7 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily_sk = ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id", 14).alias("sk")
     )
-    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    w7 = Window.orderBy(F.unix_date("d").cast("bigint")).rangeBetween(-6, 0)
     est = daily_sk.select(
         "d", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w7)).alias("est")
     )
@@ -13256,7 +13274,7 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "referential_integrity_audit",
+    "star_schema_fk_audit",
     """
     SELECT 'lineitem_orphans' AS check_name,
            (SELECT count(*) FROM lineitem l
@@ -13289,7 +13307,7 @@ def rolling_7day_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-row counts union into a fixed 4-row report, so driver state "
     "is constant regardless of table size",
 )
-def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def star_schema_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
