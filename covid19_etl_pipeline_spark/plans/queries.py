@@ -7396,7 +7396,9 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.transform("v", lambda x: x / F.col("nm")).alias("uv"),
         )
-        .localCheckpoint()
+        # no checkpoint: both consumers (the tiny broadcast query side and
+        # the candidate scan) recompute the map-only normalization cheaper
+        # than materializing the corpus-sized array column would cost
     )
     q = pts.select(
         F.col("vec_id").alias("q_id"),
