@@ -17,6 +17,7 @@ columns so Catalyst prunes files before any blob is read.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,6 +59,53 @@ def decode_image(payload: bytes) -> object:
     )
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 samples as a canonical RIFF/WAVE PCM blob — pure
+    stdlib ``struct``, no codec dependency. Used by the synthetic-WAV
+    fixture generator so the decode path below exercises REAL container
+    parsing (magic, chunk walk, fmt fields), not a byte-proxy."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff_len = 4 + len(fmt) + len(data_chunk)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt + data_chunk
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL audio decode: parse a RIFF/WAVE PCM-16 blob with stdlib
+    ``struct`` (the container ships no codec libraries, but WAV needs
+    none). Walks the chunk list (tolerating extra chunks like LIST),
+    validates the fmt tag, and returns ``(sample_rate, channels,
+    samples)`` with samples as interleaved signed 16-bit ints.
+
+    This fills the codec slot that ``decode_image`` must leave stubbed:
+    image formats need external codecs, PCM audio does not."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    sample_rate = channels = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding: fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+    return sample_rate, channels, samples
+
+
 def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic fake featurizer: byte-histogram moments over the
     payload. Stands in for a decoder+CNN; stable across runs."""
@@ -92,6 +140,104 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return assets.mapInPandas(featurize, schema=_FEATURE_SCHEMA)
+
+
+def synth_samples(asset_id: int, n: int) -> list[int]:
+    """Deterministic PCM-16 sample stream for asset fixtures:
+    ``s[k] = ((asset_id * 31 + k * 7) % 2003) - 1001``. Closed-form, so
+    a SQL oracle can recompute every sample without touching bytes —
+    the contract that lets the encode→decode round trip be hash-checked
+    end to end."""
+    return [((asset_id * 31 + k * 7) % 2003) - 1001 for k in range(n)]
+
+
+def synth_wav_assets(
+    df: DataFrame,
+    id_col: str,
+    n_col: str,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build real WAV payloads for (asset_id, n_samples) rows — the
+    Arrow-batched ENCODE half of the audio round trip. Output schema:
+    (asset_id, n_samples, payload binary)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            ns = pdf[n_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "n_samples": ns.astype("int32"),
+                    "payload": [
+                        encode_wav_pcm16(synth_samples(int(i), int(n)), sample_rate)
+                        for i, n in zip(ids, ns)
+                    ],
+                }
+            )
+
+    return df.select(id_col, n_col).mapInPandas(encode, schema=schema)
+
+
+def wav_rms_segments(
+    assets: DataFrame,
+    window: int = 160,
+    hop: int = 80,
+) -> DataFrame:
+    """True RMS energy over overlapping sample windows of DECODED WAV
+    payloads — the production voice-activity featurizer shape: one
+    Arrow batch in flight per task, the codec call (``decode_wav``) is
+    the only Python, and the per-window fan-out happens inside the
+    batch (no corpus-scale explode of raw samples through a shuffle).
+
+    Output: (asset_id, n_samples, seg_start, rms) — one row per window
+    position ``seg_start in range(0, n_samples, hop)``, RMS over the
+    up-to-``window`` samples starting there (last windows truncate).
+    """
+
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("seg_start", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out_id, out_n, out_s, out_r = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _, _, samples = decode_wav(bytes(payload))
+                n = len(samples)
+                for s in range(0, n, hop):
+                    win = samples[s : s + window]
+                    out_id.append(int(aid))
+                    out_n.append(n)
+                    out_s.append(s)
+                    out_r.append(
+                        math.sqrt(sum(float(v) * float(v) for v in win) / len(win))
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_id, dtype="int64"),
+                    "n_samples": pd.Series(out_n, dtype="int32"),
+                    "seg_start": pd.Series(out_s, dtype="int32"),
+                    "rms": pd.Series(out_r, dtype="float64"),
+                }
+            )
+
+    return assets.mapInPandas(segment, schema=schema)
 
 
 def filter_by_metadata(

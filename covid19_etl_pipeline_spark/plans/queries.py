@@ -4896,6 +4896,62 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_wav_rms",
+    """
+    WITH base AS (
+        SELECT doc_id, 400 + (doc_id % 5) * 100 AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    segs AS (
+        SELECT doc_id, n, unnest(range(0, n, 80)) AS s FROM base
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(s AS INT) AS seg_start,
+           round(sqrt(list_aggregate(
+               list_transform(range(s, least(s + 160, n)),
+                              k -> CAST(((doc_id * 31 + k * 7) % 2003) - 1001
+                                        AS DOUBLE)
+                                   * CAST(((doc_id * 31 + k * 7) % 2003) - 1001
+                                          AS DOUBLE)),
+               'avg')), 4) + 0.0 AS rms
+    FROM segs ORDER BY asset_id, seg_start
+    """,
+    "REAL audio decode in the multimodal codec slot: deterministic "
+    "PCM-16 streams (s[k] = ((id*31+k*7) % 2003) - 1001) are packed "
+    "into genuine RIFF/WAVE blobs with stdlib struct "
+    "(multimodal.synth_wav_assets), then DECODED back by walking the "
+    "chunk list (multimodal.decode_wav — magic check, fmt validation, "
+    "word-aligned chunk skip) and featurized as true RMS energy over "
+    "overlapping 160-sample windows at an 80-sample hop "
+    "(multimodal.wav_rms_segments). Both halves are Arrow-batched "
+    "mapInPandas — one batch in flight per task, the codec the only "
+    "Python. The oracle recomputes every window's RMS from the CLOSED "
+    "FORM without ever touching bytes, so a hash match proves the "
+    "encode->decode round trip is byte-exact end to end (window sums "
+    "of int squares are <2^53, hence order-independent and "
+    "engine-identical). Image decode stays honestly stubbed (no codec "
+    "in the environment); PCM needs none",
+)
+def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    base = spread(docs, "doc_id").select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(400) + (F.col("doc_id") % 5) * 100).cast("int").alias("n_samples"),
+    )
+    assets = multimodal.synth_wav_assets(base, "asset_id", "n_samples")
+    segs = multimodal.wav_rms_segments(assets, window=160, hop=80)
+    return segs.select(
+        "asset_id",
+        "n_samples",
+        "seg_start",
+        (F.round("rms", 4) + F.lit(0.0)).alias("rms"),
+    ).orderBy("asset_id", "seg_start")
+
+
+@_register(
     "pack_training_sequences",
     r"""
     WITH d AS (

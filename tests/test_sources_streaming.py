@@ -122,6 +122,56 @@ def test_multimodal_metadata_filters_and_frames(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+def test_wav_codec_roundtrip():
+    """Pure-python WAV codec: encode→decode must be identity on
+    samples, rate, and channels; extra chunks and padding tolerated."""
+    import struct
+
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    blob = encode_wav_pcm16(samples, sample_rate=16000)
+    rate, ch, back = decode_wav(blob)
+    assert (rate, ch, back) == (16000, 1, samples)
+
+    # tolerate an extra (odd-length, word-padded) chunk before data
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    patched = blob[:12] + extra + blob[12:]
+    assert decode_wav(patched)[2] == samples
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav")
+    # non-PCM fmt rejected
+    bad = bytearray(blob)
+    bad[20] = 3  # audio_fmt = IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_rms_segments(spark):
+    """Distributed decode+RMS: a constant-amplitude square wave has
+    RMS exactly equal to its amplitude in every window."""
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        wav_rms_segments,
+    )
+
+    amp = 1000
+    samples = [amp if k % 2 == 0 else -amp for k in range(300)]
+    assets = spark.createDataFrame(
+        [(7, bytearray(encode_wav_pcm16(samples)))], "asset_id long, payload binary"
+    )
+    rows = wav_rms_segments(assets, window=160, hop=80).collect()
+    assert [r["seg_start"] for r in rows] == [0, 80, 160, 240]
+    assert all(r["n_samples"] == 300 for r in rows)
+    assert all(abs(r["rms"] - amp) < 1e-9 for r in rows)
+
+
 def test_json_roundtrip(spark, sf_dir, tmp_path):
     """JSON-lines sink/source round-trip with explicit schema; values,
     including nested arrays, must survive."""

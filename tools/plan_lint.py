@@ -28,6 +28,9 @@ import sys
 PANDAS_OK = {
     "ewma_daily_value",
     "multimodal_feature_extract",
+    # real WAV encode+decode round trip — the codec call is the
+    # documented Python step (stdlib struct), everything else JVM-side
+    "multimodal_wav_rms",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
