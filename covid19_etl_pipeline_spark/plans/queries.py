@@ -8893,14 +8893,17 @@ def user_value_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "per-node triangle counting on the nation trade graph — the "
     "clustering/community primitive: canonicalize to undirected "
-    "(least, greatest) distinct edges, enumerate oriented triangles "
-    "x<y<z via two equi-joins (each edge ordered, so every triangle "
-    "is produced exactly once), then count per member. The standard "
-    "distributed triangle plan: join fan-out is bounded by degree, "
-    "and at 100 TB the high-degree-vertex skew is handled by the "
-    "ordering (high-degree nodes appear mostly as join PROBE side) "
-    "plus AQE skew splitting; the edge list itself is the deduped "
-    "distinct, never the fact",
+    "(least, greatest) distinct edges, re-orient each edge by "
+    "DEGREE-ordered rank (graph.orient_by_degree — lower (deg, id) "
+    "endpoint first), enumerate oriented triangles via two "
+    "equi-joins (a strict total order, so every triangle is produced "
+    "exactly once), then count per member. Degree orientation is the "
+    "100 TB skew defense: a hub node sits on the probe side of "
+    "(almost) all its edges, capping join fan-out by arboricity "
+    "~O(sqrt(|E|)) instead of the hub degree; orientation is purely "
+    "physical, so the result (and oracle hash, which uses the "
+    "lexicographic orientation) is identical. The edge list itself "
+    "is the deduped distinct, never the fact",
 )
 def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -8926,9 +8929,12 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("cust_nation", "supp_nation").alias("b"),
         )
         .distinct()
-        # the deduped edge list is consumed three times by the triangle
-        # joins — materialize once (it is vocabulary-sized, not fact-sized)
-        .localCheckpoint()
+    )
+    edges = (
+        # degree-ordered physical orientation (see description) — then
+        # the oriented list is consumed three times by the triangle
+        # joins: materialize once (vocabulary-sized, not fact-sized)
+        graph.orient_by_degree(edges, "a", "b").localCheckpoint()
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (

@@ -224,6 +224,40 @@ def test_pagerank_symmetric_cycle_is_fixed_point(spark):
         assert got["B"] == pytest.approx(0.5, abs=1e-9)
 
 
+def test_orient_by_degree_key_and_triangle_invariance(spark):
+    """Pins the orientation key: edges point low-(degree, id) → high.
+    Star center 'h' (degree 3) must be the DESTINATION of every star
+    edge even though 'h' sorts lexicographically before its leaves;
+    degree ties fall back to id order. Triangle membership counts are
+    orientation-invariant."""
+    from covid19_etl_pipeline_spark.operators import graph
+
+    # canonical (a < b) undirected edges: star around h + triangle x-y-z
+    edges = spark.createDataFrame(
+        [("h", "p"), ("h", "q"), ("h", "r"), ("x", "y"), ("x", "z"), ("y", "z")],
+        "a string, b string",
+    )
+    oriented = {(r["a"], r["b"]) for r in graph.orient_by_degree(edges).collect()}
+    # star: leaves (deg 1) → hub h (deg 3); hub id order is irrelevant
+    assert {("p", "h"), ("q", "h"), ("r", "h")} <= oriented
+    # triangle: all degree 2 → id tie-break keeps canonical order
+    assert {("x", "y"), ("x", "z"), ("y", "z")} <= oriented
+    assert len(oriented) == 6
+
+    # orientation is physical: oriented triangle enumeration finds the
+    # same single triangle the lexicographic orientation finds
+    from pyspark.sql import functions as F
+
+    e = graph.orient_by_degree(edges).localCheckpoint()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    assert sorted(map(tuple, tri.collect())) == [("x", "y", "z")]
+
+
 def test_bfs_hops_chain_and_unreachable(spark):
     """Hand-computed BFS: chain a->b->c->d plus a shortcut a->c; node z
     is disconnected and must be absent from the result."""
