@@ -84,6 +84,11 @@ HEADLINE = (
     "hybrid_retrieval_rrf",
     "ks_price_drift",
     "rolling_7day_distinct_users",
+    # round-3: measured skew-stress pair (plain vs salted on a key
+    # owning ~30% of the fact) + the real-WAV-decode multimodal path
+    "skewed_key_rollup_plain",
+    "skewed_key_rollup_salted",
+    "multimodal_wav_rms",
 )
 
 

@@ -3047,6 +3047,96 @@ def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_STRESS_ORACLE = """
+    WITH big AS (
+        SELECT CASE WHEN l_partkey % 10 < 3 THEN 1 ELSE l_partkey END AS k,
+               l_extendedprice, l_discount
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT p_partkey AS k, p_brand FROM part WHERE p_partkey % 10 >= 3
+        UNION ALL SELECT 1, 'Brand#HOT'
+    )
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM big JOIN dim USING (k)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """
+
+
+def _skew_stress_frames(spark: SparkSession, sf_dir: str):
+    """Deliberately skewed join inputs for the salting stress bench:
+    ~30% of lineitem rows collapse onto ONE hot key (partkeys ending
+    0-2 all map to key 1), the dim side keeps unique keys. The same
+    frames feed the plain and the salted variant so BENCH measures the
+    strategy, not the data."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 10 < 3, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    pt = load_table(spark, sf_dir, "part")
+    dim = (
+        pt.filter(F.col("p_partkey") % 10 >= 3)
+        .select(F.col("p_partkey").alias("k"), "p_brand")
+        .unionByName(
+            spark.createDataFrame([(1, "Brand#HOT")], "k long, p_brand string")
+        )
+    )
+    return li, dim
+
+
+def _skew_stress_rollup(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "skewed_key_rollup_plain",
+    _SKEW_STRESS_ORACLE,
+    "skew-stress CONTROL: the deliberately hot key (one key = ~30% of "
+    "the fact) joined with a plain shuffle-hash join — the broadcast "
+    "path is hinted off because the scenario under test is the "
+    "shuffle-join regime where a dim side is too big to broadcast (at "
+    "100 TB a billion-row dim). One reducer owns the hot key unless "
+    "AQE's skew split intervenes; BENCH records this against the "
+    "salted twin `skewed_key_rollup_salted` so the salting payoff is "
+    "a measured number (SCALE.md §9), not an assertion",
+)
+def skewed_key_rollup_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, dim = _skew_stress_frames(spark, sf_dir)
+    return _skew_stress_rollup(li.join(dim.hint("shuffle_hash"), "k"))
+
+
+@_register(
+    "skewed_key_rollup_salted",
+    _SKEW_STRESS_ORACLE,
+    "skew-stress TREATMENT: identical inputs and result as "
+    "`skewed_key_rollup_plain`, but through "
+    "partitioning.salted_equi_join (per-row salt on the fact, dim "
+    "replicated salt ways, join key (k, salt)) — the hot key's rows "
+    "scatter across 8 partitions instead of pinning one reducer. "
+    "Oracle is the SAME unsalted SQL: salting is physical only",
+)
+def skewed_key_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, dim = _skew_stress_frames(spark, sf_dir)
+    return _skew_stress_rollup(
+        salted_equi_join(li, dim.hint("shuffle_hash"), "k", salt=8)
+    )
+
+
 @_register(
     "order_count_distribution",
     """
