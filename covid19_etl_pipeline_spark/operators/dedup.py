@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from covid19_etl_pipeline_spark.operators.partitioning import spread
+from covid19_etl_pipeline_spark.operators.partitioning import iteration_barrier, spread
 from covid19_etl_pipeline_spark.operators.text import normalized_text, shingles, tokens
 
 
@@ -484,18 +484,20 @@ def connected_components(
     Genuinely iterative (no closed SQL form at scale): the driver loop
     only CONTROLS iteration — each round is one distributed
     join+groupBy, converging in O(graph diameter) rounds (dup clusters
-    are near-cliques, so typically 2-3). ``localCheckpoint`` cuts the
-    exponential lineage; a cluster deployment would use a reliable
-    checkpoint dir instead.
+    are near-cliques, so typically 2-3). ``iteration_barrier`` cuts the
+    exponential lineage per round; setting
+    ``partitioning.CHECKPOINT_DIR_CONF`` on the session flips every
+    barrier to the storage-backed ``reliable_checkpoint`` for cluster
+    deployments (identical labels either mode — tested).
 
     Returns (node, label) with label = min node id of the component.
     """
     # the caller's edge list (often a whole LSH pipeline) is consumed
     # by BOTH direction-selects below — materialize it once, or the
     # candidate-generation subtree executes 2x (and 4x through adj).
-    edges_m = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint()
+    edges_m = iteration_barrier(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    )
     # no distinct on the bidirectional list: candidate generators emit
     # (a < b) pairs already distinct, and reversing cannot create dups;
     # duplicate edges would anyway be absorbed by the min-aggregate, so
@@ -510,9 +512,9 @@ def connected_components(
     # invariant instead of a row-level diff: labels only ever
     # decrease, so sum(label) is strictly decreasing until the fixed
     # point — a scalar comparison per round, not a join.
-    adj = bi.union(
-        nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))
-    ).localCheckpoint()
+    adj = iteration_barrier(
+        bi.union(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
+    )
     # round 0 fused: with identity starting labels, the first
     # neighborhood-min is just min(s) per d over adj (the self-loop
     # carries the node's own id) — one agg instead of a join+agg round.
@@ -522,10 +524,9 @@ def connected_components(
     # after is the first action, so one job both materializes the new
     # labels' blocks and returns the scalar sum — fusing what were two
     # scheduler round-trips per round into one.
-    labels = (
-        adj.groupBy(F.col("d").alias("node"))
-        .agg(F.min("s").alias("label"))
-        .localCheckpoint(eager=False)
+    labels = iteration_barrier(
+        adj.groupBy(F.col("d").alias("node")).agg(F.min("s").alias("label")),
+        eager=False,
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
@@ -544,10 +545,10 @@ def connected_components(
         parent = labels.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        labels = (
+        labels = iteration_barrier(
             nbr_min.join(parent, nbr_min["label"] == parent["pnode"])
-            .select("node", F.least("label", "plabel").alias("label"))
-            .localCheckpoint(eager=False)
+            .select("node", F.least("label", "plabel").alias("label")),
+            eager=False,
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

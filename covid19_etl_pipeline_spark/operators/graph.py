@@ -10,14 +10,17 @@ and ``similarity.lloyd_iterations``).
 At scale: the expensive pass is building/aggregating the edge list from
 the fact data (one keyed shuffle); iterations then run on the
 aggregated graph, shuffling only (dst, contribution) pairs per round.
-``localCheckpoint`` per round cuts the lineage chain so plan size stays
-constant in the iteration count.
+``iteration_barrier`` per round cuts the lineage chain so plan size
+stays constant in the iteration count (storage-backed barriers via
+``partitioning.CHECKPOINT_DIR_CONF`` on clusters).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from covid19_etl_pipeline_spark.operators.partitioning import iteration_barrier
 
 
 def pagerank(
@@ -44,11 +47,10 @@ def pagerank(
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-    nodes = (
+    nodes = iteration_barrier(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n_nodes = nodes.count()
     # round(1-d) before dividing: binary-float 1.0-0.85 is 1 ulp off the
@@ -56,9 +58,11 @@ def pagerank(
     teleport = round(1.0 - damping, 12) / n_nodes
     out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # transition matrix rows: contribution fraction per edge
-    trans = e.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
-    ).localCheckpoint()
+    trans = iteration_barrier(
+        e.join(out_w, "src").select(
+            "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+        )
+    )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
     for i in range(iterations):
@@ -82,7 +86,7 @@ def pagerank(
         # needed. Only cut lineage periodically so deep iteration counts
         # don't blow up the optimizer or the task-closure size.
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = iteration_barrier(ranks)
     return ranks.select("node", F.col("r").alias("rank"))
 
 
@@ -149,22 +153,23 @@ def relax_rounds(
     engines or partitionings. Each round is one join + one min-agg on
     the edge list; unreachable-within-k nodes are absent.
     """
-    e = edges.select(
-        F.col(src).alias("s"),
-        F.col(dst).alias("d"),
-        F.col(weight).cast("double").alias("w"),
-    ).localCheckpoint()
-    dist = sources.select(F.col("node"), F.lit(0.0).alias("cost")).localCheckpoint()
+    e = iteration_barrier(
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("double").alias("w"),
+        )
+    )
+    dist = iteration_barrier(
+        sources.select(F.col("node"), F.lit(0.0).alias("cost"))
+    )
     for _ in range(rounds):
         step = e.join(dist, e["s"] == dist["node"]).select(
             F.col("d").alias("node"),
             F.round(F.col("cost") + F.col("w"), round_digits).alias("cost"),
         )
-        dist = (
-            step.union(dist)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
+        dist = iteration_barrier(
+            step.union(dist).groupBy("node").agg(F.min("cost").alias("cost"))
         )
     return dist
 
@@ -194,17 +199,18 @@ def bfs_hops(
     Unreachable nodes are absent (the relational BFS convention — a
     LEFT join against the full node set recovers them as NULL).
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
-    dist = sources.select(F.col("node"), F.lit(0).alias("hops")).localCheckpoint()
+    e = iteration_barrier(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    )
+    dist = iteration_barrier(sources.select(F.col("node"), F.lit(0).alias("hops")))
     prev_state = None
     for _ in range(max_iter):
-        relaxed = (
+        relaxed = iteration_barrier(
             e.join(dist, e["s"] == dist["node"])
             .select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
             .union(dist)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
         )
         row = relaxed.agg(
             F.count("*").alias("n"), F.sum("hops").alias("s")
@@ -259,14 +265,15 @@ def label_propagation(
     sym = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"), F.col("w"))
     )
-    e = (
+    e = iteration_barrier(
         sym.filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint()
     )
     nodes = e.select(F.col("a").alias("node")).distinct()
-    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    labels = iteration_barrier(
+        nodes.select("node", F.col("node").alias("lbl"))
+    )
     wv = Window.partitionBy("a").orderBy(F.col("s").desc(), F.col("lbl"))
     for _ in range(iterations):
         best = (
@@ -277,11 +284,8 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select(F.col("a").alias("bn"), F.col("lbl").alias("new_lbl"))
         )
-        labels = (
+        labels = iteration_barrier(
             labels.join(best, labels["node"] == best["bn"], "left")
-            .select(
-                "node", F.coalesce("new_lbl", "lbl").alias("lbl")
-            )
-            .localCheckpoint()
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
         )
     return labels

@@ -107,6 +107,30 @@ def bucketed_equi_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+#: Session conf key: when set to a storage path, iterative operators
+#: (connected components, pagerank, k-means) switch their per-round
+#: lineage barrier from executor-local blocks to the storage-backed
+#: checkpoint — the production setting for long multi-round jobs where
+#: an executor loss must not restart the iteration from round 0.
+CHECKPOINT_DIR_CONF = "spark.covid19_etl_pipeline.checkpoint.dir"
+
+
+def iteration_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """The per-round barrier used by every iterative operator.
+
+    Default: ``localCheckpoint`` (executor-block storage — fast, fine
+    on local[n], lost with an executor). When ``CHECKPOINT_DIR_CONF``
+    is set on the session, routes to :func:`reliable_checkpoint`
+    instead, so ONE config line flips the whole engine's iterative
+    surface to fault-tolerant barriers; results are identical either
+    way (the toggle is physical, verified by test).
+    """
+    ckpt_dir = df.sparkSession.conf.get(CHECKPOINT_DIR_CONF, "")
+    if ckpt_dir:
+        return reliable_checkpoint(df, ckpt_dir)
+    return df.localCheckpoint(eager=eager)
+
+
 def reliable_checkpoint(df: DataFrame, checkpoint_dir: str) -> DataFrame:
     """Reliable (storage-backed) checkpoint — the production form of
     the ``localCheckpoint`` barriers used throughout the iterative

@@ -26,7 +26,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from covid19_etl_pipeline_spark.operators.partitioning import spread
+from covid19_etl_pipeline_spark.operators.partitioning import iteration_barrier, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -205,10 +205,12 @@ def lloyd_iterations(
     # linearly and short runs compile into a single job — only cut
     # lineage periodically so deep iteration counts don't blow up the
     # optimizer.
-    pts = emb.select(
-        F.col(id_col).alias("pid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).localCheckpoint()
+    pts = iteration_barrier(
+        emb.select(
+            F.col(id_col).alias("pid"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
     cent = pts.filter(F.col("pid") < k).select(
         F.col("pid").alias("cid"),
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
@@ -228,7 +230,7 @@ def lloyd_iterations(
             )
         )
         if (i + 1) % 4 == 0 and (i + 1) < iters:
-            cent = cent.localCheckpoint()
+            cent = iteration_barrier(cent)
     return _nearest_centroid(pts, cent, keep_dist=True), cent
 
 

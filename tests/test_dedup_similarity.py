@@ -157,6 +157,39 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """The CHECKPOINT_DIR_CONF toggle swaps every iteration barrier to
+    the storage-backed reliable checkpoint; labels must be identical to
+    the default localCheckpoint mode, and checkpoint files must
+    actually land in the configured dir (proving the toggle routed)."""
+    import os
+
+    from covid19_etl_pipeline_spark.operators.dedup import connected_components
+    from covid19_etl_pipeline_spark.operators.partitioning import CHECKPOINT_DIR_CONF
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 7)], "a long, b long"
+    )
+    default = {
+        r["node"]: r["label"] for r in connected_components(edges, "a", "b").collect()
+    }
+    ckpt = str(tmp_path / "reliable_ckpt")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt)
+    try:
+        reliable = {
+            r["node"]: r["label"]
+            for r in connected_components(edges, "a", "b").collect()
+        }
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == default == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                                   4: 4, 5: 4, 6: 4, 7: 4}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "no checkpoint files written under the configured dir"
+
+
 def test_connected_components_long_chain_converges(spark):
     """A path graph has maximal diameter — the worst case for label
     propagation; must still converge within the iteration cap."""
