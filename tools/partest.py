@@ -1,0 +1,103 @@
+"""Parallel test runner — the no-pytest-xdist answer to the suite's
+wall clock (round-2 verdict item: the serial suite crept toward CI
+limits as the registry grew).
+
+Splits the suite into independent pytest subprocesses:
+
+- N shards of the full-registry oracle sweep (``tests/
+  test_oracle_parity.py`` honors ``PARITY_SHARD=i/n``), each with its
+  own local[4] SparkSession + DuckDB — the sweep is embarrassingly
+  parallel per query;
+- the remaining test files grouped into a few balanced buckets.
+
+Every subprocess is plain ``python -m pytest``, so the serial
+``python -m pytest tests/`` gate is unchanged — this script only
+parallelizes, never skips. Exit code is nonzero if ANY child fails,
+and the combined pass count is printed for comparison against the
+serial run.
+
+Usage:  python tools/partest.py [--shards 6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Non-parity test files, grouped so each bucket is roughly comparable
+#: wall-clock (streaming and plans are the slow ones).
+BUCKETS = [
+    ["tests/test_plans.py", "tests/test_plan_lint.py"],
+    ["tests/test_sources_streaming.py", "tests/test_streaming_stateful.py"],
+    ["tests/test_operators.py", "tests/test_edge_cases.py", "tests/test_docs.py"],
+    ["tests/test_dedup_similarity.py", "tests/test_properties.py"],
+    [
+        "tests/test_pipeline.py",
+        "tests/test_functions_http_serving.py",
+        "tests/test_quality.py",
+        "tests/test_registry.py",
+    ],
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", type=int, default=6, help="parity sweep shards")
+    args = ap.parse_args()
+
+    jobs: list[tuple[str, list[str], dict[str, str]]] = []
+    for i in range(args.shards):
+        jobs.append(
+            (
+                f"parity-{i + 1}of{args.shards}",
+                ["tests/test_oracle_parity.py"],
+                {"PARITY_SHARD": f"{i}/{args.shards}"},
+            )
+        )
+    for i, files in enumerate(BUCKETS):
+        jobs.append((f"bucket-{i + 1}", files, {}))
+
+    t0 = time.time()
+    procs = []
+    for name, files, extra_env in jobs:
+        env = dict(os.environ, **extra_env)
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider", *files],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        procs.append((name, p))
+
+    failed = []
+    total_passed = 0
+    for name, p in procs:
+        out, _ = p.communicate()
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        m = re.search(r"(\d+) passed", tail)
+        if m:
+            total_passed += int(m.group(1))
+        status = "ok" if p.returncode == 0 else f"FAIL rc={p.returncode}"
+        print(f"[{name}] {status}: {tail}")
+        if p.returncode != 0:
+            failed.append(name)
+            print(out[-4000:])
+
+    wall = time.time() - t0
+    print(f"\n{total_passed} passed across {len(jobs)} jobs in {wall:.0f}s")
+    if failed:
+        print(f"FAILED jobs: {failed}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
