@@ -5027,7 +5027,11 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    base = spread(docs, "doc_id").select(
+    # cap fan-out at 8: each partition costs a Python worker (codec
+    # runs in Arrow batches); 200 fixture assets over 32 workers is
+    # pool-startup-dominated, over 8 it is work-dominated. At real
+    # scale the asset count, not the worker pool, sets parallelism.
+    base = spread(docs, "doc_id", partitions=8).select(
         F.col("doc_id").alias("asset_id"),
         (F.lit(400) + (F.col("doc_id") % 5) * 100).cast("int").alias("n_samples"),
     )
