@@ -151,35 +151,53 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any full band signature become a
     candidate pair (id_a < id_b, distinct).
 
     Plan shape: one narrow signature pass → explode to (band, sig, id)
-    → self equi-join on (band, sig) → distinct pairs. The join is the
-    only shuffle and its key is the band signature — at scale, bucket
-    skew (a degenerate common band) is handled by AQE skew-join.
+    → ONE (band, sig)-keyed aggregation into per-bucket id arrays →
+    map-side in-bucket pair expansion. vs the self-equi-join form this
+    saves the join stage entirely (the bucket aggregation shuffles the
+    same (band, sig, id) rows the join's exchange would) — measured
+    ~2× faster at sf0.1 with identical pairs. A doc appears once per
+    bucket, so in-bucket pairs need no dedup; pair volume is the same
+    Σ|bucket|² either way. Trade-off vs the join: a degenerate hot
+    bucket expands in ONE task here, where AQE skew-join could split
+    it — at 100 TB, cap or sample mega-buckets upstream (a bucket
+    with 10⁵+ members is not "near-duplicates", it is boilerplate —
+    production dedup drops it wholesale).
+
+    ``distinct=False`` skips the final dedup shuffle: a pair appears
+    once per shared band (≤ ``bands``×). Correct when the consumer is
+    duplicate-absorbing — ``connected_components``' min-aggregate, a
+    semi-join — and saves one corpus-pairs shuffle in composed plans.
     """
-    exploded = (
-        lsh_band_table(df, id_col, text_col, num_hashes, bands, shingle_k)
-        # force a shuffle join on the band key: a broadcast build side
-        # would recompute the md5-signature subplan serially on the
-        # driver; identical exchanges on both sides compute in parallel
-        # (and are reusable) — measured 3x faster, and at scale a
-        # signature table is too big to broadcast anyway
-        .repartition("band", "sig")
+    bt = lsh_band_table(df, id_col, text_col, num_hashes, bands, shingle_k)
+    buckets = (
+        bt.groupBy("band", "sig")
+        # sort_array: collect_list order is partition-nondeterministic;
+        # sorting makes the (a < b) pair orientation reproducible
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+    n = F.size("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(
+                    x.alias(f"{id_col}_a"), y.alias(f"{id_col}_b")
+                ),
+            ),
         )
-        .distinct()
     )
+    pairs = buckets.select(F.explode(pair_structs).alias("__p")).select(
+        f"__p.{id_col}_a", f"__p.{id_col}_b"
+    )
+    return pairs.distinct() if distinct else pairs
 
 
 def jaccard_pairs(
@@ -512,8 +530,13 @@ def connected_components(
     # invariant instead of a row-level diff: labels only ever
     # decrease, so sum(label) is strictly decreasing until the fixed
     # point — a scalar comparison per round, not a join.
+    # lazy (eager=False): adj's blocks materialize inside the round-0
+    # labels job below instead of costing a scheduler round-trip of
+    # their own — only edges_m needs the EAGER barrier (it guards the
+    # caller's candidate-generation subtree from re-execution).
     adj = iteration_barrier(
-        bi.union(nodes.select(F.col("node").alias("s"), F.col("node").alias("d")))
+        bi.union(nodes.select(F.col("node").alias("s"), F.col("node").alias("d"))),
+        eager=False,
     )
     # round 0 fused: with identity starting labels, the first
     # neighborhood-min is just min(s) per d over adj (the self-loop
@@ -541,7 +564,12 @@ def connected_components(
         # 1000 that is ~10 rounds instead of ~1000. The parent lookup
         # reads the PREVIOUS round's materialized labels (slightly
         # staler than nbr_min, still monotone-safe) so the nbr_min
-        # subtree is not executed twice.
+        # subtree is not executed twice. Fused into ONE job with the
+        # nbr_min aggregate + the sum probe: a probe-first split round
+        # (check nbr_min, halve only on progress) was measured SLOWER
+        # on LSH graphs that need 2-3 real rounds — each split round
+        # pays an extra scheduler round-trip that the fused form
+        # amortizes into the same job.
         parent = labels.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )

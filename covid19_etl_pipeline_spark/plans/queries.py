@@ -2502,9 +2502,16 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # docs1 feeds BOTH the LSH pair generation and the survivor join;
     # a barrier keeps the scan + normalize + exact-dedup from running
-    # twice (at 100 TB: a reliable checkpoint / staging write).
-    docs1 = dedup.drop_exact_dups(qual, "doc_id", "__ntext").localCheckpoint()
-    pairs = dedup.lsh_candidate_pairs(docs1, "doc_id", "text")
+    # twice (at 100 TB: a reliable checkpoint / staging write). LAZY:
+    # its blocks materialize inside connected_components' eager edge
+    # barrier (the first action over this subtree) instead of paying a
+    # separate job. distinct=False: a pair repeated per shared band is
+    # absorbed by the components' min-aggregate, so the pairs-dedup
+    # shuffle is pure overhead in this composition.
+    docs1 = dedup.drop_exact_dups(qual, "doc_id", "__ntext").localCheckpoint(
+        eager=False
+    )
+    pairs = dedup.lsh_candidate_pairs(docs1, "doc_id", "text", distinct=False)
     labels = dedup.connected_components(pairs, "doc_id_a", "doc_id_b")
     survivors = dedup.drop_near_dups(docs1, "doc_id", labels)
     first_hex = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
