@@ -193,8 +193,9 @@ def test_table_count_and_decode_stub(spark):
     assert table_count(spark.range(5)) == 5
     import pytest as _pytest
 
+    # non-PNG formats still need an external codec and raise honestly
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
 def test_pagerank_hand_computed_chain(spark):

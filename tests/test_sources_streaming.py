@@ -172,6 +172,68 @@ def test_wav_rms_segments(spark):
     assert all(abs(r["rms"] - amp) < 1e-9 for r in rows)
 
 
+def test_png_codec_roundtrip():
+    """Pure-python PNG codec: encode→decode identity for every
+    supported channel count. The encoder cycles scanline filters
+    (row % 5), so any image with ≥5 rows exercises ALL five unfilter
+    paths — a pixel-exact round trip proves each one."""
+    import numpy as np
+    import pytest
+
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in [(9, 7, 3), (6, 4, 1), (8, 5, 4), (5, 6, 2), (7, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, back = decode_png(encode_png(px))
+        exp = px[:, :, None] if px.ndim == 2 else px
+        assert (w, h) == (exp.shape[1], exp.shape[0])
+        assert np.array_equal(back, exp)
+
+    # deterministic blobs (fixture/fingerprint contract)
+    assert encode_png(px) == encode_png(px)
+    # decode_image dispatches PNG; other formats still raise honestly
+    w, h, _ = decode_image(encode_png(px))
+    assert (w, h) == (3, 7)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+
+
+def test_png_resize_nn_and_stats(spark):
+    """Distributed decode→NN-resize→re-encode→decode: a constant-color
+    image stays constant through resize; dims follow the integer
+    fit-into-box rule; per-channel stats read the true pixel values."""
+    import numpy as np
+
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        png_channel_stats,
+        png_resize_nn,
+    )
+
+    px = np.full((20, 40, 3), 0, dtype=np.uint8)
+    px[:, :, 0] = 7
+    px[:, :, 1] = 200
+    px[:, :, 2] = 55
+    assets = spark.createDataFrame(
+        [(3, bytearray(encode_png(px)))], "asset_id long, payload binary"
+    )
+    resized = png_resize_nn(assets, box=16)
+    rows = png_channel_stats(resized).orderBy("channel").collect()
+    # 40x20 → longer side 40 → 16x8
+    assert all((r["width"], r["height"]) == (16, 8) for r in rows)
+    assert [r["mean_value"] for r in rows] == [7.0, 200.0, 55.0]
+    assert [r["min_value"] for r in rows] == [7, 200, 55]
+    assert [r["max_value"] for r in rows] == [7, 200, 55]
+    assert [r["sum_value"] for r in rows] == [v * 16 * 8 for v in (7, 200, 55)]
+
+
 def test_json_roundtrip(spark, sf_dir, tmp_path):
     """JSON-lines sink/source round-trip with explicit schema; values,
     including nested arrays, must survive."""

@@ -31,6 +31,10 @@ PANDAS_OK = {
     # real WAV encode+decode round trip — the codec call is the
     # documented Python step (stdlib struct), everything else JVM-side
     "multimodal_wav_rms",
+    # real PNG encode+decode (stdlib zlib + numpy unfilter) — same
+    # reviewed codec-in-Arrow-batch shape as the WAV pair
+    "multimodal_png_stats",
+    "multimodal_png_resize",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
