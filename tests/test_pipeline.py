@@ -155,3 +155,36 @@ def test_main_module_runs_end_to_end(spark, tmp_path, capsys):
         "SELECT count(*) AS n FROM aggregated_stats"
     ).first()["n"]
     assert served == 2  # two demo entities
+
+
+def test_dag_task_chain(spark, tmp_path, monkeypatch):
+    """dags/etl_dag.py: the scheduler-facing task callables compose
+    end-to-end WITHOUT Airflow installed — extract stages raw parquet,
+    transform writes the mart manifest, load publishes the star schema,
+    notify summarizes. Paths (not data) are the hand-off, mirroring the
+    XCom contract of the reference DAG."""
+    import dags.etl_dag as dag_mod
+    from covid19_etl_pipeline_spark import session as session_mod
+
+    # keep the shared test session alive: each task normally owns (and
+    # stops) its session; under test they share the fixture's
+    monkeypatch.setattr(session_mod, "stop_spark", lambda: None)
+    monkeypatch.setenv(dag_mod.STAGING_ENV, str(tmp_path))
+
+    assert dag_mod.dag is None  # Airflow absent → import-gated wiring off
+
+    run_id = "test_run"
+    raw_path = dag_mod.extract_task(run_id)
+    assert spark.read.parquet(raw_path).count() > 0
+
+    manifest = dag_mod.transform_task(run_id, raw_path)
+    import json
+
+    marts = json.load(open(manifest))
+    assert set(marts) >= {"covid_data_transformed", "covid_by_country", "covid_by_date"}
+    for p in marts.values():
+        assert spark.read.parquet(p).count() > 0
+
+    serving = dag_mod.load_task(run_id, raw_path)
+    summary = dag_mod.notify_task(run_id, manifest, serving)
+    assert "3 marts" in summary
