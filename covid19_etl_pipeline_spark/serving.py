@@ -253,16 +253,34 @@ def cached_query(
     concurrent missers race benignly.
     """
     import hashlib
+
+    key = hashlib.md5(sql.encode()).hexdigest()[:16]
+    return cached_frame(
+        spark, f"q_{key}", lambda: spark.sql(sql), cache_root, ttl_seconds
+    )
+
+
+def cached_frame(
+    spark: SparkSession,
+    key: str,
+    build,
+    cache_root: str,
+    ttl_seconds: int = 3600,
+) -> DataFrame:
+    """The snapshot mechanics behind :func:`cached_query`, keyed on a
+    caller-chosen name and fed by any DataFrame builder — so
+    DataFrame-API panels (the dashboard's canned queries) share the
+    same cross-process TTL cache as SQL-text queries. ``build`` runs
+    only on a miss."""
     import os
     import time
 
-    key = hashlib.md5(sql.encode()).hexdigest()[:16]
-    snap = os.path.join(cache_root, f"q_{key}")
+    snap = os.path.join(cache_root, key)
     marker = os.path.join(snap, "_SUCCESS")
     if os.path.exists(marker) and time.time() - os.path.getmtime(marker) < ttl_seconds:
         return spark.read.parquet(snap)
     tmp = f"{snap}.tmp{os.getpid()}"
-    spark.sql(sql).write.mode("overwrite").parquet(tmp)
+    build().write.mode("overwrite").parquet(tmp)
     try:
         import shutil
 

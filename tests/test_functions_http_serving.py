@@ -482,3 +482,69 @@ def test_vacuum_versions_keeps_current_and_newest(spark, tmp_path):
     left = sorted(e for e in os.listdir(os.path.join(root, "t")) if e.startswith("v="))
     assert left == ["v=2026-01-01", "v=2026-01-03"]
     assert read_current(spark, "t", root).count() == 1
+
+
+def test_cached_frame_ttl(spark, tmp_path):
+    """cached_frame: builder runs on miss, snapshot served inside TTL,
+    rebuilt when expired (mtime aged artificially)."""
+    import os
+
+    from covid19_etl_pipeline_spark.serving import cached_frame
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5)
+
+    root = str(tmp_path / "cache")
+    os.makedirs(root)
+    assert cached_frame(spark, "k1", build, root).count() == 5
+    assert cached_frame(spark, "k1", build, root).count() == 5
+    assert len(calls) == 1  # second call hit the snapshot
+    # age the marker past the TTL → rebuild
+    marker = os.path.join(root, "k1", "_SUCCESS")
+    os.utime(marker, (0, 0))
+    assert cached_frame(spark, "k1", build, root, ttl_seconds=10).count() == 5
+    assert len(calls) == 2
+
+
+def test_dashboard_render(spark, tmp_path):
+    """dashboard: four engine-side panels render to one self-contained
+    HTML page — hero + KPI tiles, a 2-series trend with legend and
+    crosshair, two single-hue bar charts, and a table view per chart
+    (tooltips enhance, never gate). Labels are HTML-escaped."""
+    from pyspark.sql import Row
+
+    from covid19_etl_pipeline_spark.dashboard import render_dashboard, write_dashboard
+
+    import datetime as dt
+
+    stats = [Row(table_name="orders", n_rows=1500), Row(table_name="events", n_rows=99)]
+    trend = [
+        Row(event_date=dt.date(2024, 1, 1 + i), total_value=100.0 + i * 10,
+            users_reporting=5, value_7day_avg=100.0 + i * 5)
+        for i in range(10)
+    ]
+    top = [Row(o_orderkey=1, o_custkey=9, o_totalprice=500.0),
+           Row(o_orderkey=2, o_custkey=8, o_totalprice=250.0)]
+    recent = [Row(event_type="<script>alert(1)</script>", n_events=7),
+              Row(event_type="view", n_events=3)]
+    page = render_dashboard(stats, trend, top, recent)
+
+    assert page.count("<svg") == 3
+    assert page.count("<details>") == 4          # table view per panel
+    assert "crosshair" in page and "legend" in page
+    assert "<script>alert(1)</script>" not in page          # escaped
+    assert "&lt;script&gt;alert(1)&lt;/script&gt;" in page
+    assert 'class="hero"' in page and page.count('class="tile"') == 2
+    # deterministic for fixed input
+    assert page == render_dashboard(stats, trend, top, recent)
+
+    # end-to-end write against real test data, with the TTL cache
+    out = write_dashboard(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "dash.html"),
+        cache_root=str(tmp_path / "cache"),
+    )
+    body = open(out).read()
+    assert body.count("<svg") == 3 and "Engine serving dashboard" in body
