@@ -89,6 +89,8 @@ HEADLINE = (
     "skewed_key_rollup_plain",
     "skewed_key_rollup_salted",
     "multimodal_wav_rms",
+    # round-3 late: real PNG decode (stdlib-zlib codec, all 5 filters)
+    "multimodal_png_stats",
 )
 
 

@@ -152,6 +152,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     distinct: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any full band signature become a
     candidate pair (id_a < id_b, distinct).
@@ -165,9 +166,12 @@ def lsh_candidate_pairs(
     bucket, so in-bucket pairs need no dedup; pair volume is the same
     Σ|bucket|² either way. Trade-off vs the join: a degenerate hot
     bucket expands in ONE task here, where AQE skew-join could split
-    it — at 100 TB, cap or sample mega-buckets upstream (a bucket
-    with 10⁵+ members is not "near-duplicates", it is boilerplate —
-    production dedup drops it wholesale).
+    it — that is what ``max_bucket`` is for: buckets above the cap are
+    DROPPED wholesale (a bucket with 10⁵+ members is not
+    "near-duplicates", it is boilerplate; production dedup at 100 TB
+    routes it to a dedicated boilerplate pass instead of generating
+    its quadratic pairs). Default None = no cap, exact parity with
+    the join form.
 
     ``distinct=False`` skips the final dedup shuffle: a pair appears
     once per shared band (≤ ``bands``×). Correct when the consumer is
@@ -182,6 +186,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket)
     n = F.size("__ids")
     pair_structs = F.flatten(
         F.transform(

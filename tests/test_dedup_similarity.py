@@ -244,3 +244,21 @@ def test_semdedup_survivor_rule(spark):
     # survivors carry their cell assignment
     cells = {r["vec_id"]: r["cid"] for r in out.collect()}
     assert cells[0] == 0 and cells[1] == 1
+
+
+def test_lsh_max_bucket_cap(spark):
+    """max_bucket: a degenerate bucket (many docs sharing a band
+    signature) is dropped wholesale instead of expanding its quadratic
+    pairs; normal buckets are unaffected; default None keeps parity."""
+    # 6 identical docs (one mega-bucket) + 2 near-dup docs (small bucket)
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)]
+    rows += [(10, "completely different text about spark engines here"),
+             (11, "completely different text about spark engines here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.lsh_candidate_pairs(docs, "doc_id").collect()
+    capped = dedup.lsh_candidate_pairs(docs, "doc_id", max_bucket=4).collect()
+    full_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in full}
+    capped_pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in capped}
+    assert (10, 11) in full_pairs and (0, 1) in full_pairs
+    # cap drops every pair from the 6-doc bucket, keeps the small one
+    assert capped_pairs == {(10, 11)}
