@@ -107,79 +107,6 @@ def bucketed_equi_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
-def zorder_value(cols, mins, maxs, bits: int = 8):
-    """Morton (Z-order) curve value for 2+ columns as ONE JVM-side
-    Column expression: each column is quantized to ``bits`` buckets
-    over its [min, max] range (``width_bucket``), then the bucket
-    indices are bit-interleaved. Rows close on the curve are close in
-    EVERY dimension — the property that makes multi-column file
-    pruning work.
-
-    ``mins``/``maxs`` are plain python numbers (one cheap min/max agg
-    upstream — two scalars per column, not data); folding them in as
-    literals keeps the whole expression inside whole-stage codegen.
-    """
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
-        col = F.col(c) if isinstance(c, str) else c
-        span = float(hi) - float(lo) or 1.0
-        # bucket index in [0, 2^bits): width_bucket is 1-based and has
-        # an overflow bucket, so clamp the top edge back in
-        b = F.least(
-            F.lit(2**bits - 1),
-            (F.width_bucket(col.cast("double"), F.lit(float(lo)),
-                            F.lit(float(lo) + span), F.lit(2**bits)) - 1).cast("long"),
-        )
-        for i in range(bits):
-            z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j)
-            )
-    return z
-
-
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols,
-    bits: int = 8,
-    files: int | None = None,
-    mode: str = "overwrite",
-) -> str:
-    """Z-order-clustered parquet write: range-partition + sort the
-    data along the Morton curve of ``cols`` before writing, so every
-    output file covers a small hyper-rectangle of the key space.
-
-    Why it matters at 100 TB: a plain write gives each file the FULL
-    value range of every column, so a predicate on any column reads
-    every file. A single-column sort fixes one column and leaves the
-    rest unclustered. Z-order bounds every file's min/max on ALL the
-    clustered columns at once, so parquet footer stats (and file-level
-    skipping) prune scans for predicates on ANY of them — the same
-    layout strategy Delta/Iceberg expose as OPTIMIZE ZORDER BY,
-    expressed with stock Spark: one min/max agg, one range exchange,
-    one in-partition sort.
-    """
-    names = [c if isinstance(c, str) else str(c) for c in cols]
-    aggs = []
-    for c in names:
-        aggs += [F.min(c), F.max(c)]
-    stats = df.agg(*aggs).collect()[0]
-    mins = [stats[2 * i] for i in range(len(names))]
-    maxs = [stats[2 * i + 1] for i in range(len(names))]
-    zed = df.withColumn("__z", zorder_value(names, mins, maxs, bits))
-    if files is None:
-        files = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    (
-        zed.repartitionByRange(files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
-    return path
-
-
 #: Session conf key: when set to a storage path, iterative operators
 #: (connected components, pagerank, k-means) switch their per-round
 #: lineage barrier from executor-local blocks to the storage-backed

@@ -14218,3 +14218,148 @@ def source_diversity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "redact_pii_documents",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN ' contact user' || doc_id
+                            || '@mail.example.com or (555) 123-4567'
+                   WHEN 1 THEN ' ssn 123-45-6789 from 192.168.1.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                   '(\+?\d{1,2}[ -])?(\(\d{3}\) ?|\b\d{3}[ -])\d{3}[ -]\d{4}\b',
+                   '<PHONE>', 'g'),
+                   '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS rtext
+        FROM seeded
+    )
+    SELECT doc_id,
+           CAST((len(rtext) - len(replace(rtext, '<EMAIL>', ''))) / 7 AS INT)
+               AS n_emails,
+           CAST((len(rtext) - len(replace(rtext, '<PHONE>', ''))) / 7 AS INT)
+               AS n_phones,
+           CAST((len(rtext) - len(replace(rtext, '<SSN>', ''))) / 5 AS INT)
+               AS n_ssns,
+           CAST((len(rtext) - len(replace(rtext, '<IP>', ''))) / 4 AS INT)
+               AS n_ips,
+           md5(rtext) AS redacted_fp
+    FROM red
+    ORDER BY doc_id
+    """,
+    "PII scrub before tokenization (text.redact_pii): chained "
+    "regexp_replace for emails, SSNs, phones, IPv4 — RE2-safe rule "
+    "strings shared verbatim between the Spark plan and the oracle, "
+    "applied email-first so digit runs never half-match later rules. "
+    "Deterministic PII is seeded into the fixture text per doc (the "
+    "corpus itself is synthetic words), then the md5 of the redacted "
+    "text plus per-type redaction counts are hash-matched — proving "
+    "replace-ALL semantics and pattern parity across regex engines. "
+    "Pure narrow compute: scan-speed at 100 TB, zero shuffle "
+    "(ORDER BY is presentation)",
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            (did % 4) == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com or (555) 123-4567"),
+            ),
+        )
+        .when(
+            (did % 4) == 1,
+            F.concat(
+                F.lit(" ssn 123-45-6789 from 192.168.1."),
+                (did % 250).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    red = text.redact_pii(seeded)
+
+    def n_of(token: str) -> F.Column:
+        return (
+            (F.length(red) - F.length(F.replace(red, F.lit(token), F.lit(""))))
+            / len(token)
+        ).cast("int")
+
+    return docs.select(
+        "doc_id",
+        n_of("<EMAIL>").alias("n_emails"),
+        n_of("<PHONE>").alias("n_phones"),
+        n_of("<SSN>").alias("n_ssns"),
+        n_of("<IP>").alias("n_ips"),
+        F.md5(red.cast("binary")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "temperature_mix_sources",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    quotas AS (
+        SELECT source, n_s,
+               CAST(floor(0.5 * sum(n_s) OVER ()
+                          * sqrt(n_s) / sum(sqrt(n_s)) OVER ()) AS BIGINT)
+                   AS quota
+        FROM counts
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                           d.doc_id) AS rn
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quotas q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    ORDER BY r.doc_id
+    """,
+    "temperature-based source mixing (T=2, target fraction 0.5): the "
+    "LLM-corpus rebalancer — per-source sampling quotas proportional "
+    "to n^(1/T), flattening the source distribution so a dominant "
+    "crawl stops drowning small high-quality sources. Selection is a "
+    "content-hash rank within source (deterministic, reproducible "
+    "under repartitioning) cut at the quota; quotas derive from one "
+    "tiny per-source rollup with window totals (the fact is scanned "
+    "once for counts, once for ranking). At 100 TB both passes are "
+    "one shuffle each and the quota table broadcasts",
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    w = Window.partitionBy()
+    quota = F.floor(
+        0.5 * F.sum("n_s").over(w) * F.sqrt("n_s") / F.sum(F.sqrt("n_s")).over(w)
+    ).cast("bigint")
+    quotas = counts.select("source", quota.alias("quota"))
+    rw = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(rw).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

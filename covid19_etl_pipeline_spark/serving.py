@@ -415,3 +415,5 @@ def vacuum_versions(name: str, root: str, keep_last: int = 2) -> list[str]:
             shutil.rmtree(os.path.join(base, f"v={v}"))
             deleted.append(v)
     return deleted
+
+

@@ -165,22 +165,44 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
 def compact_parquet(
     spark: SparkSession,
     path: str,
-    target_partitions: int,
+    target_partitions: int | None = None,
+    target_file_mb: int = 128,
+    sort_by: str | None = None,
 ) -> int:
-    """Compact a small-file parquet directory to ``target_partitions``
-    files: read → repartition → write to a staging sibling → atomic
-    directory swap. Small files are the chronic failure mode of
-    incremental/streaming writers (every scan pays per-file open +
-    footer cost; at 100 TB a 1000-file directory beats a 1M-file one by
-    orders of magnitude in planning time). Returns the file count after
-    compaction."""
+    """Compact a small-file parquet directory: read → repartition →
+    write to a staging sibling → atomic directory swap. Small files are
+    the chronic failure mode of incremental/streaming writers (every
+    scan pays per-file open + footer cost; at 100 TB a 1000-file
+    directory beats a 1M-file one by orders of magnitude in planning
+    time). Returns the file count after compaction.
+
+    ``target_partitions=None`` sizes the output from the CURRENT
+    on-disk bytes — ``ceil(total / target_file_mb)`` — instead of a
+    guess; ``sort_by`` re-sorts while rewriting anyway, restoring
+    single-column clustering the incremental writers destroyed (for
+    multi-column clustering, re-run :func:`write_zordered` instead)."""
+    import math
     import os
     import shutil
 
     staging = path.rstrip("/") + "__compacting"
     backup = path.rstrip("/") + "__precompact"
+    if target_partitions is None:
+        on_disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        target_partitions = max(1, math.ceil(on_disk / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    df.repartition(target_partitions).write.mode("overwrite").parquet(staging)
+    if sort_by is not None:
+        df = df.repartitionByRange(target_partitions, sort_by).sortWithinPartitions(
+            sort_by
+        )
+    else:
+        df = df.repartition(target_partitions)
+    df.write.mode("overwrite").parquet(staging)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

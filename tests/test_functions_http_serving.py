@@ -548,3 +548,26 @@ def test_dashboard_render(spark, tmp_path):
     )
     body = open(out).read()
     assert body.count("<svg") == 3 and "Engine serving dashboard" in body
+
+
+def test_compact_parquet_autosize_and_sort(spark, tmp_path):
+    """compact_parquet auto-sizing: with no explicit target, the output
+    file count derives from on-disk bytes (tiny data -> one file), rows
+    and values survive exactly, and sort_by restores clustering."""
+    import pyspark.sql.functions as F
+
+    from covid19_etl_pipeline_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    ).repartition(64).write.parquet(path)
+
+    n_after = compact_parquet(spark, path, sort_by="k")
+    assert n_after == 1          # ~80KB of data -> one 128MB-target file
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id)").first()[0] == sum(range(10_000))
+    # clustering restored: within the single sorted file, k is ordered
+    ks = [r["k"] for r in back.collect()]
+    assert ks == sorted(ks)

@@ -386,41 +386,3 @@ def test_resize_images_stub_plumbing(spark):
     assert (r2["out_width"], r2["out_height"]) == (56, 224)  # upscale allowed
     assert len(r2["payload"]) == 10  # stub truncation capped by source bytes
 
-
-def test_zorder_write_clusters_both_dims(spark, tmp_path):
-    """write_zordered: after the Morton-curve layout, every parquet
-    file covers a small rectangle of (user_id, value) space — per-file
-    spans shrink on BOTH dimensions vs a plain write (whose files span
-    ~the full range), which is what lets footer stats prune scans for
-    predicates on either column. Rows survive the round trip exactly."""
-    from pyspark.sql import functions as F
-
-    from covid19_etl_pipeline_spark.operators.partitioning import write_zordered
-
-    df = spark.range(4000).select(
-        (F.col("id") % 64).alias("user_id"),
-        (F.floor(F.col("id") / 64)).alias("value"),
-        F.col("id").alias("payload"),
-    )
-    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
-    df.repartition(16).write.parquet(plain)
-    write_zordered(df, zed, ["user_id", "value"], bits=6, files=16)
-
-    back = spark.read.parquet(zed)
-    assert back.count() == 4000
-    assert back.selectExpr("sum(payload)").first()[0] == sum(range(4000))
-
-    def mean_span(path, col, global_span):
-        per_file = (
-            spark.read.parquet(path)
-            .groupBy(F.input_file_name())
-            .agg((F.max(col) - F.min(col)).alias("span"))
-        )
-        return per_file.agg(F.avg("span")).first()[0] / global_span
-
-    # plain round-robin files span ~everything on both dims
-    assert mean_span(plain, "user_id", 63) > 0.9
-    assert mean_span(plain, "value", 62) > 0.9
-    # z-ordered files are tight on BOTH dims at once
-    assert mean_span(zed, "user_id", 63) < 0.45
-    assert mean_span(zed, "value", 62) < 0.45
