@@ -103,8 +103,16 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/codegen paths once with the cheapest query
+    # warm the JVM/codegen paths once with the cheapest query, and the
+    # Python worker pool with a trivial Arrow round trip — so session
+    # startup costs are not attributed to whichever headline query
+    # happens to run first (queries measure steady-state cost)
     materialize(REGISTRY["rollup_entity"].fn(spark, sf_dir))
+    materialize(
+        spark.range(8).repartition(8).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
