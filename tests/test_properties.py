@@ -399,3 +399,25 @@ def test_semdedup_survivor_rule_invariants(spark, vecs, k):
             if a < b and cell[a] == cell[b]:
                 c = cos(pts[a], pts[b])
                 assert c is None or c < t + 1e-9
+
+
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=17),
+    ch=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(w, h, ch, seed):
+    """Property: encode→decode is the identity for every 8-bit
+    shape/channel-count/content combination (encoder cycles all five
+    scanline filters, so h≥5 cases prove every unfilter path on
+    arbitrary content, not just fixtures)."""
+    import numpy as np
+
+    from covid19_etl_pipeline_spark.operators.multimodal import decode_png, encode_png
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    ww, hh, back = decode_png(encode_png(px))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(back, px)
