@@ -14363,3 +14363,84 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "holt_forecast_users",
+    """
+    WITH RECURSIVE
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS y
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    srs AS (
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                    AS INT) AS idx,
+               CAST(y AS DOUBLE) AS y
+        FROM daily
+    ),
+    lens AS (SELECT user_id, max(idx) AS n FROM srs GROUP BY user_id),
+    rec AS (
+        SELECT s1.user_id, 1 AS t, s1.y AS l, s2.y - s1.y AS b
+        FROM srs s1 JOIN srs s2
+          ON s1.user_id = s2.user_id AND s1.idx = 1 AND s2.idx = 2
+        UNION ALL
+        SELECT r.user_id, r.t + 1,
+               0.5 * s.y + 0.5 * (r.l + r.b),
+               0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        FROM rec r JOIN srs s ON s.user_id = r.user_id AND s.idx = r.t + 1
+    )
+    SELECT r.user_id,
+           CAST(lens.n AS INT) AS n_days,
+           round(r.l, 4) + 0.0 AS level,
+           round(r.b, 4) + 0.0 AS trend,
+           round(r.l + 3 * r.b, 4) + 0.0 AS forecast_3day
+    FROM rec r JOIN lens ON r.user_id = lens.user_id AND r.t = lens.n
+    ORDER BY r.user_id
+    """,
+    "grouped Holt linear-trend forecasting (double exponential "
+    "smoothing, alpha=0.5 gamma=0.3): per user, the daily activity "
+    "series folds through the level/trend recursion l_t = a*y + "
+    "(1-a)(l+b), b_t = g*(l_t - l_prev) + (1-g)*b, initialized l_1 = "
+    "y_1, b_1 = y_2 - y_1; forecast = level + 3*trend. The fold is ONE "
+    "JVM-side F.aggregate over each user's date-sorted series (per-key "
+    "state bounded by the forecast window — 30 days here, never "
+    "corpus-sized), so the whole operator is one shuffle on user_id "
+    "and scales horizontally; the oracle replays the identical "
+    "IEEE-double recursion as a recursive CTE, so the hash match pins "
+    "every intermediate to the bit. The sequential-state operator "
+    "family (EWMA rides pandas; Holt shows the built-in-fold path)",
+)
+def holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("y"))
+    )
+    srs = (
+        daily.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "y"))).alias("a"))
+        .filter(F.size("a") >= 2)
+    )
+    vals = F.transform("a", lambda s: s["y"].cast("double"))
+    y1 = F.element_at(vals, 1)
+    y2 = F.element_at(vals, 2)
+    init = F.struct(y1.alias("l"), (y2 - y1).alias("b"))
+    rest = F.slice(vals, 2, F.size(vals) - 1)
+
+    def step(acc, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.3) * (l_new - acc["l"]) + F.lit(0.7) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    acc = F.aggregate(rest, init, step)
+    return srs.select(
+        "user_id",
+        F.size("a").alias("n_days"),
+        (F.round(acc["l"], 4) + F.lit(0.0)).alias("level"),
+        (F.round(acc["b"], 4) + F.lit(0.0)).alias("trend"),
+        (F.round(acc["l"] + F.lit(3) * acc["b"], 4) + F.lit(0.0)).alias(
+            "forecast_3day"
+        ),
+    ).orderBy("user_id")

@@ -940,3 +940,29 @@ def test_kmv_sketch_behind_checkpoint_merge_from_sketch(spark):
     structural proof of mergeability."""
     plan = _plan(spark, "kmv_distinct_users")
     assert "Scan ExistingRDD" in plan  # merged pool reads the sketch artifact
+
+
+def test_holt_forecast_hand_computed(spark, tmp_path):
+    """holt_forecast_users recursion against hand arithmetic:
+    series y = [2, 4, 6] (one user, 3 days), alpha=.5, gamma=.3:
+      l1=2, b1=2
+      t2: l=.5*4+.5*(2+2)=4,  b=.3*(4-2)+.7*2=2
+      t3: l=.5*6+.5*(4+2)=6,  b=.3*(6-4)+.7*2=2
+    forecast = 6 + 3*2 = 12."""
+    import datetime as dt
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 2), (2, 4), (3, 6)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 12, 0), 7, "view", 1.0, ""))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = REGISTRY["holt_forecast_users"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_days"], r["level"], r["trend"], r["forecast_3day"]) == (3, 6.0, 2.0, 12.0)
