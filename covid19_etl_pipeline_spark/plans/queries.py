@@ -14414,8 +14414,13 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # one user_id exchange up front: subset partitioning satisfies BOTH
+    # the (user, day) rollup and the per-user series collect (the
+    # autocorr_lag1_users pattern) — without it the daily rollup
+    # shuffles the corpus on (user, day) and then re-shuffles on user
     daily = (
-        ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        spread(ev, "user_id")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
         .agg(F.count("*").alias("y"))
     )
     srs = (
