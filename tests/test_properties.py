@@ -421,3 +421,45 @@ def test_png_codec_roundtrip_property(w, h, ch, seed):
     ww, hh, back = decode_png(encode_png(px))
     assert (ww, hh) == (w, h)
     assert np.array_equal(back, px)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Property: the distributed min-label/path-halving components
+    equal a reference union-find on arbitrary random graphs — chains,
+    cliques, self-converging stars, disconnected singletons alike.
+    Labels must be the component's MIN node id."""
+    from covid19_etl_pipeline_spark.operators.dedup import connected_components
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    if not norm:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        parent[find(a)] = find(b)
+    groups: dict[int, list[int]] = {}
+    for n in parent:
+        groups.setdefault(find(n), []).append(n)
+    expected = {n: min(g) for g in groups.values() for n in g}
+
+    df = spark.createDataFrame(norm, "a long, b long")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == expected
