@@ -45,23 +45,24 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the min-id row per identical text (deterministic survivor).
+    """Keep the min-id row per identical text (deterministic survivor —
+    ``id_col`` is unique, so ``min_by`` has no ties).
 
-    One shuffle keyed on the md5 fingerprint + a row_number window —
-    unlike the agg-then-semi-join form, the input subtree is evaluated
-    ONCE (a self-referential semi-join recomputes its own input on both
-    sides unless a barrier is interposed; measured 4× slower cold).
-    Trade-off: a pathological fingerprint (one text duplicated across a
-    large fraction of the corpus) lands one oversized sort partition —
-    under that skew regime, build survivors from ``exact_dup_groups``
-    (partial-aggregable min) + a semi-join instead.
+    ONE partial-aggregable hash agg keyed on the md5 fingerprint:
+    ``min_by(struct(*cols), id)`` combines map-side, so each partition
+    ships at most one candidate row per fingerprint and no sort runs —
+    unlike the row_number-window form (same shuffle but adds a sort,
+    and a pathological fingerprint lands one oversized sort partition)
+    or the agg-then-semi-join form (evaluates the input subtree twice
+    unless a barrier is interposed; measured 4× slower cold). The
+    map-side combine is also the skew story: a text duplicated across
+    half the corpus still contributes one row per map partition.
     """
-    w = Window.partitionBy("__fp").orderBy(id_col)
+    cols = df.columns
     return (
-        df.withColumn("__fp", F.md5(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        df.groupBy(F.md5(F.col(text_col)).alias("__fp"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__r"))
+        .select("__r.*")
     )
 
 
