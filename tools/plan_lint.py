@@ -185,6 +185,7 @@ SINGLE_PARTITION_OK = {
     "revenue_contribution",  # percent-of-total over the entity rollup
     "small_order_revenue",  # per-part avg window over the part-sized rollup
     "curriculum_order_documents",  # SinglePartition is the 1-row quantile-cutoff agg; the only window is keyed on tier
+    "temperature_mix_sources",  # quota window over the per-source rollup (#sources rows); the doc rank window is keyed on source
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
