@@ -14449,3 +14449,164 @@ def holt_forecast_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_3day"
         ),
     ).orderBy("user_id")
+
+
+@_register(
+    "linear_quality_classifier",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               sum(((CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                          AS BIGINT) * 37) % 21 - 10) / 16.0) AS s,
+               count(*) AS n
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_tokens,
+           round(-0.25 + s / n, 6) + 0.0 AS logit,
+           round(1.0 / (1.0 + exp(-(-0.25 + s / n))), 4) + 0.0 AS score,
+           (1.0 / (1.0 + exp(-(-0.25 + s / n))) >= 0.5) AS keep
+    FROM f
+    ORDER BY doc_id
+    """,
+    "fasttext-style linear quality classifier INFERENCE at corpus "
+    "scale: every token hashes into one of 64 feature buckets "
+    "(md5-derived, engine-portable), the bucket's weight comes from a "
+    "broadcast-sized weight table (synthetic deterministic weights "
+    "w[j] = ((j*37)%21-10)/16 — SIXTEENTHS, so every per-doc "
+    "weight-sum is an exact dyadic rational and order-independent "
+    "across engines), mean-pooled into a logit and squashed through a "
+    "sigmoid. The Spark side is a per-row JVM fold over the token "
+    "array (F.aggregate + element_at into a 64-literal weight array): "
+    "ZERO shuffles except the presentation sort — the entire "
+    "classifier runs at scan speed, exactly how production quality "
+    "filters (fastText/DCLM-style) deploy over 100 TB. Swap the "
+    "synthetic weights for trained ones and nothing else changes",
+)
+def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.array(*[F.lit(((j * 37) % 21 - 10) / 16.0) for j in range(64)])
+    toks = text.tokens("text")
+
+    def w_of(tok):
+        bucket = (
+            F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+            % 64
+        )
+        return F.element_at(weights, (bucket + 1).cast("int"))
+
+    n = F.size(toks)
+    s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w_of(t))
+    logit = F.lit(-0.25) + s / n
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        (F.round(logit, 6) + F.lit(0.0)).alias("logit"),
+        (F.round(score, 4) + F.lit(0.0)).alias("score"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "source_shingle_overlap",
+    f"""
+    WITH ss AS (
+        SELECT DISTINCT source, unnest({_D_SHINGLES}) AS sh
+        FROM documents
+    ),
+    counts AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_common
+        FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(ca.n AS BIGINT) AS n_a,
+           CAST(cb.n AS BIGINT) AS n_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(i.n_common * 1.0 / (ca.n + cb.n - i.n_common), 6) + 0.0
+               AS jaccard
+    FROM inter i
+    JOIN counts ca ON i.source_a = ca.source
+    JOIN counts cb ON i.source_b = cb.source
+    ORDER BY source_a, source_b
+    """,
+    "cross-source contamination matrix: EXACT pairwise shingle-set "
+    "Jaccard between every source pair — the audit that tells you two "
+    "crawls are the same corpus in different wrappers before you "
+    "weight them as independent. One distinct (source, shingle) "
+    "vocabulary pass (shingle-keyed, vocabulary-sized — never the "
+    "corpus), a shingle-keyed self-join for intersections (sources "
+    "sharing a shingle meet in its bucket, the LSH-bucket idea with "
+    "source as the id), tiny per-source totals joined back broadcast. "
+    "At 100 TB the vocabulary pass swaps for per-source MinHash "
+    "sketches (minhash_signatures) with this exact form as its "
+    "correctness oracle",
+)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = text.shingles(text.tokens("text"), k=3)
+    # ONE corpus-wide shuffle: per-shingle source sets (collect_set
+    # dedups, so no separate distinct pass); everything downstream —
+    # per-source totals AND pairwise intersections — derives from this
+    # vocabulary-sized frame. The pair expansion is the in-bucket trick
+    # from lsh_candidate_pairs with source as the id (bucket size is
+    # bounded by #sources). Lazy barrier: both consumers reuse the
+    # blocks, first job materializes them.
+    per_sh = (
+        spread(docs, "doc_id")
+        .select("source", F.explode(sh).alias("sh"))
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        per_sh.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    n = F.size("srcs")
+    pair_structs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda x, i: F.transform(
+                F.slice("srcs", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    inter = (
+        per_sh.filter(n >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.round(
+                    F.col("n_common") * 1.0
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
