@@ -17,7 +17,10 @@ import pytest
 from covid19_etl_pipeline_spark.catalog import TABLES, table_path
 from covid19_etl_pipeline_spark.plans.queries import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+#: Default sf0.001 keeps the full sweep fast; set PARITY_SF_DIR to run
+#: the identical gate at the driver's sf0.01 (or any other scale) —
+#: catches scale-dependent divergence (AQE re-plans, broadcast flips).
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 def _shard(names: list[str]) -> list[str]:
