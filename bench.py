@@ -91,6 +91,10 @@ HEADLINE = (
     "multimodal_wav_rms",
     # round-3 late: real PNG decode (stdlib-zlib codec, all 5 filters)
     "multimodal_png_stats",
+    # round-3: PCY hashed-bucket frequent pairs (the measured 100 TB
+    # market-basket path) + blocked Levenshtein entity resolution
+    "frequent_part_pairs_pcy",
+    "fuzzy_part_duplicates",
 )
 
 

@@ -14610,3 +14610,163 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@_register(
+    "fuzzy_part_duplicates",
+    """
+    WITH p AS (
+        SELECT p_partkey, p_name, p_brand,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.noun = b.noun AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY part_a, part_b
+    """,
+    "entity resolution over a dimension: candidate duplicate catalog "
+    "entries found by BLOCKING on (noun token, brand) and verifying "
+    "with Levenshtein edit distance <= 3 — the classic record-linkage "
+    "two-phase shape (cheap equi-joinable blocking key prunes the "
+    "O(n^2) comparison space; the expensive string metric runs only "
+    "inside blocks). Implemented as one block-key rollup + in-bucket "
+    "pair expansion (the lsh_candidate_pairs idiom) — a single "
+    "shuffle, no self-join; candidate volume is sum(|block|^2), the "
+    "quantity the blocking key is chosen to bound. At 100 TB add "
+    "multi-pass blocking (a second key on the other token) to catch "
+    "pairs the first key splits; edit distance is JVM-side "
+    "F.levenshtein, semantics identical in DuckDB",
+)
+def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    blocks = (
+        part.select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.element_at(F.split("p_name", " "), 2).alias("noun"),
+        )
+        .groupBy("noun", "p_brand")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("p_partkey", "p_name"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
+    )
+    n = F.size("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    dist = F.levenshtein(F.col("p.a.p_name"), F.col("p.b.p_name"))
+    return (
+        blocks.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.p_partkey").alias("part_a"),
+            F.col("p.b.p_partkey").alias("part_b"),
+            F.col("p.a.p_name").alias("name_a"),
+            F.col("p.b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .orderBy("part_a", "part_b")
+    )
+
+
+@_register(
+    "frequent_part_pairs_pcy",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey FROM items
+        GROUP BY l_partkey HAVING count(*) >= 3
+    ),
+    fitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN freq f ON i.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM fitems a JOIN fitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    """,
+    "PCY (Park-Chen-Yu) market-basket pair mining — the hashed-bucket "
+    "prune SCALE.md prescribes for frequent_part_pairs at 100 TB, "
+    "hash-matched against the same a-priori oracle to prove the prune "
+    "LOSSLESS (bucket count >= true pair support, so no qualifying "
+    "pair can land in a pruned bucket). Pass 1 generates candidate "
+    "pairs in-basket (array expansion, map-side) but shuffles only "
+    "65536 bucket counters (xxhash64(pair) mod B with map-side "
+    "combine), never the pairs; frequent buckets broadcast back as a "
+    "LEFT SEMI filter, so pass 2's pair rollup shuffles only pairs "
+    "whose bucket could reach min-support — at 100 TB the shuffle "
+    "volume drops by the infrequent-pair fraction, the PCY win. "
+    "Baskets are lazily checkpointed so both passes share one "
+    "distinct+filter computation; the bucket hash is a physical "
+    "detail (never in the output), so it needs no oracle portability",
+)
+def frequent_part_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_buckets = 1 << 16
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    baskets = (
+        items.join(freq, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .localCheckpoint(eager=False)  # both passes read the baskets
+    )
+    n = F.size("arr")
+    pair_structs = F.flatten(
+        F.transform(
+            "arr",
+            lambda x, i: F.transform(
+                F.slice("arr", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("p")).select(
+        "p.part_a", "p.part_b"
+    )
+    bkt = F.pmod(F.xxhash64("part_a", "part_b"), F.lit(n_buckets))
+    freq_buckets = (
+        pairs.groupBy(bkt.alias("bkt"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("bkt")
+    )
+    return (
+        pairs.withColumn("bkt", bkt)
+        .join(F.broadcast(freq_buckets), "bkt", "left_semi")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
