@@ -554,8 +554,27 @@ def connected_components(
     # after is the first action, so one job both materializes the new
     # labels' blocks and returns the scalar sum — fusing what were two
     # scheduler round-trips per round into one.
+    labels0 = adj.groupBy(F.col("d").alias("node")).agg(F.min("s").alias("label"))
+    # round 1 is FUSED into the round-0 action: dup graphs converge in
+    # 1-2 propagation rounds, so paying one lazy join+halve before the
+    # first convergence probe turns the typical probe sequence
+    # (s0, s1<s0, s2<s1, s3==s2 — four scheduler round-trips) into
+    # (s01, s2==s01 — two). A graph already converged at round 0 pays
+    # one redundant join over the labels-sized frame inside the same
+    # job — no extra action, the cost the fusion trades away from the
+    # common case. Labels stay monotone, so the sum probe is unchanged.
+    nbr0 = (
+        adj.join(labels0, adj["s"] == labels0["node"])
+        .groupBy(F.col("d").alias("node"))
+        .agg(F.min("label").alias("label"))
+    )
+    par0 = labels0.select(
+        F.col("node").alias("pnode"), F.col("label").alias("plabel")
+    )
     labels = iteration_barrier(
-        adj.groupBy(F.col("d").alias("node")).agg(F.min("s").alias("label")),
+        nbr0.join(par0, nbr0["label"] == par0["pnode"]).select(
+            "node", F.least("label", "plabel").alias("label")
+        ),
         eager=False,
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
