@@ -46,22 +46,36 @@ def pagerank(
     Returns (node, rank) for every node appearing as src or dst.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    # ONE eager barrier on the caller's edge list: callers typically
+    # hand over a fact-scale aggregation pipeline, and it feeds nodes,
+    # out-weights, AND the transition matrix below — without the
+    # barrier the fact pass re-executes once per consumer (measured
+    # 2× on nation_trade_pagerank). Everything downstream reads the
+    # aggregated-graph-sized blocks.
+    e = iteration_barrier(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    )
+    # lazy: the count() right after is the action that materializes the
+    # nodes blocks — no separate scheduler round-trip for the barrier
     nodes = iteration_barrier(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     n_nodes = nodes.count()
     # round(1-d) before dividing: binary-float 1.0-0.85 is 1 ulp off the
     # 0.15 literal a SQL oracle folds to — pin both to the same double
     teleport = round(1.0 - damping, 12) / n_nodes
     out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    # transition matrix rows: contribution fraction per edge
+    # transition matrix rows: contribution fraction per edge. Lazy:
+    # the unrolled power iteration references trans as ONE shared
+    # subplan, so its blocks materialize inside the final job.
     trans = iteration_barrier(
         e.join(out_w, "src").select(
             "src", "dst", (F.col("w") / F.col("ow")).alias("p")
-        )
+        ),
+        eager=False,
     )
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
