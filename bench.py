@@ -95,6 +95,8 @@ HEADLINE = (
     # market-basket path) + blocked Levenshtein entity resolution
     "frequent_part_pairs_pcy",
     "fuzzy_part_duplicates",
+    # round-3: DSIR likelihood-ratio data selection
+    "dsir_importance_weights",
 )
 
 

@@ -14770,3 +14770,128 @@ def frequent_part_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .orderBy(F.col("support").desc(), "part_a", "part_b")
     )
+
+
+@_register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                    AS BIGINT) AS b
+        FROM toks
+    ),
+    bc AS (
+        SELECT b,
+               count(*) FILTER (lang = 'en') AS n_t,
+               count(*) AS n_r
+        FROM tb GROUP BY b
+    ),
+    tot AS (SELECT sum(n_t) AS tt, sum(n_r) AS tr FROM bc),
+    lr AS (
+        SELECT b,
+               round(ln(((n_t + 1.0) / (tt + 64.0))
+                        / ((n_r + 1.0) / (tr + 64.0))), 6) AS w
+        FROM bc, tot
+    ),
+    per_doc AS (
+        SELECT tb.doc_id,
+               min(tb.lang) AS lang,
+               count(*) AS n_tokens,
+               round(sum(lr.w), 6) AS li
+        FROM tb JOIN lr USING (b)
+        GROUP BY tb.doc_id
+    ),
+    thr AS (SELECT quantile_cont(li, 0.8) AS q FROM per_doc)
+    SELECT doc_id, lang,
+           CAST(n_tokens AS INT) AS n_tokens,
+           li + 0.0 AS log_importance,
+           round(li / n_tokens, 6) + 0.0 AS li_per_token,
+           round(li - q, 6) >= 0 AS selected
+    FROM per_doc, thr
+    ORDER BY doc_id
+    """,
+    "DSIR-style importance weighting for data selection (Xie et al., "
+    "'Data Selection for Language Models via Importance Resampling', "
+    "arXiv:2302.03169 — public method): features are tokens hashed "
+    "into 64 buckets (md5-derived, engine-portable — the "
+    "linear_quality_classifier convention); the target distribution "
+    "is learned from the in-domain slice (lang='en' here, any "
+    "high-quality reference corpus in production) and each document's "
+    "log importance weight is sum over its tokens of "
+    "ln(p_target(bucket)/p_raw(bucket)) with add-one smoothing — the "
+    "likelihood-ratio score that upweights target-like documents for "
+    "resampling. Two corpus passes over ONE lazily-barriered "
+    "(doc_id, lang, bucket) token stream: pass 1 collapses to 64 "
+    "bucket cells map-side (the learned 'model' is a 64-row broadcast "
+    "— scan-speed inference, same as production DSIR's hashed n-gram "
+    "tables); pass 2 folds the broadcast log-ratios per doc in one "
+    "doc-keyed aggregation. Selection threshold = exact p80 of the "
+    "per-doc weights, a 1-row scalar broadcast; the boundary "
+    "comparison is rounded so interpolation float noise cannot flip "
+    "membership across engines. At 100 TB drop the token-stream "
+    "barrier and re-tokenize pass 2 (recompute beats caching a "
+    "token-grade intermediate), and raise buckets 64 -> 2^20 hashed "
+    "bigrams — the plan shape is unchanged",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.explode(text.tokens("text")).alias("tok")
+    tb = (
+        spread(docs, "doc_id")
+        .select("doc_id", "lang", tok)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+                .cast("long")
+                % 64
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)  # both passes read the bucket stream
+    )
+    bc = tb.groupBy("b").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+        F.count("*").alias("n_r"),
+    )
+    tot = bc.agg(F.sum("n_t").alias("tt"), F.sum("n_r").alias("tr"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("n_t") + 1.0) / (F.col("tt") + 64.0))
+                / ((F.col("n_r") + 1.0) / (F.col("tr") + 64.0))
+            ),
+            6,
+        ).alias("w"),
+    )
+    per_doc = (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("w"), 6).alias("li"),
+        )
+    )
+    thr = per_doc.agg(F.percentile(F.col("li"), 0.8).alias("q"))
+    return (
+        per_doc.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("li") + F.lit(0.0)).alias("log_importance"),
+            (F.round(F.col("li") / F.col("n_tokens"), 6) + F.lit(0.0)).alias(
+                "li_per_token"
+            ),
+            (F.round(F.col("li") - F.col("q"), 6) >= 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

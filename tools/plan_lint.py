@@ -127,6 +127,7 @@ BNLJ_OK = {
     "trade_community_modularity",  # 1-row total-edge-mass scalar broadcast
     "revenue_theil_decomposition",  # 1-row grand-total scalar broadcast
     "lang_id_agreement_kappa",  # three 1-row confusion-scalar broadcasts
+    "dsir_importance_weights",  # 1-row bucket-totals + 1-row p80-threshold scalar broadcasts
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
