@@ -91,8 +91,11 @@ HEADLINE = (
     "multimodal_wav_rms",
     # round-3 late: real PNG decode (stdlib-zlib codec, all 5 filters)
     "multimodal_png_stats",
-    # round-3: PCY hashed-bucket frequent pairs (the measured 100 TB
-    # market-basket path) + blocked Levenshtein entity resolution
+    # round-3: PCY hashed-bucket frequent pairs benched against the
+    # plain a-priori form (the +~0.3s bucket-counting pass is the
+    # price of not shuffling infrequent pairs — pays at scale), plus
+    # blocked Levenshtein entity resolution
+    "frequent_part_pairs",
     "frequent_part_pairs_pcy",
     "fuzzy_part_duplicates",
     # round-3: DSIR likelihood-ratio data selection
@@ -104,10 +107,28 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _steal_sec() -> float | None:
+    """Cumulative hypervisor CPU-steal seconds (/proc/stat field 8).
+
+    Reported alongside the timings because this box runs as a guest VM
+    and experiences EPISODIC heavy steal (observed: identical code,
+    63s vs 109s total wall across runs an hour apart with zero local
+    load). A nonzero delta flags a run whose wall-clock includes host
+    contention, not engine cost.
+    """
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+    steal0 = _steal_sec()
 
     # warm the JVM/codegen paths once with the cheapest query, and the
     # Python worker pool with a trivial Arrow round trip — so session
@@ -132,6 +153,12 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
+    steal1 = _steal_sec()
+    steal = (
+        round(steal1 - steal0, 1)
+        if steal0 is not None and steal1 is not None
+        else None
+    )
     print(
         json.dumps(
             {
@@ -140,6 +167,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_cpu_steal_sec": steal,
             }
         )
     )

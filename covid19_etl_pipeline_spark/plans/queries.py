@@ -14634,52 +14634,93 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with Levenshtein edit distance <= 3 — the classic record-linkage "
     "two-phase shape (cheap equi-joinable blocking key prunes the "
     "O(n^2) comparison space; the expensive string metric runs only "
-    "inside blocks). Implemented as one block-key rollup + in-bucket "
-    "pair expansion (the lsh_candidate_pairs idiom) — a single "
-    "shuffle, no self-join; candidate volume is sum(|block|^2), the "
-    "quantity the blocking key is chosen to bound. At 100 TB add "
+    "inside blocks). The verify runs at VOCABULARY grain: rows first "
+    "collapse to distinct (name, ids[]) groups per block, Levenshtein "
+    "compares name PAIRS (vocabulary², ~10³ comparisons), and only "
+    "matched name pairs expand to id pairs — so the string metric "
+    "never sees row counts, and the id expansion is output-sized "
+    "(the fuzzy_name_matches design, extended to emit the id pairs). "
+    "One shuffle (the block rollup), no self-join. At 100 TB add "
     "multi-pass blocking (a second key on the other token) to catch "
     "pairs the first key splits; edit distance is JVM-side "
     "F.levenshtein, semantics identical in DuckDB",
 )
 def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    blocks = (
+    grp = (
         part.select(
             "p_partkey",
             "p_name",
             "p_brand",
             F.element_at(F.split("p_name", " "), 2).alias("noun"),
         )
-        .groupBy("noun", "p_brand")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("p_partkey", "p_name"))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
+        .groupBy("noun", "p_brand", "p_name")
+        .agg(F.sort_array(F.collect_list("p_partkey")).alias("ids"))
+    )
+    blocks = grp.groupBy("noun", "p_brand").agg(
+        F.sort_array(F.collect_list(F.struct("p_name", "ids"))).alias("ms")
     )
     n = F.size("ms")
-    pair_structs = F.flatten(
+    # name-pair expansion INCLUDING the self pair (slice from position
+    # i+1 keeps element i): same-name id groups produce the exact-dup
+    # id pairs, distinct names the fuzzy ones
+    name_pairs = F.flatten(
         F.transform(
             "ms",
             lambda x, i: F.transform(
-                F.slice("ms", i + F.lit(2), n - i - 1),
+                F.slice("ms", i + F.lit(1), n - i),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    dist = F.levenshtein(F.col("p.a.p_name"), F.col("p.b.p_name"))
-    return (
-        blocks.select(F.explode(pair_structs).alias("p"))
-        .select(
-            F.col("p.a.p_partkey").alias("part_a"),
-            F.col("p.b.p_partkey").alias("part_b"),
-            F.col("p.a.p_name").alias("name_a"),
-            F.col("p.b.p_name").alias("name_b"),
-            dist.cast("int").alias("edit_dist"),
+    np = (
+        blocks.select(F.explode(name_pairs).alias("p"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("p.a.p_name"), F.col("p.b.p_name")).cast("int"),
         )
         .filter(F.col("edit_dist") <= 3)
+    )
+    ids_a, ids_b = F.col("p.a.ids"), F.col("p.b.ids")
+    na, nb = F.col("p.a.p_name"), F.col("p.b.p_name")
+    sz = F.size(ids_a)
+    # self pair: id pairs within one name group (x < y by sort order)
+    self_pairs = F.flatten(
+        F.transform(
+            ids_a,
+            lambda x, i: F.transform(
+                F.slice(ids_a, i + F.lit(2), sz - i - 1),
+                lambda y: F.struct(
+                    x.alias("part_a"),
+                    y.alias("part_b"),
+                    na.alias("name_a"),
+                    nb.alias("name_b"),
+                ),
+            ),
+        )
+    )
+    # cross pair: full ids_a × ids_b, oriented so part_a is the lesser
+    # id and name_a is ITS name (ids are globally unique per part)
+    cross_pairs = F.flatten(
+        F.transform(
+            ids_a,
+            lambda x: F.transform(
+                ids_b,
+                lambda y: F.struct(
+                    F.least(x, y).alias("part_a"),
+                    F.greatest(x, y).alias("part_b"),
+                    F.when(x < y, na).otherwise(nb).alias("name_a"),
+                    F.when(x < y, nb).otherwise(na).alias("name_b"),
+                ),
+            ),
+        )
+    )
+    rows = F.explode(F.when(na == nb, self_pairs).otherwise(cross_pairs))
+    return (
+        np.select("edit_dist", rows.alias("r"))
+        .select(
+            "r.part_a", "r.part_b", "r.name_a", "r.name_b", "edit_dist"
+        )
         .orderBy("part_a", "part_b")
     )
 
