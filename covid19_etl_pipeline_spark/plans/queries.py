@@ -8045,7 +8045,9 @@ def recsys_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     interacted = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
-        .distinct()
+        # no distinct: LEFT ANTI against duplicated interaction rows is
+        # identical, and the dedup was a full extra fact shuffle (the
+        # oracle keeps DISTINCT for the NOT-EXISTS formulation only)
     )
     negatives = cand.join(interacted, ["c_custkey", "p_partkey"], "left_anti")
     w = Window.partitionBy("c_custkey").orderBy("i", "p_partkey")
