@@ -274,9 +274,12 @@ def semdedup_survivors(
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
     )
     # assignment carries extra cols through (one broadcast nested loop,
-    # no shuffle); materialize once — it feeds both pair-join sides AND
-    # the survivor anti-join.
-    assigned = _nearest_centroid(pts, cent).localCheckpoint()
+    # no shuffle); checkpoint so it computes once — it feeds both
+    # pair-join sides AND the survivor anti-join, which all share the
+    # same RDD. LAZY: everything here is one plan with one action, so
+    # the blocks materialize inside the caller's job instead of paying
+    # a separate scheduler round-trip.
+    assigned = _nearest_centroid(pts, cent).localCheckpoint(eager=False)
     unit = assigned.filter(dot(F.col("v"), F.col("v")) > 0).select(
         "pid",
         "cid",
@@ -286,12 +289,13 @@ def semdedup_survivors(
     )
     a = unit.select(F.col("pid").alias("pa"), "cid", F.col("uv").alias("ua"))
     b = unit.select(F.col("pid").alias("pb"), "cid", F.col("uv").alias("ub"))
+    # no distinct on the dropped ids: LEFT ANTI against duplicated
+    # rows is identical, and the dedup was a pairs-sized extra shuffle
     dropped = (
         a.join(b, "cid")
         .filter(F.col("pa") < F.col("pb"))
         .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
         .select(F.col("pb").alias("pid"))
-        .distinct()
     )
     return (
         assigned.join(dropped, "pid", "left_anti")
