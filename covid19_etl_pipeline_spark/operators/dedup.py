@@ -231,7 +231,7 @@ def jaccard_pairs(
             F.col(id_col),
             F.array_distinct(shingles(tokens(text_col), k=shingle_k)).alias("sh"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = (
         candidates.join(sets.withColumnRenamed(id_col, f"{id_col}_a"), on=f"{id_col}_a")
@@ -314,7 +314,7 @@ def prefix_filter_jaccard_pairs(
                 F.transform(shingles(tokens(text_col), k=shingle_k), lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # carry the set size through the explode — saves a join back to sets
     ex = sets.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
@@ -420,7 +420,7 @@ def containment_pairs(
                 F.transform(shingles(tokens(text_col), k=shingle_k), lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ex = sets.select(F.col(id_col), F.size("sh").alias("sz"), F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("df_cnt"))
