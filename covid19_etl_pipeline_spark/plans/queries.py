@@ -14938,3 +14938,67 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "streaming_enrich_join_live",
+    """
+    WITH firsts AS (
+        SELECT user_id, event_type AS channel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    dim AS (SELECT user_id, channel FROM firsts WHERE rn = 1)
+    SELECT d.channel, e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY d.channel, e.event_type
+    ORDER BY channel, event_type
+    """,
+    "LIVE stream-static broadcast enrichment (streaming.joins."
+    "static_enrich_join): the events stream joins a static per-user "
+    "dimension (acquisition channel = event type of the user's first "
+    "event, min_by (ts, event_id) — deterministic tie-break) map-side "
+    "via broadcast, appends to a memory sink, and the fully-consumed "
+    "sink rolls up per (channel, event_type). Because the enrichment "
+    "is STATELESS — no buffering, no watermark, nothing dropped — the "
+    "drained stream equals the batch join exactly, so unlike the "
+    "other five live streaming entries this one carries a full DuckDB "
+    "oracle: the hash check proves stream==batch end-to-end, not just "
+    "row counts. The canonical dimension-lookup shape on a stream; "
+    "state is ZERO (vs the watermark-bounded stream-stream join), the "
+    "dimension ships once per micro-batch plan",
+)
+def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+    from covid19_etl_pipeline_spark.streaming.joins import static_enrich_join
+
+    staging = _staged_events_dir(spark, sf_dir)
+    dim = (
+        spark.read.parquet(staging)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("channel")
+        )
+    )
+    stream = read_events_stream(spark, staging, 8)
+    enriched = static_enrich_join(stream, dim).select(
+        "channel", "event_type", "value"
+    )
+    run_to_memory_sink(
+        enriched, "streaming_enrich_join_live", output_mode="append"
+    )
+    return (
+        spark.table("streaming_enrich_join_live")
+        .groupBy("channel", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("channel", "event_type")
+    )

@@ -91,3 +91,18 @@ def latest_per_key(df: DataFrame, key: str, order_cols: tuple[str, ...]) -> Data
                         *[F.col(c) for c in payload if c not in order_cols]))
     out = df.groupBy(key).agg(mx.alias("__m"))
     return out.select(key, *[F.col(f"__m.{c}").alias(c) for c in payload])
+
+
+def static_enrich_join(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static broadcast enrichment: join a (small) static
+    dimension into a stream map-side. STATELESS — unlike stream-stream
+    joins there is no buffering and no watermark requirement, so the
+    enrichment is exactly-once deterministic and costs one broadcast
+    per micro-batch plan. The canonical production shape for
+    dimension lookup (user profile, device registry, IP-geo) on an
+    event stream; at scale the dimension refreshes by restarting the
+    query or via a Delta/CDC-backed table, the join shape is unchanged.
+    """
+    return stream.join(F.broadcast(dim), on)

@@ -196,6 +196,7 @@ SKIP = {
     "streaming_dedup_live",
     "streaming_join_live",
     "streaming_corpus_gate_live",
+    "streaming_enrich_join_live",
 }
 
 
