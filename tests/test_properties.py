@@ -463,3 +463,91 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, "a", "b").collect()
     }
     assert got == expected
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_reference(rows):
+    """Brute-force record-linkage reference: all id pairs (a < b) in the
+    same (noun, brand) block with name edit distance <= 3; name_a is
+    the name of part_a."""
+    out = set()
+    for i1, n1, b1 in rows:
+        for i2, n2, b2 in rows:
+            if i1 >= i2 or b1 != b2:
+                continue
+            if n1.split(" ")[1] != n2.split(" ")[1]:
+                continue
+            d = _lev(n1, n2)
+            if d <= 3:
+                out.add((i1, i2, n1, n2, d))
+    return out
+
+
+def _run_fuzzy(spark, rows, tmpdir):
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    df = spark.createDataFrame(
+        [(i, n, b) for i, n, b in rows],
+        "p_partkey long, p_name string, p_brand string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmpdir}/part.parquet")
+    got = REGISTRY["fuzzy_part_duplicates"].fn(spark, str(tmpdir)).collect()
+    return {tuple(r) for r in got}
+
+
+def test_fuzzy_part_duplicates_crafted_fixture(spark, tmp_path):
+    """Deterministic adversarial cases for the vocabulary-grain pair
+    expansion: same-name groups (exact-dup id pairs), cross-name
+    matches where the LOWER id lives in the lexicographically LARGER
+    name (orientation trap), singleton blocks, and non-matching names
+    sharing a block."""
+    rows = [
+        (10, "red bolt", "B1"),
+        (11, "red bolt", "B1"),   # same-name pair (10,11) dist 0
+        (5, "rod bolt", "B1"),    # lower id, lexicographically larger name
+        (20, "blue bolt", "B1"),  # dist(red,blue)=4 > 3 vs red; vs rod 4
+        (30, "red bolt", "B2"),   # other brand: no cross-brand pairs
+        (40, "red ring", "B1"),   # other noun: different block
+        (50, "hot gear", "B1"),   # singleton block
+    ]
+    assert _run_fuzzy(spark, rows, tmp_path) == _fuzzy_reference(rows)
+
+
+_name = st.tuples(
+    st.sampled_from(["red", "rod", "hot", "blue", "re"]),
+    st.sampled_from(["bolt", "ring"]),
+).map(lambda t: f"{t[0]} {t[1]}")
+
+
+@_slow
+@given(
+    names=st.lists(_name, min_size=1, max_size=12),
+    brands=st.lists(st.sampled_from(["B1", "B2"]), min_size=12, max_size=12),
+)
+def test_fuzzy_part_duplicates_matches_bruteforce(spark, tmp_path, names, brands):
+    rows = [(i, n, b) for i, (n, b) in enumerate(zip(names, brands))]
+    assert _run_fuzzy(spark, rows, tmp_path) == _fuzzy_reference(rows)
+
+
+def test_pcy_equals_apriori():
+    """The PCY hashed-bucket prune must be LOSSLESS: identical
+    (part_a, part_b, support) rows as the plain a-priori form on real
+    data (bucket count >= true pair support, so no qualifying pair can
+    be pruned)."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+    from covid19_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="test")
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        plain = {tuple(r) for r in REGISTRY["frequent_part_pairs"].fn(spark, sf_dir).collect()}
+        pcy = {tuple(r) for r in REGISTRY["frequent_part_pairs_pcy"].fn(spark, sf_dir).collect()}
+        assert pcy == plain, sf_dir
