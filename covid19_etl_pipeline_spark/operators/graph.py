@@ -182,8 +182,12 @@ def relax_rounds(
             F.col("d").alias("node"),
             F.round(F.col("cost") + F.col("w"), round_digits).alias("cost"),
         )
+        # lazy: rounds are FIXED (no probe), so the whole unrolled
+        # chain materializes in the caller's single action; each round's
+        # dist is one shared RDD for its two references (join + union)
         dist = iteration_barrier(
-            step.union(dist).groupBy("node").agg(F.min("cost").alias("cost"))
+            step.union(dist).groupBy("node").agg(F.min("cost").alias("cost")),
+            eager=False,
         )
     return dist
 
@@ -219,12 +223,16 @@ def bfs_hops(
     dist = iteration_barrier(sources.select(F.col("node"), F.lit(0).alias("hops")))
     prev_state = None
     for _ in range(max_iter):
+        # lazy: the convergence probe right after is the action that
+        # materializes the round's blocks — one scheduler round-trip
+        # per round instead of two
         relaxed = iteration_barrier(
             e.join(dist, e["s"] == dist["node"])
             .select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
             .union(dist)
             .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
+            .agg(F.min("hops").alias("hops")),
+            eager=False,
         )
         row = relaxed.agg(
             F.count("*").alias("n"), F.sum("hops").alias("s")
@@ -298,8 +306,12 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select(F.col("a").alias("bn"), F.col("lbl").alias("new_lbl"))
         )
+        # lazy: fixed rounds, no probe — the final action materializes
+        # the chain; the checkpoint still dedups the label table's two
+        # references per round (same RDD identity)
         labels = iteration_barrier(
             labels.join(best, labels["node"] == best["bn"], "left")
-            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .select("node", F.coalesce("new_lbl", "lbl").alias("lbl")),
+            eager=False,
         )
     return labels
