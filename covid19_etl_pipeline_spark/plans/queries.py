@@ -15002,3 +15002,118 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "event_type")
     )
+
+
+@_register(
+    "nation_trade_kcore",
+    """
+    WITH raw AS (
+        SELECT cn.n_name AS a, sn.n_name AS b, count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_name, sn.n_name
+    ),
+    symw AS (
+        SELECT a, b, sum(w) AS w FROM (
+            SELECT a, b, w FROM raw UNION ALL SELECT b AS a, a AS b, w FROM raw
+        ) WHERE a <> b GROUP BY a, b
+    ),
+    mw AS (SELECT avg(w) AS mean_w FROM symw),
+    e0 AS (SELECT a, b FROM symw, mw WHERE symw.w > mw.mean_w),
+    d0 AS (SELECT a AS n, count(*) AS d FROM e0 GROUP BY a),
+    k0 AS (SELECT n FROM d0 WHERE d >= 12),
+    e1 AS (SELECT e0.a, e0.b FROM e0
+           JOIN k0 x ON e0.a = x.n JOIN k0 y ON e0.b = y.n),
+    d1 AS (SELECT a AS n, count(*) AS d FROM e1 GROUP BY a),
+    k1 AS (SELECT n FROM d1 WHERE d >= 12),
+    e2 AS (SELECT e1.a, e1.b FROM e1
+           JOIN k1 x ON e1.a = x.n JOIN k1 y ON e1.b = y.n),
+    d2 AS (SELECT a AS n, count(*) AS d FROM e2 GROUP BY a),
+    k2 AS (SELECT n FROM d2 WHERE d >= 12),
+    e3 AS (SELECT e2.a, e2.b FROM e2
+           JOIN k2 x ON e2.a = x.n JOIN k2 y ON e2.b = y.n)
+    SELECT a AS nation, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e3 GROUP BY a
+    ORDER BY nation
+    """,
+    "k-core decomposition (k=12, FIXED 3 peel rounds) of the trade-"
+    "graph backbone: iteratively remove nodes with degree < k, then "
+    "report the surviving nodes' within-core degrees — the dense-"
+    "subgraph extraction used to find tightly-coupled trading blocs "
+    "(and, on web/citation graphs, the spam/core filter). Rounds are "
+    "FIXED rather than converged so the oracle is an unrolled CTE "
+    "chain and semantics are engine-portable ('3-round peel'; the "
+    "backbone converges in fewer). Scale shape: the fact-scale edge "
+    "aggregation happens ONCE behind an eager barrier; each peel "
+    "round is one node-sized degree rollup + two broadcast semi-joins "
+    "against the keep set, with lazy per-round barriers so the whole "
+    "peel materializes in the caller's single action. Same backbone "
+    "construction as nation_trade_assortativity (above-mean-weight "
+    "edges — the raw graph is complete)",
+)
+def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators.partitioning import iteration_barrier
+
+    k = 12
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cn"), F.col("n_name").alias("a"))),
+            F.col("c_nationkey") == F.col("cn"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_name").alias("b"))),
+            F.col("s_nationkey") == F.col("sn"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    symw = (
+        raw.unionByName(
+            raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    mw = symw.agg(F.avg("w").alias("mean_w"))
+    # the fact-scale aggregation materializes ONCE; every peel round
+    # reads graph-sized blocks
+    e = iteration_barrier(
+        symw.crossJoin(F.broadcast(mw))
+        .filter(F.col("w") > F.col("mean_w"))
+        .select("a", "b")
+    )
+    for _ in range(3):
+        keep = (
+            e.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("a").alias("n"))
+        )
+        ka = keep.select(F.col("n").alias("a"))
+        kb = keep.select(F.col("n").alias("b"))
+        # lazy: fixed rounds, no probe — the caller's action
+        # materializes the unrolled peel chain
+        e = iteration_barrier(
+            e.join(F.broadcast(ka), "a", "left_semi").join(
+                F.broadcast(kb), "b", "left_semi"
+            ),
+            eager=False,
+        )
+    return (
+        e.groupBy(F.col("a").alias("nation"))
+        .agg(F.count("*").alias("core_degree"))
+        .orderBy("nation")
+    )

@@ -128,6 +128,7 @@ BNLJ_OK = {
     "revenue_theil_decomposition",  # 1-row grand-total scalar broadcast
     "lang_id_agreement_kappa",  # three 1-row confusion-scalar broadcasts
     "dsir_importance_weights",  # 1-row bucket-totals + 1-row p80-threshold scalar broadcasts
+    "nation_trade_kcore",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
