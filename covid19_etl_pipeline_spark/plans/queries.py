@@ -15025,22 +15025,22 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     mw AS (SELECT avg(w) AS mean_w FROM symw),
     e0 AS (SELECT a, b FROM symw, mw WHERE symw.w > mw.mean_w),
     d0 AS (SELECT a AS n, count(*) AS d FROM e0 GROUP BY a),
-    k0 AS (SELECT n FROM d0 WHERE d >= 12),
+    k0 AS (SELECT n FROM d0 WHERE d >= 10),
     e1 AS (SELECT e0.a, e0.b FROM e0
            JOIN k0 x ON e0.a = x.n JOIN k0 y ON e0.b = y.n),
     d1 AS (SELECT a AS n, count(*) AS d FROM e1 GROUP BY a),
-    k1 AS (SELECT n FROM d1 WHERE d >= 12),
+    k1 AS (SELECT n FROM d1 WHERE d >= 10),
     e2 AS (SELECT e1.a, e1.b FROM e1
            JOIN k1 x ON e1.a = x.n JOIN k1 y ON e1.b = y.n),
     d2 AS (SELECT a AS n, count(*) AS d FROM e2 GROUP BY a),
-    k2 AS (SELECT n FROM d2 WHERE d >= 12),
+    k2 AS (SELECT n FROM d2 WHERE d >= 10),
     e3 AS (SELECT e2.a, e2.b FROM e2
            JOIN k2 x ON e2.a = x.n JOIN k2 y ON e2.b = y.n)
     SELECT a AS nation, CAST(count(*) AS BIGINT) AS core_degree
     FROM e3 GROUP BY a
     ORDER BY nation
     """,
-    "k-core decomposition (k=12, FIXED 3 peel rounds) of the trade-"
+    "k-core decomposition (k=10, FIXED 3 peel rounds) of the trade-"
     "graph backbone: iteratively remove nodes with degree < k, then "
     "report the surviving nodes' within-core degrees — the dense-"
     "subgraph extraction used to find tightly-coupled trading blocs "
@@ -15058,7 +15058,7 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.operators.partitioning import iteration_barrier
 
-    k = 12
+    k = 10
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
