@@ -407,13 +407,23 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_acctbal
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND year(CAST(o_orderdate AS DATE)) = 1998)
     """,
-    "left-anti membership join (NOT EXISTS)",
+    "left-anti membership join (NOT EXISTS): customers with no 1998 "
+    "order — the recent-inactivity form, chosen over the bare "
+    "no-orders-ever form because the synthetic catalog gives every "
+    "customer at least one order, which made the result (and hence "
+    "the oracle comparison) degenerately EMPTY at every scale; this "
+    "predicate leaves ~20% of customers at each SF so the anti join's "
+    "semantics are actually exercised by the hash check",
 )
 def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year(F.to_date("o_orderdate")) == 1998
+    )
     return anti_join_membership(
         c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
     ).select("c_custkey", "c_name", "c_acctbal")
@@ -2365,18 +2375,19 @@ def near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part     ON p_partkey   = l_partkey
     JOIN supplier ON s_suppkey   = l_suppkey
     JOIN nation   ON n_nationkey = s_nationkey
-    WHERE p_retailprice > 950
+    WHERE p_retailprice > 910
     GROUP BY n_name, ship_year
     ORDER BY nation, ship_year
     """,
     "TPC-H Q9 shape: fact joined to TWO broadcast dimension chains "
     "(part via l_partkey; supplier→nation via l_suppkey) with the part "
-    "filter pushed below the join, profit rolled up per supplier-nation "
+    "filter (retailprice > 910 — inside every SF's price range, so "
+    "the result is never degenerately empty) pushed below the join, profit rolled up per supplier-nation "
     "and ship year — completes catalog coverage (part + supplier)",
 )
 def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 950)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 910)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     return (

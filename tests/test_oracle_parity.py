@@ -82,6 +82,13 @@ def test_query_matches_oracle(spark, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
+    # degenerate-parity guard: an empty result trivially "matches" an
+    # empty oracle while exercising nothing (caught twice: a k-core
+    # threshold above the backbone's degree range, an anti join whose
+    # membership side covered every row). Every query is required to
+    # produce rows at every test SF — make the predicate selective at
+    # the smallest scale, not vacuous.
+    assert spark_rows, f"{name}: both engines returned 0 rows — vacuous parity"
     s_set, d_set = _row_set(spark_rows, spark_cols), _row_set(duck_rows, duck_cols)
     mismatches = [
         (a, b) for a, b in zip(s_set, d_set) if a != b
