@@ -15128,3 +15128,167 @@ def nation_trade_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("core_degree"))
         .orderBy("nation")
     )
+
+
+@_register(
+    "bpe_fertility_by_lang",
+    r"""
+    WITH words AS (
+        SELECT w, count(*) AS freq FROM (
+            SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+        GROUP BY w
+    ),
+    sym0 AS (
+        SELECT array_to_string(regexp_split_to_array(w, ''), ' ') AS sym, freq
+        FROM words
+    ),
+    p1 AS (
+        SELECT pair, sum(freq) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                                         i -> a[i] || ' ' || a[i+1])) AS pair,
+                   freq
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, freq FROM sym0)
+        ) GROUP BY pair
+    ),
+    t1 AS (
+        SELECT pair, replace(pair, ' ', '') AS new_symbol, cnt
+        FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    sym1 AS (
+        SELECT trim(replace(' ' || s.sym || ' ',
+                            ' ' || t1.pair || ' ',
+                            ' ' || t1.new_symbol || ' ')) AS sym, s.freq
+        FROM sym0 s, t1
+    ),
+    p2 AS (
+        SELECT pair, sum(freq) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(a)),
+                                         i -> a[i] || ' ' || a[i+1])) AS pair,
+                   freq
+            FROM (SELECT regexp_split_to_array(sym, ' ') AS a, freq FROM sym1)
+        ) GROUP BY pair
+    ),
+    t2 AS (
+        SELECT pair, replace(pair, ' ', '') AS new_symbol, cnt
+        FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    dw AS (
+        SELECT lang, w FROM (
+            SELECT lang,
+                   lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+    ),
+    sp AS (
+        SELECT lang,
+               array_to_string(regexp_split_to_array(w, ''), ' ') AS sym
+        FROM dw
+    ),
+    ap1 AS (
+        SELECT lang, sym,
+               trim(replace(' ' || sym || ' ',
+                            ' ' || t1.pair || ' ',
+                            ' ' || t1.new_symbol || ' ')) AS sym1
+        FROM sp, t1
+    ),
+    ap2 AS (
+        SELECT lang, sym,
+               trim(replace(' ' || sym1 || ' ',
+                            ' ' || t2.pair || ' ',
+                            ' ' || t2.new_symbol || ' ')) AS sym2
+        FROM ap1, t2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(regexp_split_to_array(sym, ' '))) AS BIGINT)
+               AS n_chars,
+           CAST(sum(len(regexp_split_to_array(sym2, ' '))) AS BIGINT)
+               AS n_subwords,
+           round(sum(len(regexp_split_to_array(sym2, ' '))) * 1.0
+                 / count(*), 4) + 0.0 AS fertility,
+           round(sum(len(regexp_split_to_array(sym2, ' '))) * 1.0
+                 / sum(len(regexp_split_to_array(sym, ' '))), 4) + 0.0
+               AS compression_ratio
+    FROM ap2
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "tokenizer FERTILITY audit per language: merges are learned on the "
+    "WHOLE corpus (the same 2-round vocabulary-statistics BPE as "
+    "bpe_merge_induction/bpe_apply_merges), then each language's words "
+    "are segmented and fertility = subword tokens per word is rolled "
+    "up per lang, with the char->subword compression ratio — the "
+    "multilingual token-budget audit that shows which languages pay "
+    "more tokens per word under a shared vocabulary (the famous "
+    "English-centric-tokenizer tax). Scale shape identical to "
+    "bpe_apply_merges: pair statistics and merge rules live at "
+    "VOCABULARY grain (broadcast), the corpus makes one spell-and-"
+    "replace pass, and the fertility rollup is languages-sized",
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    dw = (
+        docs.select("lang", F.explode(text.tokens("text")).alias("t0"))
+        .select("lang", F.lower("t0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    words = dw.groupBy("w").agg(F.count("*").alias("freq"))
+    sym0v = words.select(
+        F.array_join(F.split("w", ""), " ").alias("sym"), "freq"
+    ).localCheckpoint()
+    top = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
+    t1 = (
+        _bpe_pair_counts(sym0v)
+        .withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
+        .localCheckpoint()
+    )
+    sym1v = _bpe_apply_merge(sym0v, t1)
+    t2 = (
+        _bpe_pair_counts(sym1v)
+        .withColumn("rn", top)
+        .filter(F.col("rn") == 1)
+        .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
+        .localCheckpoint()
+    )
+    spelled = dw.select("lang", F.array_join(F.split("w", ""), " ").alias("sym"))
+    ap1 = spelled.crossJoin(
+        F.broadcast(t1.select(F.col("pair").alias("t1_pair"), F.col("new_symbol").alias("t1_sym")))
+    ).withColumn(
+        "sym1",
+        F.trim(
+            F.expr(
+                "replace(concat(' ', sym, ' '), concat(' ', t1_pair, ' '), "
+                "concat(' ', t1_sym, ' '))"
+            )
+        ),
+    )
+    ap2 = ap1.crossJoin(
+        F.broadcast(t2.select(F.col("pair").alias("t2_pair"), F.col("new_symbol").alias("t2_sym")))
+    ).withColumn(
+        "sym2",
+        F.trim(
+            F.expr(
+                "replace(concat(' ', sym1, ' '), concat(' ', t2_pair, ' '), "
+                "concat(' ', t2_sym, ' '))"
+            )
+        ),
+    )
+    n_chars = F.sum(F.size(F.split("sym", " ")))
+    n_sub = F.sum(F.size(F.split("sym2", " ")))
+    return (
+        ap2.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            n_chars.alias("n_chars"),
+            n_sub.alias("n_subwords"),
+            (F.round(n_sub * 1.0 / F.count("*"), 4) + F.lit(0.0)).alias("fertility"),
+            (F.round(n_sub * 1.0 / n_chars, 4) + F.lit(0.0)).alias(
+                "compression_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -129,6 +129,7 @@ BNLJ_OK = {
     "lang_id_agreement_kappa",  # three 1-row confusion-scalar broadcasts
     "dsir_importance_weights",  # 1-row bucket-totals + 1-row p80-threshold scalar broadcasts
     "nation_trade_kcore",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
+    "bpe_fertility_by_lang",  # two 1-row merge-rule broadcasts (the bpe_apply_merges shape)
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
