@@ -99,6 +99,8 @@ def ewma_by_group(
     """
     import pandas as pd  # noqa: F401  (Arrow path)
 
+    from covid19_etl_pipeline_spark.operators.partitioning import spread
+
     fields = df.schema.fields
     out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
     out_schema += f", {out_col} double"
@@ -108,4 +110,12 @@ def ewma_by_group(
         pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         return pdf
 
-    return df.groupBy(group_col).applyInPandas(_fold, schema=out_schema)
+    # grouped-map parallelism comes from the INPUT partitioning: AQE
+    # coalesces a small upstream rollup to one partition, which would
+    # serialize every group through a single Python worker (measured
+    # ~5x on the daily-rollup input). spread's explicit group-key hash
+    # partitioning satisfies applyInPandas's clustering requirement, so
+    # no extra exchange is added — it only pins the worker fan-out.
+    return spread(df, group_col).groupBy(group_col).applyInPandas(
+        _fold, schema=out_schema
+    )

@@ -2940,12 +2940,20 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("dv")
     )
     out = ewma_by_group(daily, "user_id", "event_date", "dv", alpha=0.2)
-    return out.select(
-        "user_id",
-        "event_date",
-        F.round("dv", 4).alias("daily_value"),
-        F.round("ewma", 4).alias("ewma"),
-    ).orderBy("user_id", "event_date")
+    # lazy barrier: the presentation sort's range partitioner SAMPLES
+    # its child, which would re-execute the whole Arrow stage for the
+    # boundary pass (measured 2x) — the checkpoint makes the sampling
+    # read materialized blocks instead
+    return (
+        out.localCheckpoint(eager=False)
+        .select(
+            "user_id",
+            "event_date",
+            F.round("dv", 4).alias("daily_value"),
+            F.round("ewma", 4).alias("ewma"),
+        )
+        .orderBy("user_id", "event_date")
+    )
 
 
 @_register(
