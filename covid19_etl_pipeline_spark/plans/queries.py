@@ -6463,16 +6463,27 @@ def corpus_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emptiness gate BEFORE the projection (size(tokens) >= 3 ⟺
     # non-empty trigram set) — a post-projection size(sh) filter would be
     # pushed down and re-evaluate the whole shingle expression per row
+    # shingles hash to 64-bit ints up front (the prefix_filter trick):
+    # every downstream exchange ships 8-byte longs instead of k-token
+    # strings, and the output counts are hash-invariant absent
+    # collisions — which the oracle hash-match audits exactly
     sh = docs.filter(F.size(text.tokens("text")) >= 3).select(
-        "doc_id", F.array_distinct(text.shingles(text.tokens("text"))).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(text.shingles(text.tokens("text")), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
-    # the exploded shingle stream is consumed twice (df count + join-back)
+    # the exploded shingle stream is consumed twice (df count +
+    # join-back) within ONE action — lazy, both consumers share the RDD
     ex = sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     freq = (
+        # per-doc shingles are array_distinct'd, so (doc_id, g) rows are
+        # unique and the document frequency is a plain count — the
+        # two-phase distinct aggregate was pure overhead
         ex.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 4)
         .select("g")
     )
