@@ -13676,10 +13676,14 @@ _BOOT_B = 20  # bootstrap replicates (one-pass Poisson bootstrap)
 
 def _boot_u_sql(b: int) -> str:
     """Deterministic uniform in [0,1) for (order, replicate): md5-derived,
-    bit-identical in Spark and DuckDB (the minhash hash convention)."""
+    bit-identical in Spark and DuckDB (the minhash hash convention).
+    Each digest yields FOUR independent 32-bit uniforms (8-hex slices),
+    so 20 replicates cost 5 md5s per row instead of 20 — the hashing is
+    the whole scan cost of the one-pass bootstrap."""
+    off = 1 + 8 * (b % 4)
     return (
-        f"CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|{b}'), 1, 8)) "
-        "AS BIGINT) / 4294967296.0"
+        f"CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|{b // 4}'), "
+        f"{off}, 8)) AS BIGINT) / 4294967296.0"
     )
 
 
@@ -13728,11 +13732,17 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
     def u(b: int):
+        # four 32-bit uniforms per digest (8-hex slices): 20 replicates
+        # cost 5 md5s/row, not 20 — in lockstep with _boot_u_sql
         return (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(f"|{b}"))),
-                    1,
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"), F.lit(f"|{b // 4}")
+                        )
+                    ),
+                    1 + 8 * (b % 4),
                     8,
                 ),
                 16,
@@ -13751,11 +13761,20 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(4)
         )
 
+    # weights project BEFORE the aggregate: inside agg expressions the
+    # hash subtree is re-evaluated once per aggregate function (no CSE
+    # across the 40 sums — measured), while a Project computes each
+    # replicate weight once per row
+    proj = o.select(
+        "o_totalprice", *[w(b).alias(f"__w{b}") for b in range(_BOOT_B)]
+    )
     aggs = [F.count("*").alias("n"), F.avg("o_totalprice").alias("grand_mean")]
     for b in range(_BOOT_B):
-        aggs.append(F.sum(w(b) * F.col("o_totalprice")).alias(f"wx{b}"))
-        aggs.append(F.sum(w(b)).alias(f"w{b}"))
-    a = o.agg(*aggs)
+        aggs.append(
+            F.sum(F.col(f"__w{b}") * F.col("o_totalprice")).alias(f"wx{b}")
+        )
+        aggs.append(F.sum(f"__w{b}").alias(f"w{b}"))
+    a = proj.agg(*aggs)
     means = F.array_sort(
         F.array(
             *[
