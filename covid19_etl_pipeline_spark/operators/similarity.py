@@ -209,7 +209,11 @@ def lloyd_iterations(
         emb.select(
             F.col(id_col).alias("pid"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        )
+        ),
+        # lazy: Lloyd has no convergence probe, so the caller's single
+        # action materializes the whole unrolled iteration; all round
+        # assignments share the one checkpointed RDD either way
+        eager=False,
     )
     cent = pts.filter(F.col("pid") < k).select(
         F.col("pid").alias("cid"),
