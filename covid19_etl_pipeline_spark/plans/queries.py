@@ -1154,7 +1154,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "__v", lambda x: x / F.sqrt(similarity.dot(F.col("__v"), F.col("__v")))
             ).alias("uv"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = unit.select(
         F.col("vec_id").alias("vec_id_a"),
@@ -1341,7 +1341,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     q = members.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
@@ -2578,7 +2578,7 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         ev.groupBy("user_id")
         .agg(F.expr("percentile(value, 0.5)").alias("med"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     dev = ev.join(F.broadcast(med), "user_id").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
@@ -4918,7 +4918,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "blk", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pairs = (
         sigs.alias("a")
@@ -5406,7 +5406,7 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_eval"
         ),
         F.array_distinct(text.shingles(text.tokens("text"))).alias("sh"),
-    ).localCheckpoint()  # shingle sets feed BOTH the eval and train branches
+    ).localCheckpoint(eager=False)  # shingle sets feed BOTH the eval and train branches
     ev = base.filter("is_eval").select(
         F.col("doc_id").alias("eval_id"), F.explode("sh").alias("g")
     )
@@ -5530,7 +5530,7 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()  # feeds the total AND both unigram join roles
+        .localCheckpoint(eager=False)  # feeds the total AND both unigram join roles
     )
     total = u.agg(F.sum("c").alias("total"))
     bc = (
@@ -6194,7 +6194,7 @@ def ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("csim", similarity.cosine(F.col("v"), F.col("cv")))
         .withColumn("rn", F.row_number().over(w_assign))
         .select("vec_id", "cid", "rn")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     members = (
         ranked.filter(F.col("rn") == 1)
@@ -6310,7 +6310,7 @@ def lsh_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.array_distinct(text.shingles(text.tokens("text"))).alias("shd"),
         )
-        .localCheckpoint()  # feeds both truth-join sides
+        .localCheckpoint(eager=False)  # feeds both truth-join sides
     )
     a = sets.select(
         F.col("doc_id").alias("doc_id_a"), "source", F.col("shd").alias("sh_a")
@@ -6400,7 +6400,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         dedup.simhash(docs, "doc_id", bits=32)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = sig.select(
         F.col("doc_id").alias("doc_id_a"), "source", F.col("simhash").alias("sig_a")
@@ -6739,7 +6739,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vocab rollup feeds BOTH the broadcast join and the corpus
     # total — materialize the tiny table once so the corpus tokenize
     # isn't re-run per consumer (at 100 TB: the persisted LM artifact)
-    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt")).localCheckpoint()
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
     total = vocab.agg(F.sum("cnt").alias("n"))
     scored = (
         tok.join(F.broadcast(vocab), "t")
@@ -7298,14 +7298,14 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once (at corpus scale this is the persisted vocab)
     sym0 = words.select(
         F.array_join(F.split("w", ""), " ").alias("sym"), "freq"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     top = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
     t1 = (
         _bpe_pair_counts(sym0)
         .withColumn("rn", top)
         .filter(F.col("rn") == 1)
         .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"), "cnt")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sym1 = _bpe_apply_merge(sym0, t1)
     t2 = (
@@ -7426,14 +7426,14 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = dw.groupBy("w").agg(F.count("*").alias("freq"))
     sym0v = words.select(
         F.array_join(F.split("w", ""), " ").alias("sym"), "freq"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     top = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
     t1 = (
         _bpe_pair_counts(sym0v)
         .withColumn("rn", top)
         .filter(F.col("rn") == 1)
         .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sym1v = _bpe_apply_merge(sym0v, t1)
     t2 = (
@@ -7441,7 +7441,7 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", top)
         .filter(F.col("rn") == 1)
         .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     apply1 = F.trim(
         F.expr(
@@ -8411,7 +8411,7 @@ def price_distribution_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(period.alias("period"), bin_.alias("bin"))
         .groupBy("period", "bin")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("period").agg(F.sum("n").alias("tot"))
     fr = (F.col("n") + 0.5) / (F.col("tot") + 5.0)
@@ -8688,7 +8688,7 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
-        .localCheckpoint()  # feeds marginals, the total, AND both pair-join sides
+        .localCheckpoint(eager=False)  # feeds marginals, the total, AND both pair-join sides
     )
     n_total = ob.select("l_orderkey").distinct().count()
     brand_f = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
@@ -9202,7 +9202,7 @@ def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # degree-ordered physical orientation (see description) — then
         # the oriented list is consumed three times by the triangle
         # joins: materialize once (vocabulary-sized, not fact-sized)
-        graph.orient_by_degree(edges, "a", "b").localCheckpoint()
+        graph.orient_by_degree(edges, "a", "b").localCheckpoint(eager=False)
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -10112,7 +10112,7 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # vocabulary-sized stats artifact — one corpus pass, materialized
     # once; c1 and V derive from it without touching the corpus again
-    c2 = big.groupBy("prev", "w").agg(F.count("*").alias("n2")).localCheckpoint()
+    c2 = big.groupBy("prev", "w").agg(F.count("*").alias("n2")).localCheckpoint(eager=False)
     c1 = c2.groupBy("prev").agg(F.sum("n2").alias("n1"))
     v = (
         c2.select(F.col("prev").alias("t"))
@@ -10647,7 +10647,7 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     vs_old_dup = newfp.join(oldfp, "fp", "left_semi").select("doc_id")
-    exdup = vs_old_dup.union(internal_dup).distinct().localCheckpoint()
+    exdup = vs_old_dup.union(internal_dup).distinct().localCheckpoint(eager=False)
     exsurv = new.select("doc_id").join(exdup, "doc_id", "left_anti")
     # --- near stage: batch band signatures probe the band index.
     # The index covers old docs + batch exact-survivors; at scale the
@@ -10994,7 +10994,7 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .select("l_partkey")
     )
-    fitems = items.join(freq, "l_partkey").localCheckpoint()
+    fitems = items.join(freq, "l_partkey").localCheckpoint(eager=False)
     a = fitems.alias("a")
     b = fitems.alias("b")
     return (
@@ -11182,7 +11182,7 @@ def embedding_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"))
         .select("label", F.col("ic.c").alias("cv"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     d2 = (
         similarity.dot(F.col("v"), F.col("v"))
@@ -11447,7 +11447,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("hv")
     sk = (
         h.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
-    ).localCheckpoint()  # the persisted per-segment sketch artifact
+    ).localCheckpoint(eager=False)  # the persisted per-segment sketch artifact
     per = sk.groupBy("event_type").agg(
         F.max(F.when(F.col("r") == k, F.col("hv"))).alias("kth"),
         F.count("*").alias("n_in_sketch"),
@@ -12001,7 +12001,7 @@ def embedding_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("cid"),
         F.transform("v", lambda x: F.round(x, 6)).alias("cv"),
     )
-    assigned = similarity._nearest_centroid(pts, cent, keep_dist=True).localCheckpoint()
+    assigned = similarity._nearest_centroid(pts, cent, keep_dist=True).localCheckpoint(eager=False)
     cut = assigned.agg(F.round(F.percentile("d2", F.lit(0.95)), 6).alias("p95"))
     return (
         assigned.crossJoin(F.broadcast(cut))
@@ -12090,13 +12090,13 @@ def embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ONE assignment artifact feeds the gate, the pair join (both
     # sides) and the sampling window — materialize it once.
-    assigned = similarity._nearest_centroid(pts, cent, keep_dist=True).localCheckpoint()
+    assigned = similarity._nearest_centroid(pts, cent, keep_dist=True).localCheckpoint(eager=False)
     cut = assigned.agg(F.round(F.percentile("d2", F.lit(0.95)), 6).alias("p95"))
     inl = (
         assigned.crossJoin(F.broadcast(cut))
         .filter(F.col("d2") <= F.col("p95"))
         .select("pid", "label", "cid", "v")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     unit = inl.filter(similarity.dot(F.col("v"), F.col("v")) > 0).select(
         "pid",
@@ -12202,7 +12202,7 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the persisted assignment artifact: old rows come from state, new
     # rows assign map-side against the broadcast quantizer — one
     # materialization feeds the probe joins and the verdict join.
-    assigned = similarity._nearest_centroid(pts, cent).localCheckpoint()
+    assigned = similarity._nearest_centroid(pts, cent).localCheckpoint(eager=False)
     unit = assigned.filter(similarity.dot(F.col("v"), F.col("v")) > 0).select(
         "pid",
         "cid",
@@ -13901,11 +13901,11 @@ def trade_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     mm = sym.agg(F.sum("w").alias("m2"))
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.sum("w").alias("dw"))
-    lab = labels.select("node", "lbl").localCheckpoint()
+    lab = labels.select("node", "lbl").localCheckpoint(eager=False)
     dc = (
         deg.join(F.broadcast(lab), "node")
         .groupBy("lbl")
@@ -15275,14 +15275,14 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = dw.groupBy("w").agg(F.count("*").alias("freq"))
     sym0v = words.select(
         F.array_join(F.split("w", ""), " ").alias("sym"), "freq"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     top = F.row_number().over(Window.orderBy(F.col("cnt").desc(), "pair"))
     t1 = (
         _bpe_pair_counts(sym0v)
         .withColumn("rn", top)
         .filter(F.col("rn") == 1)
         .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sym1v = _bpe_apply_merge(sym0v, t1)
     t2 = (
@@ -15290,7 +15290,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", top)
         .filter(F.col("rn") == 1)
         .select("pair", F.expr("replace(pair, ' ', '')").alias("new_symbol"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     spelled = dw.select("lang", F.array_join(F.split("w", ""), " ").alias("sym"))
     ap1 = spelled.crossJoin(
