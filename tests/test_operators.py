@@ -386,3 +386,51 @@ def test_resize_images_stub_plumbing(spark):
     assert (r2["out_width"], r2["out_height"]) == (56, 224)  # upscale allowed
     assert len(r2["payload"]) == 10  # stub truncation capped by source bytes
 
+
+
+def test_iterative_graph_ops_reliable_checkpoint_mode(spark, tmp_path):
+    """CHECKPOINT_DIR_CONF must route the (now lazy) per-round barriers
+    of pagerank, BFS, min-plus relaxation, and label propagation to the
+    storage-backed checkpoint with identical results — the reliable
+    path ignores laziness, so this pins that the lazy default did not
+    break the fault-tolerant mode."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.operators.graph import (
+        bfs_hops,
+        label_propagation,
+        pagerank,
+        relax_rounds,
+    )
+    from covid19_etl_pipeline_spark.operators.partitioning import (
+        CHECKPOINT_DIR_CONF,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 5.0), (4, 5, 1.0)],
+        "src long, dst long, w double",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+
+    def run_all():
+        return (
+            sorted(map(tuple, pagerank(edges, weight="w").collect())),
+            sorted(map(tuple, bfs_hops(edges, srcs).collect())),
+            sorted(map(tuple, relax_rounds(edges, srcs).collect())),
+            sorted(map(tuple, label_propagation(
+                edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), "w"),
+                "a", "b", weight="w").collect())),
+        )
+
+    default = run_all()
+    ckpt = str(tmp_path / "reliable_graph_ckpt")
+    spark.conf.set(CHECKPOINT_DIR_CONF, ckpt)
+    try:
+        reliable = run_all()
+    finally:
+        spark.conf.unset(CHECKPOINT_DIR_CONF)
+    assert reliable == default
+    written = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "no checkpoint files written under the configured dir"
