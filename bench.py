@@ -164,11 +164,19 @@ def main() -> None:
     # so nothing is silently discarded; note the re-run is warm
     # (codegen cached), so a retried entry reads as steady-state cost.
     retried: dict[str, float] = {}
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ref_paths = sorted(
+        p for p in os.listdir(repo)
+        if p.startswith("BENCH_r") and p.endswith(".json")
+    )
     try:
+        ref_path = os.path.join(repo, ref_paths[-1])
         with open(ref_path) as fh:
-            ref = json.load(fh).get("parsed", {}).get("queries", {})
-        if json.load(open(ref_path)).get("sf") not in (sf, float(sf)):
+            doc = json.load(fh)
+        ref = doc.get("parsed", {}).get("queries", {}) or doc.get("queries", {})
+        if doc.get("sf") not in (sf, float(sf)) and doc.get(
+            "parsed", {}
+        ).get("sf") not in (sf, float(sf)):
             # reference timings are sf-specific; other scales have no
             # baseline to call an outlier against
             ref = {}

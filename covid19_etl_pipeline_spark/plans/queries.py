@@ -15330,3 +15330,450 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@_register(
+    "skyline_parts",
+    """
+    WITH pg AS (
+        SELECT p_retailprice AS pr, max(p_size) AS gmax
+        FROM part GROUP BY p_retailprice
+    ),
+    pg2 AS (
+        SELECT pr, gmax,
+               max(gmax) OVER (ORDER BY pr
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prevmax
+        FROM pg
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pg2 ON p.p_retailprice = pg2.pr
+    WHERE NOT (coalesce(prevmax, -1) >= p_size OR gmax > p_size)
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    "SKYLINE (Pareto frontier) operator: parts not dominated on "
+    "(minimize p_retailprice, maximize p_size) — the classic "
+    "preference-query operator (Borzsony/Kossmann/Stocker, ICDE'01) the "
+    "reference's SQL surface cannot express without a quadratic "
+    "NOT EXISTS self-join. 2-D skyline decomposes into a sort-free "
+    "scalable form: group to PRICE grain (bounded by the price domain, "
+    "not the fact), one ordered running-max pass over that rollup, then "
+    "a broadcast join back — dominance is 'a strictly cheaper price "
+    "group reached >= my size, or my own price group has strictly "
+    "bigger size'. The O(n^2) pairwise test never materializes",
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    pg = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    pg2 = pg.withColumn("prevmax", F.max("gmax").over(w))
+    joined = parts.join(F.broadcast(pg2), "p_retailprice")
+    dominated = (
+        F.coalesce(F.col("prevmax"), F.lit(-1)) >= F.col("p_size")
+    ) | (F.col("gmax") > F.col("p_size"))
+    return (
+        joined.filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+def _zorder_bits_sql(x: str, y: str, shift_fn) -> str:
+    """12-bit Morton interleave of two 6-bit dims, as an arithmetic
+    expression string; ``shift_fn(expr, i)`` renders a right-shift in
+    the target dialect (Spark ``shiftright``, DuckDB ``>>``)."""
+    terms = []
+    for i in range(6):
+        terms.append(f"(({shift_fn(x, i)}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({shift_fn(y, i)}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _zorder_bits_sql("zx", "zy", lambda e, i: f"shiftright({e}, {i})")
+_Z_DUCK = _zorder_bits_sql("zx", "zy", lambda e, i: f"({e} >> {i})")
+
+
+@_register(
+    "zorder_layout_parts",
+    f"""
+    WITH dims AS (
+        SELECT p_partkey, p_size, p_retailprice,
+               p_size - 1 AS zx,
+               least(63, greatest(0, CAST(floor((p_retailprice - 900.0)
+                                                / 1.5625) AS INT))) AS zy
+        FROM part
+    ),
+    z AS (SELECT *, {_Z_DUCK} AS zval FROM dims),
+    assigned AS (
+        SELECT 'zorder' AS layout, CAST(zval >> 8 AS INT) AS bucket,
+               p_size, p_retailprice FROM z
+        UNION ALL
+        SELECT 'unclustered' AS layout, CAST(p_partkey % 16 AS INT) AS bucket,
+               p_size, p_retailprice FROM z
+    )
+    SELECT layout, bucket, count(*) AS cnt,
+           min(p_size) AS min_size, max(p_size) AS max_size,
+           min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+           round(((max(p_size) - min(p_size) + 1) / 50.0)
+                 * ((max(p_retailprice) - min(p_retailprice)) / 100.0), 4)
+               + 0.0 AS zone_volume_frac
+    FROM assigned
+    GROUP BY layout, bucket
+    ORDER BY layout, bucket
+    """,
+    "Z-ORDER data layout + zone-map audit (the Delta/Iceberg OPTIMIZE "
+    "ZORDER pattern): Morton-interleave two query dimensions "
+    "(p_size, an equi-width price bin) into a 12-bit z-value, split the "
+    "table into 16 files by z-prefix range (zval >> 8 — prefix ranges "
+    "ARE the z-order range partitioner, no global sort window needed), "
+    "and emit each file's zone map (min/max per dim) plus its fractional "
+    "zone volume. The same table hashed by key ('unclustered') is the "
+    "baseline: its zone maps span the whole domain (volume ~1.0) so a "
+    "2-D predicate prunes nothing, while z-order files cover ~1/16 of "
+    "the space — the min/max file-skipping win that makes multi-"
+    "dimensional scans cheap at 100 TB. Map-side only: one scan, no "
+    "join, no window; the per-file rollup is 32 rows",
+)
+def zorder_layout_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    dims = parts.select(
+        "p_partkey",
+        "p_size",
+        "p_retailprice",
+        (F.col("p_size") - 1).alias("zx"),
+        F.least(
+            F.lit(63),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("p_retailprice") - 900.0) / 1.5625).cast("int"),
+            ),
+        ).alias("zy"),
+    )
+    z = dims.withColumn("zval", F.expr(_Z_SPARK))
+    assigned = z.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright("zval", 8).cast("int").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("unclustered").alias("layout"),
+                    F.pmod("p_partkey", F.lit(16)).cast("int").alias("bucket"),
+                ),
+            )
+        ).alias("a"),
+        F.col("p_size"),
+        F.col("p_retailprice"),
+    ).select("a.layout", "a.bucket", "p_size", "p_retailprice")
+    return (
+        assigned.groupBy("layout", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            (
+                F.round(
+                    ((F.max("p_size") - F.min("p_size") + 1) / 50.0)
+                    * ((F.max("p_retailprice") - F.min("p_retailprice")) / 100.0),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("zone_volume_frac"),
+        )
+        .orderBy("layout", "bucket")
+    )
+
+
+@_register(
+    "incremental_rollup_maintenance",
+    """
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS order_cnt,
+           round(sum(o_totalprice), 4) AS total_revenue,
+           round(sum(o_totalprice) / count(*), 4) + 0.0 AS avg_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority, month
+    ORDER BY o_orderpriority, month
+    """,
+    "INCREMENTAL MATERIALIZED-VIEW MAINTENANCE: the rollup is kept as "
+    "mergeable PARTIAL aggregates (count, sum, max per group) — the "
+    "stored base partials (orders before 2000-01-01) and the new "
+    "delta partition's partials are combined group-wise (sum of "
+    "counts, sum of sums, max of maxes) and the final measures "
+    "(avg = merged sum / merged count) are derived only at merge "
+    "time. The oracle is the FULL recompute over all of orders, so "
+    "the hash-match proves the algebraic merge is lossless — the "
+    "property that lets a 100 TB nightly rollup touch only the new "
+    "partition's partials instead of rescanning history (same "
+    "incremental stance as incremental_upsert / cdc_latest_user_state; "
+    "avg/count(*) decompose because they are algebraic aggregates, "
+    "Gray et al., Data Cube, ICDE'96). Base and delta scans both "
+    "partition-prune on the split date",
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    split = "2000-01-01"
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        ).agg(
+            F.count("*").alias("p_cnt"),
+            F.sum("o_totalprice").alias("p_sum"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+
+    base = partials(orders.filter(F.col("o_orderdate") < split))
+    delta = partials(orders.filter(F.col("o_orderdate") >= split))
+    merged = base.unionByName(delta)
+    return (
+        merged.groupBy("o_orderpriority", "month")
+        .agg(
+            F.sum("p_cnt").alias("order_cnt"),
+            F.round(F.sum("p_sum"), 4).alias("total_revenue"),
+            (F.round(F.sum("p_sum") / F.sum("p_cnt"), 4) + F.lit(0.0)).alias(
+                "avg_price"
+            ),
+            F.max("p_max").alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+@_register(
+    "fellegi_sunter_part_linkage",
+    """
+    WITH u AS (
+        SELECT
+            (SELECT sum(n * (n - 1)) * 1.0 FROM
+                (SELECT count(*) AS n FROM part GROUP BY p_type))
+            / ((SELECT count(*) FROM part) * 1.0
+               * ((SELECT count(*) FROM part) - 1)) AS u_type,
+            (SELECT sum(n * (n - 1)) * 1.0 FROM
+                (SELECT count(*) AS n FROM part
+                 GROUP BY split_part(p_name, ' ', 2)))
+            / ((SELECT count(*) FROM part) * 1.0
+               * ((SELECT count(*) FROM part) - 1)) AS u_name
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+               CAST(a.p_type = b.p_type AS INT) AS agree_type,
+               CAST(abs(a.p_retailprice - b.p_retailprice) <= 1.0 AS INT)
+                   AS agree_price,
+               CAST(split_part(a.p_name, ' ', 2)
+                    = split_part(b.p_name, ' ', 2) AS INT) AS agree_name
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    )
+    SELECT a_partkey, b_partkey, agree_type, agree_price, agree_name,
+           round((CASE WHEN agree_type = 1 THEN 0.95 / u_type
+                       ELSE 0.05 / (1 - u_type) END)
+                 * (CASE WHEN agree_price = 1 THEN 0.9 / 0.02
+                         ELSE 0.1 / 0.98 END)
+                 * (CASE WHEN agree_name = 1 THEN 0.85 / u_name
+                         ELSE 0.15 / (1 - u_name) END), 4) + 0.0
+               AS match_odds
+    FROM pairs, u
+    ORDER BY match_odds DESC, a_partkey, b_partkey
+    LIMIT 200
+    """,
+    "FELLEGI-SUNTER probabilistic record linkage (JASA'69, the model "
+    "under Splink/dedupe.io): candidate pairs are BLOCKED on "
+    "(p_brand, p_size) so the quadratic comparison space never "
+    "materializes, each pair gets an agreement vector over three "
+    "fields (type exact, price within 1.0, name-noun exact), and the "
+    "match odds multiply per-field likelihood ratios m/u (agree) or "
+    "(1-m)/(1-u) (disagree). u-probabilities (chance agreement among "
+    "non-matches) are estimated closed-form from field value "
+    "frequencies: sum n(n-1) / N(N-1) — integer sums and ONE division, "
+    "so both engines compute bit-identical doubles; m-probabilities "
+    "are fixed priors (0.95/0.9/0.85). Scale: frequency tables are "
+    "field-cardinality-grain (broadcast 1-row scalars), the pair join "
+    "is a co-partitioned equi-join on the block key, top-200 is "
+    "TakeOrderedAndProject — no global sort",
+)
+def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    noun = F.element_at(F.split("p_name", " "), 2)
+
+    def u_of(keycol) -> DataFrame:
+        freq = parts.groupBy(keycol.alias("v")).agg(F.count("*").alias("n"))
+        return freq.agg(
+            (
+                (F.sum(F.col("n") * (F.col("n") - 1)) * 1.0)
+                / (F.sum("n") * 1.0 * (F.sum("n") - 1))
+            ).alias("u")
+        )
+
+    u = (
+        u_of(F.col("p_type"))
+        .select(F.col("u").alias("u_type"))
+        .crossJoin(F.broadcast(u_of(noun).select(F.col("u").alias("u_name"))))
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("a_partkey"),
+        F.col("p_brand").alias("a_brand"),
+        F.col("p_size").alias("a_size"),
+        F.col("p_type").alias("a_type"),
+        F.col("p_retailprice").alias("a_price"),
+        noun.alias("a_noun"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_size").alias("b_size"),
+        F.col("p_type").alias("b_type"),
+        F.col("p_retailprice").alias("b_price"),
+        noun.alias("b_noun"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_brand") == F.col("b_brand"))
+        & (F.col("a_size") == F.col("b_size"))
+        & (F.col("a_partkey") < F.col("b_partkey")),
+    ).select(
+        "a_partkey",
+        "b_partkey",
+        (F.col("a_type") == F.col("b_type")).cast("int").alias("agree_type"),
+        (F.abs(F.col("a_price") - F.col("b_price")) <= 1.0)
+        .cast("int")
+        .alias("agree_price"),
+        (F.col("a_noun") == F.col("b_noun")).cast("int").alias("agree_name"),
+    )
+    t_term = F.when(F.col("agree_type") == 1, 0.95 / F.col("u_type")).otherwise(
+        0.05 / (1 - F.col("u_type"))
+    )
+    p_term = F.when(F.col("agree_price") == 1, F.lit(0.9 / 0.02)).otherwise(
+        F.lit(0.1 / 0.98)
+    )
+    n_term = F.when(F.col("agree_name") == 1, 0.85 / F.col("u_name")).otherwise(
+        0.15 / (1 - F.col("u_name"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(u))
+        .select(
+            "a_partkey",
+            "b_partkey",
+            "agree_type",
+            "agree_price",
+            "agree_name",
+            (F.round(t_term * p_term * n_term, 4) + F.lit(0.0)).alias("match_odds"),
+        )
+        .orderBy(F.col("match_odds").desc(), "a_partkey", "b_partkey")
+        .limit(200)
+    )
+
+
+@_register(
+    "maximal_repeated_substrings",
+    r"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(toks) - 6),
+                   i -> struct_pack(pos := i,
+                                    g := array_to_string(toks[i:i+7], ' '))))
+                   AS u
+        FROM d WHERE len(toks) >= 8
+    ),
+    g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM g0),
+    dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+    p AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+    r AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos <= coalesce(
+                        max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), -1) + 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM p
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM r
+    )
+    SELECT doc_id, CAST(min(pos) AS INT) AS start_pos,
+           CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS run_token_len
+    FROM isl
+    GROUP BY doc_id, island
+    HAVING max(pos) + 7 - min(pos) + 1 >= 12
+    ORDER BY doc_id, start_pos
+    """,
+    "MAXIMAL REPEATED SUBSTRINGS — exact substring-level duplication "
+    "(the suffix-array dedup of Lee et al., 'Deduplicating Training "
+    "Data Makes Language Models Better', ACL'22, re-expressed for "
+    "shuffle-based execution): every token 8-gram is hashed, 8-grams "
+    "occurring more than once ANYWHERE in the corpus mark their "
+    "positions, and per document the overlapping/adjacent marked "
+    "intervals [pos, pos+7] are merged into maximal runs (interval "
+    "merge via running-max-end window), keeping runs >= 12 tokens — "
+    "each output row is a maximal duplicated region a substring-dedup "
+    "pass would cut. Scale: the corpus shuffles xxhash64(8-gram) "
+    "int64s, never gram strings (collision odds ~ n^2/2^65 — at 1e12 "
+    "grams one expected false mark, bounded and documented; the "
+    "DuckDB oracle groups the literal strings so the hash-match also "
+    "certifies the hashed plan); the duplicated-gram table is "
+    "dup-grain, the semi-join is co-partitioned on the hash, and the "
+    "interval merge windows are keyed per doc_id",
+)
+def maximal_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", text.tokens("text").alias("toks")).filter(
+        F.size("toks") >= 8
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7), "
+                "i -> struct(i AS pos, "
+                "xxhash64(concat_ws(' ', slice(toks, i, 8))) AS gh))"
+            )
+        ).alias("u"),
+    ).select("doc_id", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh"))
+    # consumed twice (dup-gram table + position probe): lazy barrier so
+    # the tokenize+explode runs once per action, not per consumer
+    g = g.localCheckpoint(eager=False)
+    dup = (
+        g.groupBy("gh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    ).select("gh")
+    p = g.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = p.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            <= F.coalesce(F.max(F.col("pos") + 7).over(w_prev), F.lit(-1)) + 1,
+            0,
+        ).otherwise(1),
+    )
+    isl = r.withColumn(
+        "island",
+        F.sum("brk").over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("int").alias("start_pos"),
+            (F.max("pos") + 7 - F.min("pos") + 1).cast("int").alias("run_token_len"),
+        )
+        .filter(F.col("run_token_len") >= 12)
+        .select("doc_id", "start_pos", "run_token_len")
+        .orderBy("doc_id", "start_pos")
+    )

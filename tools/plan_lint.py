@@ -130,6 +130,7 @@ BNLJ_OK = {
     "dsir_importance_weights",  # 1-row bucket-totals + 1-row p80-threshold scalar broadcasts
     "nation_trade_kcore",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
     "bpe_fertility_by_lang",  # two 1-row merge-rule broadcasts (the bpe_apply_merges shape)
+    "fellegi_sunter_part_linkage",  # 1-row u-probability scalar broadcast
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
@@ -189,6 +190,7 @@ SINGLE_PARTITION_OK = {
     "small_order_revenue",  # per-part avg window over the part-sized rollup
     "curriculum_order_documents",  # SinglePartition is the 1-row quantile-cutoff agg; the only window is keyed on tier
     "temperature_mix_sources",  # quota window over the per-source rollup (#sources rows); the doc rank window is keyed on source
+    "skyline_parts",  # running dominance max over the price-grain rollup (bounded by the price domain)
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
