@@ -15777,3 +15777,226 @@ def maximal_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "start_pos", "run_token_len")
         .orderBy("doc_id", "start_pos")
     )
+
+
+@_register(
+    "frequent_event_sequences",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS e3
+        FROM events
+    )
+    SELECT e1, e2, e3,
+           count(DISTINCT user_id) AS support_users,
+           count(*) AS occurrences
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    HAVING count(DISTINCT user_id) >= 10
+    ORDER BY support_users DESC, occurrences DESC, e1, e2, e3
+    LIMIT 25
+    """,
+    "SEQUENTIAL PATTERN MINING (PrefixSpan/SPAM family, contiguous "
+    "form): frequent length-3 event-type sequences over per-user "
+    "event streams, with support counted in USERS (the sequence-mining "
+    "convention — a user looping one funnel ten times is one "
+    "supporter) beside raw occurrence counts. Two lead() windows share "
+    "ONE (user_id, ts) sort, the rollup is |types|^3-bounded, and "
+    "min-support pruning (HAVING) keeps only patterns a recommender / "
+    "funnel-design pass would act on. Scale: the only corpus shuffle "
+    "is the keyed window sort; no per-user arrays, no self-joins",
+)
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.countDistinct("user_id").alias("support_users"),
+            F.count("*").alias("occurrences"),
+        )
+        .filter(F.col("support_users") >= 10)
+        .orderBy(
+            F.col("support_users").desc(),
+            F.col("occurrences").desc(),
+            "e1",
+            "e2",
+            "e3",
+        )
+        .limit(25)
+    )
+
+
+@_register(
+    "quality_classifier_calibration",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, n_chars,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, any_value(n_chars) AS n_chars,
+               sum(((CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                          AS BIGINT) * 37) % 21 - 10) / 16.0) AS s,
+               count(*) AS n
+        FROM toks GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(-0.25 + s / n))), 4) + 0.0 AS score,
+               CAST(n_chars >= 300 AS INT) AS label
+        FROM f
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin, score, label
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin, count(*) AS n,
+               round(avg(score), 4) + 0.0 AS mean_confidence,
+               round(avg(label), 4) + 0.0 AS positive_rate
+        FROM binned GROUP BY bin
+    )
+    SELECT bin, n, mean_confidence, positive_rate,
+           round(abs(positive_rate - mean_confidence), 4) + 0.0 AS calib_gap,
+           round(abs(positive_rate - mean_confidence) * n
+                 / (sum(n) OVER ()), 6) + 0.0 AS ece_contrib
+    FROM per_bin
+    ORDER BY bin
+    """,
+    "CLASSIFIER CALIBRATION AUDIT — reliability diagram + Expected "
+    "Calibration Error (Guo et al., ICML'17) for the deployed quality "
+    "classifier: each document's sigmoid score (the exact "
+    "linear_quality_classifier inference expression) lands in one of "
+    "10 confidence bins; per bin, mean confidence vs empirical "
+    "positive rate (label: the independent n_chars >= 300 length "
+    "gate) gives the calibration gap, and n/N-weighted gaps are the "
+    "per-bin ECE contributions (their sum IS the ECE). The audit that "
+    "decides whether a quality filter's scores can be THRESHOLDED "
+    "meaningfully before it curates 100 TB. Scale: scoring is the "
+    "same zero-shuffle scan-speed fold as the classifier; the only "
+    "post-agg window is a sum over the 10-row bin rollup",
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.array(*[F.lit(((j * 37) % 21 - 10) / 16.0) for j in range(64)])
+    toks = text.tokens("text")
+
+    def w_of(tok):
+        bucket = (
+            F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+            % 64
+        )
+        return F.element_at(weights, (bucket + 1).cast("int"))
+
+    n = F.size(toks)
+    s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w_of(t))
+    logit = F.lit(-0.25) + s / n
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4) + F.lit(0.0)
+    scored = docs.select(
+        score.alias("score"),
+        (F.col("n_chars") >= 300).cast("int").alias("label"),
+    )
+    binned = scored.withColumn(
+        "bin", F.least(F.lit(9), F.floor(F.col("score") * 10).cast("int"))
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg("score"), 4) + F.lit(0.0)).alias("mean_confidence"),
+        (F.round(F.avg("label"), 4) + F.lit(0.0)).alias("positive_rate"),
+    )
+    gap = F.abs(F.col("positive_rate") - F.col("mean_confidence"))
+    return (
+        per_bin.withColumn("n_total", F.sum("n").over(Window.partitionBy()))
+        .select(
+            "bin",
+            "n",
+            "mean_confidence",
+            "positive_rate",
+            (F.round(gap, 4) + F.lit(0.0)).alias("calib_gap"),
+            (F.round(gap * F.col("n") / F.col("n_total"), 6) + F.lit(0.0)).alias(
+                "ece_contrib"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+@_register(
+    "golden_record_parts",
+    """
+    WITH fam AS (
+        SELECT p_brand, split_part(p_name, ' ', 2) AS noun,
+               p_partkey, p_type, p_size, p_retailprice,
+               count(*) OVER (PARTITION BY p_brand,
+                              split_part(p_name, ' ', 2)) AS n_members,
+               min(p_partkey) OVER (PARTITION BY p_brand,
+                                    split_part(p_name, ' ', 2))
+                   AS golden_partkey,
+               row_number() OVER (PARTITION BY p_brand,
+                                  split_part(p_name, ' ', 2)
+                                  ORDER BY p_retailprice DESC,
+                                           p_partkey DESC) AS rn
+        FROM part
+    )
+    SELECT p_brand, noun, CAST(n_members AS BIGINT) AS n_members,
+           golden_partkey,
+           p_type AS rep_type, p_size AS rep_size,
+           p_retailprice AS rep_price
+    FROM fam
+    WHERE rn = 1 AND n_members >= 2
+    ORDER BY p_brand, noun
+    """,
+    "GOLDEN-RECORD SURVIVORSHIP (MDM / entity-consolidation): duplicate "
+    "part families (blocked on brand + name noun, the "
+    "fuzzy_part_duplicates blocking key) collapse to ONE mastered "
+    "record via explicit survivorship rules — stable id = min key in "
+    "family, representative attributes taken from the highest-priced "
+    "member (the 'most complete/most recent wins' rule made "
+    "deterministic with a full tie-break), family size kept as audit. "
+    "All three windows share one partition key so the family never "
+    "leaves its shuffle bucket; no self-join, no collect. The "
+    "consolidation step that turns record-linkage PAIRS "
+    "(fuzzy_part_duplicates / fellegi_sunter_part_linkage) into a "
+    "deduplicated dimension",
+)
+def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    noun = F.element_at(F.split("p_name", " "), 2)
+    fam_w = Window.partitionBy("p_brand", "noun")
+    rank_w = fam_w.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").desc())
+    fam = parts.withColumn("noun", noun).select(
+        "p_brand",
+        "noun",
+        "p_partkey",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+        F.count("*").over(fam_w).alias("n_members"),
+        F.min("p_partkey").over(fam_w).alias("golden_partkey"),
+        F.row_number().over(rank_w).alias("rn"),
+    )
+    return (
+        fam.filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "p_brand",
+            "noun",
+            "n_members",
+            "golden_partkey",
+            F.col("p_type").alias("rep_type"),
+            F.col("p_size").alias("rep_size"),
+            F.col("p_retailprice").alias("rep_price"),
+        )
+        .orderBy("p_brand", "noun")
+    )

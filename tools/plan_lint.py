@@ -191,6 +191,7 @@ SINGLE_PARTITION_OK = {
     "curriculum_order_documents",  # SinglePartition is the 1-row quantile-cutoff agg; the only window is keyed on tier
     "temperature_mix_sources",  # quota window over the per-source rollup (#sources rows); the doc rank window is keyed on source
     "skyline_parts",  # running dominance max over the price-grain rollup (bounded by the price domain)
+    "quality_classifier_calibration",  # N-total sum over the 10-row confidence-bin rollup
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
