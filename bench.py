@@ -100,6 +100,14 @@ HEADLINE = (
     "fuzzy_part_duplicates",
     # round-3: DSIR likelihood-ratio data selection
     "dsir_importance_weights",
+    # round-3 late: z-order layout audit, substring-level dedup runs,
+    # blocked Fellegi-Sunter linkage, partial-agg MV merge, and
+    # contiguous sequence mining
+    "zorder_layout_parts",
+    "maximal_repeated_substrings",
+    "fellegi_sunter_part_linkage",
+    "incremental_rollup_maintenance",
+    "frequent_event_sequences",
 )
 
 
