@@ -16000,3 +16000,218 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "noun")
     )
+
+
+@_register(
+    "doremi_domain_weights",
+    r"""
+    WITH tok AS (
+        SELECT source, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS t
+        FROM documents
+    ),
+    vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+    total AS (SELECT sum(cnt) AS n FROM vocab),
+    scored AS (
+        SELECT tok.source, ln(vocab.cnt * 1.0 / total.n) AS logp
+        FROM tok JOIN vocab USING (t) CROSS JOIN total
+    ),
+    per_src AS (
+        SELECT source, count(*) AS n_tokens,
+               round(-avg(logp), 4) AS mean_nll
+        FROM scored GROUP BY source
+    ),
+    ext AS (
+        SELECT *, min(mean_nll) OVER () AS min_nll,
+               count(*) OVER () AS n_sources
+        FROM per_src
+    ),
+    term AS (
+        SELECT *, round(exp(0.1 * (mean_nll - min_nll)), 6) AS t
+        FROM ext
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, mean_nll,
+           round(1.0 / n_sources, 6) + 0.0 AS base_weight,
+           round(t / sum(t) OVER (), 4) + 0.0 AS updated_weight
+    FROM term
+    ORDER BY source
+    """,
+    "DOMAIN REWEIGHTING, DoReMi-style one-step (Xie et al., "
+    "arXiv:2305.10429): each source's proxy loss is its mean token "
+    "negative-log-likelihood under the corpus unigram LM (the "
+    "unigram_logprob_quality model, grouped by source instead of "
+    "doc), and mixture weights update multiplicatively — "
+    "w_s ∝ w_base * exp(eta * excess_loss_s) with eta=0.1, excess "
+    "over the best source, renormalized — upweighting the domains "
+    "the reference model finds hardest. This is the exponentiated-"
+    "gradient step the DoReMi proxy loop applies per round, computed "
+    "exactly from one corpus pass. Scale: vocabulary + corpus total "
+    "broadcast (the trained artifact), ONE source-grain rollup; the "
+    "min/sum windows run over the #sources-row result. Per-source "
+    "NLL is rounded before exp so the update is engine-portable",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select("source", F.explode(text.tokens("text")).alias("t0")).select(
+        "source", F.lower("t0").alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt")).localCheckpoint(eager=False)
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "t")
+        .join(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("cnt") * 1.0 / F.col("n")))
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg("logp"), 4).alias("mean_nll"),
+    )
+    w_all = Window.partitionBy()
+    ext = per_src.withColumn("min_nll", F.min("mean_nll").over(w_all)).withColumn(
+        "n_sources", F.count("*").over(w_all)
+    )
+    term = ext.withColumn(
+        "t", F.round(F.exp(0.1 * (F.col("mean_nll") - F.col("min_nll"))), 6)
+    )
+    return (
+        term.select(
+            "source",
+            "n_tokens",
+            "mean_nll",
+            (F.round(F.lit(1.0) / F.col("n_sources"), 6) + F.lit(0.0)).alias(
+                "base_weight"
+            ),
+            (
+                F.round(F.col("t") / F.sum("t").over(w_all), 4) + F.lit(0.0)
+            ).alias("updated_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "quantile_normalize_scores",
+    """
+    WITH pr AS (
+        SELECT doc_id, source, n_chars,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS src_pct
+        FROM documents
+    ),
+    ecdf AS (
+        SELECT n_chars AS v,
+               (sum(count(*)) OVER (ORDER BY n_chars
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)) * 1.0
+                   / (SELECT count(*) FROM documents) AS cum_frac
+        FROM documents GROUP BY n_chars
+    )
+    SELECT pr.doc_id, pr.source, pr.n_chars AS raw_score,
+           round(pr.src_pct, 6) + 0.0 AS source_pct,
+           min(ecdf.v) AS normalized_score
+    FROM pr JOIN ecdf ON ecdf.cum_frac >= pr.src_pct
+    GROUP BY pr.doc_id, pr.source, pr.n_chars, pr.src_pct
+    ORDER BY pr.doc_id
+    """,
+    "QUANTILE NORMALIZATION across sources (the microarray/"
+    "score-harmonization transform): each document's score (n_chars "
+    "as the stand-in) maps to its WITHIN-SOURCE percent rank, then "
+    "onto the pooled corpus distribution's value at that rank — after "
+    "which every source's score distribution is the same pooled one, "
+    "so cross-source thresholds mean the same thing everywhere (the "
+    "fix when one crawl's 'quality 0.8' is another's 0.5). Scale: "
+    "per-source ranks are keyed windows; the pooled quantile function "
+    "is an ECDF over the VALUE-grain rollup (bounded by the score "
+    "domain, not the corpus) whose one ordered window runs on that "
+    "rollup; the rank->value lookup broadcasts the ECDF table and "
+    "min-aggregates the first value at-or-above each rank — the "
+    "inequality join fans out only to the bounded value domain",
+)
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w_src).alias("src_pct"),
+    )
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    total = docs.agg(F.count("*").alias("n_total"))
+    ecdf = (
+        docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("cum", F.sum("c").over(w_v))
+        .crossJoin(F.broadcast(total))
+        .select("v", (F.col("cum") * 1.0 / F.col("n_total")).alias("cum_frac"))
+    )
+    joined = pr.join(F.broadcast(ecdf), F.col("cum_frac") >= F.col("src_pct"))
+    return (
+        joined.groupBy("doc_id", "source", "n_chars", "src_pct")
+        .agg(F.min("v").alias("normalized_score"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("raw_score"),
+            (F.round("src_pct", 6) + F.lit(0.0)).alias("source_pct"),
+            "normalized_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "eval_embedding_leakage",
+    """
+    WITH q AS (
+        SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id % 50 <> 0
+    ),
+    s AS (
+        SELECT eval_id, vec_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS sim
+        FROM q JOIN c ON vec_id <> eval_id
+    ),
+    r AS (
+        SELECT eval_id, vec_id, sim,
+               row_number() OVER (PARTITION BY eval_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM s
+    )
+    SELECT eval_id, vec_id AS nearest_corpus_id,
+           round(sim, 6) AS cosine_sim,
+           sim >= 0.9 AS is_leak
+    FROM r WHERE rn = 1
+    ORDER BY eval_id
+    """,
+    "EMBEDDING-SPACE eval decontamination: for every held-out eval "
+    "vector (deterministic vec_id%50 sample), the nearest corpus "
+    "vector by cosine and a leak verdict at 0.9 — the SEMANTIC twin "
+    "of decontaminate_eval_overlap's n-gram check, catching "
+    "paraphrased/reformatted eval contamination that exact shingles "
+    "miss (the Phi/GPT-4 decontamination protocol). Scale: the eval "
+    "side is tiny and BROADCAST (brute_force_topk's dense side); at "
+    "corpus scale swap the corpus-side scan for the IVF/LSH-bucketed "
+    "probe (sim_ivf_topk / sim_lsh_ann_topk) — same output contract, "
+    "which is why the exact form here is the auditable baseline",
+)
+def eval_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    nearest = similarity.brute_force_topk(corpus, queries, k=1)
+    return (
+        nearest.filter(F.col("rank") == 1)
+        .select(
+            F.col("query_id").alias("eval_id"),
+            F.col("vec_id").alias("nearest_corpus_id"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            (F.col("cosine_sim") >= 0.9).alias("is_leak"),
+        )
+        .orderBy("eval_id")
+    )

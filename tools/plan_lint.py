@@ -131,6 +131,9 @@ BNLJ_OK = {
     "nation_trade_kcore",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
     "bpe_fertility_by_lang",  # two 1-row merge-rule broadcasts (the bpe_apply_merges shape)
     "fellegi_sunter_part_linkage",  # 1-row u-probability scalar broadcast
+    "doremi_domain_weights",  # 1-row corpus-token-total scalar broadcast
+    "quantile_normalize_scores",  # bounded value-domain ECDF broadcast (inequality rank->value lookup)
+    "eval_embedding_leakage",  # tiny eval-query side broadcast (brute_force_topk dense side)
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
@@ -192,6 +195,8 @@ SINGLE_PARTITION_OK = {
     "temperature_mix_sources",  # quota window over the per-source rollup (#sources rows); the doc rank window is keyed on source
     "skyline_parts",  # running dominance max over the price-grain rollup (bounded by the price domain)
     "quality_classifier_calibration",  # N-total sum over the 10-row confidence-bin rollup
+    "doremi_domain_weights",  # min/sum windows over the #sources-row rollup
+    "quantile_normalize_scores",  # cumulative window over the bounded value-grain ECDF rollup
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
