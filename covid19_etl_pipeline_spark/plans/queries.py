@@ -16215,3 +16215,311 @@ def eval_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+@_register(
+    "association_rules_parts",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    isup AS (
+        SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+    ),
+    freq AS (SELECT l_partkey FROM isup WHERE s >= 3),
+    fitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN freq f ON i.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS ps
+        FROM fitems a JOIN fitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, ps FROM pairs
+        UNION ALL
+        SELECT pb AS antecedent, pa AS consequent, ps FROM pairs
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.ps AS BIGINT) AS pair_support,
+           CAST(ia.s AS BIGINT) AS ante_support,
+           CAST(ic.s AS BIGINT) AS cons_support,
+           round(r.ps * 1.0 / ia.s, 4) AS confidence,
+           round(r.ps * 1.0 * n.n_orders / (ia.s * 1.0 * ic.s), 4) AS lift
+    FROM rules r
+    JOIN isup ia ON r.antecedent = ia.l_partkey
+    JOIN isup ic ON r.consequent = ic.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 25
+    """,
+    "ASSOCIATION RULES over the market baskets: the frequent pairs "
+    "(same a-priori prune as frequent_part_pairs) become directed "
+    "rules A=>B scored with CONFIDENCE supp(AB)/supp(A) and LIFT "
+    "conf/P(B) — the co-purchase signal ranked by how far it beats "
+    "the independence baseline, which raw pair support can't tell "
+    "(Agrawal/Srikant, VLDB'94). All ratios divide exact integer "
+    "supports, so both engines compute identical doubles. Scale: the "
+    "pair rollup is the only order-keyed shuffle; item supports are "
+    "catalog-grain and broadcast onto the rules; the basket count is "
+    "a 1-row scalar broadcast; top-25 is TakeOrderedAndProject",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    isup = (
+        items.groupBy("l_partkey").agg(F.count("*").alias("s")).localCheckpoint(eager=False)
+    )
+    freq = isup.filter(F.col("s") >= 3).select("l_partkey")
+    fitems = items.join(F.broadcast(freq), "l_partkey").localCheckpoint(eager=False)
+    a, b = fitems.alias("a"), fitems.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("ps"))
+        .filter(F.col("ps") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "ps"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "ps"
+        )
+    )
+    ia = isup.select(F.col("l_partkey").alias("antecedent"), F.col("s").alias("sa"))
+    ic = isup.select(F.col("l_partkey").alias("consequent"), F.col("s").alias("sc"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("ps").alias("pair_support"),
+            F.col("sa").alias("ante_support"),
+            F.col("sc").alias("cons_support"),
+            F.round(F.col("ps") * 1.0 / F.col("sa"), 4).alias("confidence"),
+            F.round(
+                F.col("ps") * 1.0 * F.col("n_orders")
+                / (F.col("sa") * 1.0 * F.col("sc")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("confidence").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(25)
+    )
+
+
+@_register(
+    "nation_link_prediction",
+    """
+    WITH weighted AS (
+        SELECT least(cn.n_name, sn.n_name)    AS a,
+               greatest(cn.n_name, sn.n_name) AS b,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY a, b
+    ),
+    mw AS (SELECT avg(w) AS m FROM weighted),
+    raw_edges AS (SELECT a, b FROM weighted, mw WHERE w > m),
+    sym AS (
+        SELECT a AS x, b AS z FROM raw_edges
+        UNION ALL
+        SELECT b AS x, a AS z FROM raw_edges
+    ),
+    deg AS (SELECT x AS node, count(*) AS d FROM sym GROUP BY x),
+    wedges AS (
+        SELECT s1.x AS u, s2.x AS v, s1.z AS z
+        FROM sym s1 JOIN sym s2
+          ON s1.z = s2.z AND s1.x < s2.x
+    ),
+    scored AS (
+        SELECT w.u, w.v,
+               count(*) AS common_neighbors,
+               round(sum(1.0 / ln(deg.d)), 6) AS adamic_adar
+        FROM wedges w JOIN deg ON w.z = deg.node
+        GROUP BY w.u, w.v
+    )
+    SELECT s.u AS nation_a, s.v AS nation_b,
+           CAST(s.common_neighbors AS BIGINT) AS common_neighbors,
+           s.adamic_adar
+    FROM scored s
+    LEFT JOIN raw_edges e ON e.a = s.u AND e.b = s.v
+    WHERE e.a IS NULL
+    ORDER BY s.adamic_adar DESC, nation_a, nation_b
+    LIMIT 20
+    """,
+    "LINK PREDICTION on the above-mean-weight trade BACKBONE — Adamic-Adar scores "
+    "(sum of 1/ln(deg) over common neighbors) for node pairs NOT yet "
+    "connected: the 'who will trade next' / recommendation primitive "
+    "(Liben-Nowell & Kleinberg, CIKM'03). Wedge enumeration is an "
+    "equi-join keyed on the shared neighbor — pairs meet in their "
+    "common neighbor's bucket (the same bucketing idea as LSH bands), "
+    "never all-pairs; degrees join at node grain; existing edges drop "
+    "via an anti join. Common neighbors of a pair always have degree "
+    ">= 2, so ln(deg) is never zero. The corpus-scale cost is the ONE "
+    "edge-aggregation pass (shared with the whole nation_trade_* "
+    "family); wedges/degrees live on the aggregated graph. At 100 TB "
+    "hub neighbors dominate wedge fan-out — cap or sample "
+    "above-arboricity hubs (documented skew valve), scores unchanged "
+    "for non-hub pairs",
+)
+def nation_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            F.least("cust_nation", "supp_nation").alias("a"),
+            F.greatest("cust_nation", "supp_nation").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        # the aggregated weighted edge list feeds the mean threshold
+        # and the backbone — barrier so the fact-scale aggregation
+        # runs once (the nation_trade_kcore backbone recipe: the FULL
+        # graph is complete at scale, so prediction only makes sense
+        # on the above-mean-weight backbone)
+        .localCheckpoint(eager=False)
+    )
+    mean_w = edges.agg(F.avg("w").alias("m"))
+    edges = (
+        edges.crossJoin(F.broadcast(mean_w))
+        .filter(F.col("w") > F.col("m"))
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    sym = edges.select(F.col("a").alias("x"), F.col("b").alias("z")).unionByName(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("z"))
+    )
+    deg = sym.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(
+        s2, (F.col("s1.z") == F.col("s2.z")) & (F.col("s1.x") < F.col("s2.x"))
+    ).select(F.col("s1.x").alias("u"), F.col("s2.x").alias("v"), F.col("s1.z").alias("z"))
+    scored = (
+        wedges.join(F.broadcast(deg), wedges.z == deg.node)
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(edges),
+            (scored.u == edges.a) & (scored.v == edges.b),
+            "left_anti",
+        )
+        .select(
+            F.col("u").alias("nation_a"),
+            F.col("v").alias("nation_b"),
+            "common_neighbors",
+            "adamic_adar",
+        )
+        .orderBy(F.col("adamic_adar").desc(), "nation_a", "nation_b")
+        .limit(20)
+    )
+
+
+@_register(
+    "user_activity_trend",
+    """
+    WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               count(*) AS y
+        FROM events
+        GROUP BY user_id, x
+    ),
+    m AS (
+        SELECT user_id, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS INT) AS n_days,
+           CAST(sy AS BIGINT) AS total_events,
+           round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) + 0.0
+               AS events_per_day_slope
+    FROM m
+    WHERE n >= 5
+    ORDER BY user_id
+    """,
+    "GROUPED TREND REGRESSION: per-user OLS slope of daily event "
+    "count over calendar time (x = epoch-day ordinal), from one "
+    "moment aggregate per user — the engagement-trajectory feature "
+    "(growing/flat/churning) behind retention models. Every moment "
+    "(n, sum x, sum y, sum xy, sum x^2) is EXACT integer arithmetic; "
+    "the single closed-form division is the only float op, so both "
+    "engines agree to the bit before rounding. Scale: the daily "
+    "rollup and the per-user moments share one user_id exchange "
+    "(subset partitioning); no window, no series materialization — "
+    "the same normal-equations pattern as multi_regression_price, "
+    "partitioned by group",
+)
+def user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "x"
+        ),
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * 1.0
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return (
+        m.filter(F.col("n") >= 5)
+        .select(
+            "user_id",
+            F.col("n").cast("int").alias("n_days"),
+            F.col("sy").alias("total_events"),
+            (F.round(slope, 6) + F.lit(0.0)).alias("events_per_day_slope"),
+        )
+        .orderBy("user_id")
+    )

@@ -134,6 +134,8 @@ BNLJ_OK = {
     "doremi_domain_weights",  # 1-row corpus-token-total scalar broadcast
     "quantile_normalize_scores",  # bounded value-domain ECDF broadcast (inequality rank->value lookup)
     "eval_embedding_leakage",  # tiny eval-query side broadcast (brute_force_topk dense side)
+    "association_rules_parts",  # 1-row basket-count scalar broadcast
+    "nation_link_prediction",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
