@@ -16523,3 +16523,130 @@ def user_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@_register(
+    "cross_source_dup_flow",
+    f"""
+    WITH sets AS (
+        SELECT doc_id, source, n_chars, list_distinct({_D_SHINGLES}) AS sh
+        FROM documents
+    ),
+    ne AS (SELECT * FROM sets WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               a.source AS source_kept, b.source AS source_dropped,
+               b.n_chars AS dropped_chars,
+               len(list_intersect(a.sh, b.sh)) AS i,
+               len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+        FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    )
+    SELECT source_kept, source_dropped,
+           count(*) AS n_pairs,
+           CAST(sum(dropped_chars) AS BIGINT) AS dropped_chars
+    FROM p WHERE i * 1.0 / u >= 0.5
+    GROUP BY source_kept, source_dropped
+    ORDER BY n_pairs DESC, source_kept, source_dropped
+    """,
+    "CROSS-SOURCE DUPLICATION FLOW — dedup ATTRIBUTION: every "
+    "near-dup pair (exact prefix-filtered Jaccard >= 0.5, the "
+    "prefix_jaccard_pairs production path) charges the dropped "
+    "document's source against the keeper's (first-writer, min "
+    "doc_id), rolled up into a source x source flow matrix with the "
+    "char mass dedup removes — the audit that shows WHICH crawls are "
+    "republishing which (mirror detection) before mixture weights "
+    "treat them as independent volume. The complement of "
+    "source_shingle_overlap: that measures vocabulary overlap, this "
+    "counts actual near-duplicate documents. Scale: identical plan to "
+    "prefix_jaccard_pairs (its three keyed shuffles) plus a "
+    "sources^2-bounded rollup; the oracle is the brute-force "
+    "cross-join of the same semantics, so the hash-match proves the "
+    "prefix pruning lossless through the attribution too",
+)
+def cross_source_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", text_col="text", threshold=0.5
+    )
+    meta = docs.select("doc_id", "source", "n_chars")
+    a = meta.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("source_kept")
+    )
+    b = meta.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("source").alias("source_dropped"),
+        F.col("n_chars").alias("dc"),
+    )
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .groupBy("source_kept", "source_dropped")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("dc").alias("dropped_chars"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "source_kept", "source_dropped")
+    )
+
+
+@_register(
+    "compaction_plan",
+    """
+    WITH day_files AS (
+        SELECT CAST(ts AS DATE) AS d,
+               count(*) AS n_rows,
+               sum(coalesce(strlen(props), 0) + 64) AS bytes
+        FROM events GROUP BY d
+    ),
+    placed AS (
+        SELECT d, n_rows, bytes,
+               coalesce(sum(bytes) OVER (ORDER BY d
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS cum_before
+        FROM day_files
+    )
+    SELECT CAST(floor(cum_before / 50000) AS INT) AS file_id,
+           CAST(count(*) AS INT) AS n_source_files,
+           min(d) AS day_min, max(d) AS day_max,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows
+    FROM placed
+    GROUP BY file_id
+    ORDER BY file_id
+    """,
+    "COMPACTION PLANNING (the lakehouse small-file problem — Delta "
+    "OPTIMIZE / Iceberg rewrite_data_files): per-day ingest 'files' "
+    "(row count + byte mass from the payload column) are packed "
+    "in day order into ~50 KB compacted files via cumulative-offset "
+    "bin assignment — the same parallel first-fit-in-order rule as "
+    "pack_training_sequences, so the plan is deterministic and "
+    "reproducible under repartitioning (no sequential greedy state). "
+    "Each output row is one compacted file: which day range it "
+    "merges, how many small files it retires, and its final size — "
+    "the maintenance plan that keeps scan task counts sane at 100 TB. "
+    "Scale: one fact pass to day-grain stats; the ordered window runs "
+    "over the days-sized rollup",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day_files = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.coalesce(F.octet_length("props"), F.lit(0)) + 64).alias("bytes"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    placed = day_files.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            F.floor(F.col("cum_before") / 50000).cast("int").alias("file_id")
+        )
+        .agg(
+            F.count("*").cast("int").alias("n_source_files"),
+            F.min("d").alias("day_min"),
+            F.max("d").alias("day_max"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("n_rows").alias("total_rows"),
+        )
+        .orderBy("file_id")
+    )

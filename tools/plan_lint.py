@@ -199,6 +199,7 @@ SINGLE_PARTITION_OK = {
     "quality_classifier_calibration",  # N-total sum over the 10-row confidence-bin rollup
     "doremi_domain_weights",  # min/sum windows over the #sources-row rollup
     "quantile_normalize_scores",  # cumulative window over the bounded value-grain ECDF rollup
+    "compaction_plan",  # cumulative-offset window over the days-sized file-stats rollup
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
