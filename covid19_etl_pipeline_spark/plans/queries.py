@@ -16650,3 +16650,206 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+@_register(
+    "mutual_nearest_embeddings",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS sim
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+        SELECT qa, qb, sim,
+               row_number() OVER (PARTITION BY qa
+                                  ORDER BY sim DESC, qb) AS rn
+        FROM s
+    ),
+    best AS (SELECT qa, qb, sim FROM nn WHERE rn = 1)
+    SELECT x.qa AS vec_a, x.qb AS vec_b, round(x.sim, 6) AS cosine_sim
+    FROM best x JOIN best y
+      ON x.qb = y.qa AND y.qb = x.qa AND x.qa < x.qb
+    ORDER BY vec_a
+    """,
+    "MUTUAL NEAREST NEIGHBORS over the embedding space: pairs where "
+    "each vector is the other's single nearest neighbor — the "
+    "high-precision alignment primitive (bitext mining / dataset "
+    "pairing a la CCMatrix, and the pair pool contrastive training "
+    "mines first): a one-sided NN can be a hub artifact, a MUTUAL one "
+    "rarely is. Composed as brute_force_topk at k=1 over the corpus "
+    "(queries broadcast) + a self-join of the NN table on the "
+    "reciprocity condition — the NN table is corpus-grain (one row "
+    "per vector), so the reciprocity join is cheap; the exact NN scan "
+    "is the auditable baseline whose production swap is the "
+    "IVF/LSH-bucketed probe (same output contract, documented in the "
+    "similarity family)",
+)
+def mutual_nearest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    best = (
+        similarity.brute_force_topk(emb, emb, k=1)
+        .filter(F.col("rank") == 1)
+        .select("query_id", "vec_id", "cosine_sim")
+        .localCheckpoint(eager=False)
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.vec_id") == F.col("y.query_id"))
+            & (F.col("y.vec_id") == F.col("x.query_id"))
+            & (F.col("x.query_id") < F.col("x.vec_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("vec_a"),
+            F.col("x.vec_id").alias("vec_b"),
+            F.round(F.col("x.cosine_sim"), 6).alias("cosine_sim"),
+        )
+        .orderBy("vec_a")
+    )
+
+
+@_register(
+    "nation_trade_anf",
+    """
+    WITH weighted AS (
+        SELECT least(cn.n_name, sn.n_name)    AS a,
+               greatest(cn.n_name, sn.n_name) AS b,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        GROUP BY a, b
+    ),
+    mw AS (SELECT avg(w) AS m FROM weighted),
+    bb AS (SELECT a, b FROM weighted, mw WHERE w > m),
+    d1 AS (
+        SELECT a AS x, b AS z FROM bb
+        UNION
+        SELECT b AS x, a AS z FROM bb
+    ),
+    d2 AS (
+        SELECT x, z FROM d1
+        UNION
+        SELECT e1.x, e2.z FROM d1 e1 JOIN d1 e2 ON e1.z = e2.x
+        WHERE e1.x <> e2.z
+    ),
+    d3 AS (
+        SELECT x, z FROM d2
+        UNION
+        SELECT d2.x, d1.z FROM d2 JOIN d1 ON d2.z = d1.x
+        WHERE d2.x <> d1.z
+    ),
+    n AS (SELECT count(DISTINCT x) AS nn FROM d1)
+    SELECT r.radius,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           round(r.n_pairs * 1.0 / (n.nn * 1.0 * (n.nn - 1)), 4)
+               AS reach_frac
+    FROM (
+        SELECT 1 AS radius, (SELECT count(*) FROM d1) AS n_pairs
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM d2)
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM d3)
+    ) r CROSS JOIN n
+    ORDER BY r.radius
+    """,
+    "APPROXIMATE NEIGHBOURHOOD FUNCTION shape (ANF/HyperANF, Palmer "
+    "et al. KDD'02 / Boldi-Vigna WWW'11): for radius r = 1..3, how "
+    "many ordered node pairs of the above-mean trade backbone are "
+    "within r hops, and what fraction of all pairs — the "
+    "connectivity/effective-diameter audit (effective diameter = "
+    "first r reaching 90%). Each expansion round is one equi-join on "
+    "the frontier key + a distinct, on the AGGREGATED graph; the "
+    "corpus-scale cost is the single edge-aggregation pass shared by "
+    "the nation_trade_* family. Here reachable SETS are exact "
+    "(node-grain graph); at 100 TB node scale each set becomes an "
+    "HLL sketch unioned per round — HyperANF's exact trick, same "
+    "join shape, error-bounded counts (the hll_union_event_types "
+    "mergeable-sketch pattern)",
+)
+def nation_trade_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    weighted = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            F.least("cust_nation", "supp_nation").alias("a"),
+            F.greatest("cust_nation", "supp_nation").alias("b"),
+        )
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    mean_w = weighted.agg(F.avg("w").alias("m"))
+    bb = (
+        weighted.crossJoin(F.broadcast(mean_w))
+        .filter(F.col("w") > F.col("m"))
+        .select("a", "b")
+    )
+    d1 = (
+        bb.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        .unionByName(bb.select(F.col("b").alias("x"), F.col("a").alias("z")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def expand(reach: DataFrame) -> DataFrame:
+        e1, e2 = reach.alias("e1"), d1.alias("e2")
+        step = (
+            e1.join(e2, F.col("e1.z") == F.col("e2.x"))
+            .select(F.col("e1.x").alias("x"), F.col("e2.z").alias("z"))
+            .filter(F.col("x") != F.col("z"))
+        )
+        return reach.unionByName(step).distinct().localCheckpoint(eager=False)
+
+    d2 = expand(d1)
+    d3 = expand(d2)
+    nn = d1.agg(F.countDistinct("x").alias("nn"))
+    counts = (
+        d1.agg(F.count("*").alias("n_pairs")).select(F.lit(1).alias("radius"), "n_pairs")
+        .unionByName(
+            d2.agg(F.count("*").alias("n_pairs")).select(
+                F.lit(2).alias("radius"), "n_pairs"
+            )
+        )
+        .unionByName(
+            d3.agg(F.count("*").alias("n_pairs")).select(
+                F.lit(3).alias("radius"), "n_pairs"
+            )
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(nn))
+        .select(
+            "radius",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") * 1.0 / (F.col("nn") * 1.0 * (F.col("nn") - 1)), 4
+            ).alias("reach_frac"),
+        )
+        .orderBy("radius")
+    )

@@ -136,6 +136,8 @@ BNLJ_OK = {
     "eval_embedding_leakage",  # tiny eval-query side broadcast (brute_force_topk dense side)
     "association_rules_parts",  # 1-row basket-count scalar broadcast
     "nation_link_prediction",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
+    "nation_trade_anf",  # 1-row mean-edge-weight + node-count scalar broadcasts
+    "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
