@@ -16656,14 +16656,22 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mutual_nearest_embeddings",
     """
     WITH v AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> x / sqrt(list_dot_product(
+                                        CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))) AS nv
+        FROM embeddings
+    ),
+    half AS (
+        SELECT a.vec_id AS qa, b.vec_id AS qb,
+               list_dot_product(a.nv, b.nv) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
     ),
     s AS (
-        SELECT a.vec_id AS qa, b.vec_id AS qb,
-               list_dot_product(a.e, b.e)
-                 / (sqrt(list_dot_product(a.e, a.e))
-                    * sqrt(list_dot_product(b.e, b.e))) AS sim
-        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        SELECT qa, qb, sim FROM half
+        UNION ALL
+        SELECT qb AS qa, qa AS qb, sim FROM half
     ),
     nn AS (
         SELECT qa, qb, sim,
@@ -16692,10 +16700,52 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mutual_nearest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # pre-normalize ONCE per vector (map-side), then each unordered
+    # pair costs one dot product computed ONCE and mirrored into both
+    # directions for the per-query rank — 4x less arithmetic than the
+    # naive directed cosine join (norms recomputed per pair)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    v = emb.select(
+        "vec_id", F.transform(e, lambda x: x / norm).alias("nv")
+    ).localCheckpoint(eager=False)
+    # the probe side inherits the (few-file) scan partitioning — spread
+    # it so the O(n^2/2) pair arithmetic uses every core
+    a = spread(v, "vec_id").select(
+        F.col("vec_id").alias("qa"), F.col("nv").alias("na")
+    )
+    b = v.select(F.col("vec_id").alias("qb"), F.col("nv").alias("nb"))
+    half = (
+        a.join(F.broadcast(b), F.col("qa") < F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            F.aggregate(
+                F.zip_with("na", "nb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    directed = half.unionByName(
+        half.select(
+            F.col("qb").alias("qa"), F.col("qa").alias("qb"), F.col("sim")
+        )
+    )
+    w = Window.partitionBy("qa").orderBy(F.col("sim").desc(), "qb")
     best = (
-        similarity.brute_force_topk(emb, emb, k=1)
-        .filter(F.col("rank") == 1)
-        .select("query_id", "vec_id", "cosine_sim")
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qa").alias("query_id"),
+            F.col("qb").alias("vec_id"),
+            F.col("sim").alias("cosine_sim"),
+        )
         .localCheckpoint(eager=False)
     )
     x, y = best.alias("x"), best.alias("y")
