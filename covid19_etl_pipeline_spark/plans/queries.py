@@ -16903,3 +16903,129 @@ def nation_trade_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("radius")
     )
+
+
+@_register(
+    "embedding_pca_top_component",
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    expl AS (
+        SELECT vec_id, u.i AS i, u.x AS x
+        FROM (SELECT vec_id,
+                     unnest(list_transform(range(1, len(e) + 1),
+                            i -> struct_pack(i := i, x := e[i]))) AS u
+              FROM v)
+    ),
+    n AS (SELECT count(*) AS n FROM v),
+    mu AS (SELECT i, sum(x) / (SELECT n FROM n) AS m FROM expl GROUP BY i),
+    gram AS (
+        SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+        FROM expl a JOIN expl b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    cov AS (
+        SELECT g.i, g.j,
+               round(g.s / n.n - ma.m * mb.m, 6) AS c
+        FROM gram g
+        JOIN mu ma ON g.i = ma.i
+        JOIN mu mb ON g.j = mb.i
+        CROSS JOIN n
+    ),
+    v0 AS (SELECT i, 1.0 AS val FROM mu),
+    r1 AS (SELECT c.i, sum(c.c * v0.val) AS val
+           FROM cov c JOIN v0 ON c.j = v0.i GROUP BY c.i),
+    p1 AS (SELECT val AS pv FROM r1 ORDER BY abs(val) DESC, i LIMIT 1),
+    n1 AS (SELECT i, round(val / (SELECT pv FROM p1), 8) AS val FROM r1),
+    r2 AS (SELECT c.i, sum(c.c * n1.val) AS val
+           FROM cov c JOIN n1 ON c.j = n1.i GROUP BY c.i),
+    p2 AS (SELECT val AS pv FROM r2 ORDER BY abs(val) DESC, i LIMIT 1),
+    n2 AS (SELECT i, round(val / (SELECT pv FROM p2), 8) AS val FROM r2),
+    r3 AS (SELECT c.i, sum(c.c * n2.val) AS val
+           FROM cov c JOIN n2 ON c.j = n2.i GROUP BY c.i),
+    p3 AS (SELECT val AS pv FROM r3 ORDER BY abs(val) DESC, i LIMIT 1),
+    n3 AS (SELECT i, round(val / (SELECT pv FROM p3), 8) AS val FROM r3)
+    SELECT CAST(i AS INT) AS dim, val + 0.0 AS loading
+    FROM n3 ORDER BY dim
+    """,
+    "PCA TOP COMPONENT at corpus scale — covariance from ONE pass "
+    "(per-row outer products partial-aggregate map-side into dim^2 = "
+    "4096 cells, the RowMatrix Gram trick), then THREE unrolled power-"
+    "iteration matvecs on the dims-grain covariance table (each a "
+    "broadcast join on the dim key + a 64-row rollup). Per-round "
+    "pivot normalization (divide by the signed largest-|.| element, "
+    "ties to lowest dim) canonicalizes scale AND sign, and per-round "
+    "8dp rounding keeps the iteration engine-portable — the same "
+    "determinism recipe as nation_trade_pagerank. The principal "
+    "direction feeds whitening/compression/drift monitoring "
+    "(embedding_dimension_whitening's big sibling); the corpus-scale "
+    "cost is ONE scan — everything after the 4096-cell covariance is "
+    "dimension-grain, executor-count independent",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    expl = emb.select(
+        "vec_id",
+        F.posexplode(e).alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    # per-row outer products, partial-aggregated map-side into 4096
+    # cells; consumed with the means and the count below
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(transform(embedding, c -> CAST(c AS DOUBLE)), "
+                "(xi, i) -> transform(transform(embedding, c -> CAST(c AS DOUBLE)), "
+                "(xj, j) -> struct(i + 1 AS i, j + 1 AS j, xi * xj AS p))))"
+            )
+        ).alias("u")
+    ).select("u.i", "u.j", "u.p")
+    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("s"))
+    n = emb.agg(F.count("*").alias("n"))
+    mu = (
+        expl.groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+        .crossJoin(F.broadcast(n))
+        .select("i", (F.col("sx") / F.col("n")).alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    ma = mu.select(F.col("i").alias("mi"), F.col("m").alias("m_i"))
+    mb = mu.select(F.col("i").alias("mj"), F.col("m").alias("m_j"))
+    cov = (
+        gram.join(F.broadcast(ma), gram.i == ma.mi)
+        .join(F.broadcast(mb), gram.j == mb.mj)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n") - F.col("m_i") * F.col("m_j"), 6
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    vec = mu.select("i", F.lit(1.0).alias("val"))
+
+    def matvec_normalize(v: DataFrame) -> DataFrame:
+        vv = v.select(F.col("i").alias("j"), F.col("val").alias("vj"))
+        r = (
+            cov.join(F.broadcast(vv), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).alias("val"))
+        )
+        pivot = r.orderBy(F.abs(F.col("val")).desc(), "i").limit(1).select(
+            F.col("val").alias("pivot")
+        )
+        return (
+            r.crossJoin(F.broadcast(pivot))
+            .select("i", F.round(F.col("val") / F.col("pivot"), 8).alias("val"))
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(3):
+        vec = matvec_normalize(vec)
+    return vec.select(
+        F.col("i").cast("int").alias("dim"),
+        (F.col("val") + F.lit(0.0)).alias("loading"),
+    ).orderBy("dim")
