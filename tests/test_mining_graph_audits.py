@@ -147,3 +147,31 @@ def test_quantile_normalization_uniformizes_sources(spark):
         docs.sort(key=lambda r: (r["raw_score"], r["doc_id"]))
         norm = [d["normalized_score"] for d in docs]
         assert norm == sorted(norm), f"order broken for {src}"
+
+
+def test_pca_component_matches_numpy_replication(spark):
+    import numpy as np
+
+    rows = REGISTRY["embedding_pca_top_component"].fn(spark, SF_DIR).collect()
+    got = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    X = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM '{table_path(SF_DIR, 'embeddings')}' "
+            f"ORDER BY vec_id"
+        ).fetchall()
+    )[:, 0].tolist()
+    X = np.array(X, dtype=np.float64)
+    n, d = X.shape
+    gram = X.T @ X
+    mu = X.sum(axis=0) / n
+    C = np.round(gram / n - np.outer(mu, mu), 6)
+    v = np.ones(d)
+    for _ in range(3):  # replicate the exact unrolled recipe
+        v = C @ v
+        piv = v[np.lexsort((np.arange(d), -np.abs(v)))[0]]
+        v = np.round(v / piv, 8)
+    assert np.allclose(got, v, atol=1e-6)
+    # and the result is genuinely principal: its Rayleigh quotient must
+    # dominate any coordinate direction's variance
+    rq = (got @ C @ got) / (got @ got)
+    assert rq >= C.diagonal().max() * 0.99
