@@ -17029,3 +17029,56 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("int").alias("dim"),
         (F.col("val") + F.lit(0.0)).alias("loading"),
     ).orderBy("dim")
+
+
+@_register(
+    "bag_setops_orders",
+    """
+    WITH y99 AS (
+        SELECT o_custkey, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate <  TIMESTAMP '2000-01-01'
+    ),
+    y00 AS (
+        SELECT o_custkey, o_orderpriority FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+          AND o_orderdate <  TIMESTAMP '2001-01-01'
+    )
+    SELECT 'except_all' AS op, o_custkey, o_orderpriority
+    FROM (SELECT * FROM y99 EXCEPT ALL SELECT * FROM y00)
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey, o_orderpriority
+    FROM (SELECT * FROM y99 INTERSECT ALL SELECT * FROM y00)
+    ORDER BY op, o_custkey, o_orderpriority
+    """,
+    "BAG-SEMANTICS SET OPERATIONS (EXCEPT ALL / INTERSECT ALL): the "
+    "multiset counterparts of the distinct set ops in operators/"
+    "setops.py — two order-year workload slices at (customer, "
+    "priority) grain, where EXCEPT ALL keeps the SURPLUS occurrences "
+    "(a customer with three urgent orders in 1999 and one in 2000 "
+    "contributes two rows — lost order VOLUME, which distinct EXCEPT "
+    "silently collapses) and INTERSECT ALL the matched ones. Spark "
+    "plans both as hash aggregates computing per-row multiplicity "
+    "deltas (count_l - count_r) then a generate replay — one shuffle "
+    "per side on the full row key, the same partial+final shape as "
+    "any distinct, no join. Completes the §2.7 set-op family at bag "
+    "semantics",
+)
+def bag_setops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_slice(lo: str, hi: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+        ).select("o_custkey", "o_orderpriority")
+
+    y99 = year_slice("1999-01-01", "2000-01-01")
+    y00 = year_slice("2000-01-01", "2001-01-01")
+    tagged = y99.exceptAll(y00).select(
+        F.lit("except_all").alias("op"), "o_custkey", "o_orderpriority"
+    ).unionByName(
+        y99.intersectAll(y00).select(
+            F.lit("intersect_all").alias("op"), "o_custkey", "o_orderpriority"
+        )
+    )
+    return tagged.orderBy("op", "o_custkey", "o_orderpriority")
