@@ -14903,7 +14903,8 @@ def frequent_part_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang,
            CAST(n_tokens AS INT) AS n_tokens,
            li + 0.0 AS log_importance,
-           round(li / n_tokens, 6) + 0.0 AS li_per_token,
+           round(round(li * 1000000) / n_tokens) / 1000000.0 + 0.0
+               AS li_per_token,
            round(li - q, 6) >= 0 AS selected
     FROM per_doc, thr
     ORDER BY doc_id
@@ -14980,9 +14981,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n_tokens").cast("int").alias("n_tokens"),
             (F.col("li") + F.lit(0.0)).alias("log_importance"),
-            (F.round(F.col("li") / F.col("n_tokens"), 6) + F.lit(0.0)).alias(
-                "li_per_token"
-            ),
+            # per-token mean in integer MICRO units: li is 6dp-rounded, so
+            # li*1e6 is integral; the only tie-prone rounding then happens
+            # on an exactly-representable x.5 double, which both engines
+            # resolve identically (away from zero) — round(li/n, 6) instead
+            # hits shortest-decimal-repr half boundaries where Spark's
+            # BigDecimal HALF_UP and DuckDB's double rounding disagree
+            # (found by the sf0.1 sweep: -0.051883/26)
+            (
+                F.round(F.round(F.col("li") * 1000000) / F.col("n_tokens"))
+                / 1000000.0
+                + F.lit(0.0)
+            ).alias("li_per_token"),
             (F.round(F.col("li") - F.col("q"), 6) >= 0).alias("selected"),
         )
         .orderBy("doc_id")
