@@ -9766,18 +9766,21 @@ def seasonal_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment, c_nationkey
     )
     SELECT c_mktsegment, c_nationkey, cell_size,
-           cell_size < 5 AS violates_k5
+           cell_size < 5 AS violates_k5,
+           cell_size < 20 AS small_cell
     FROM cells
-    WHERE cell_size < 20
     ORDER BY cell_size, c_mktsegment, c_nationkey
+    LIMIT 10
     """,
     "k-anonymity audit over quasi-identifier cells — the privacy "
     "pre-flight for releasing or training on user-adjacent tables: "
     "group by the quasi-identifier tuple (segment x nation here), "
-    "report small cells and flag those under k=5, whose members are "
-    "re-identifiable by the combination alone. One partial-aggregable "
-    "rollup; the small-cell filter makes the output bounded by the "
-    "violation count, not the cell space. The remediation (generalize "
+    "report the 10 SMALLEST cells with k=5 violation and small-cell "
+    "(<20) flags — the bounded worst-offenders view stays non-empty "
+    "at every scale (a pure <threshold filter goes vacuous once the "
+    "data outgrows the cutoff), and the smallest cells are exactly "
+    "what the privacy review reads first. One partial-aggregable "
+    "rollup + TakeOrderedAndProject. The remediation (generalize "
     "or suppress small cells) composes with the masking ops in "
     "text_normalize_redact",
 )
@@ -9787,14 +9790,15 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cell_size")
     )
     return (
-        cells.filter(F.col("cell_size") < 20)
-        .select(
+        cells.select(
             "c_mktsegment",
             "c_nationkey",
             "cell_size",
             (F.col("cell_size") < 5).alias("violates_k5"),
+            (F.col("cell_size") < 20).alias("small_cell"),
         )
         .orderBy("cell_size", "c_mktsegment", "c_nationkey")
+        .limit(10)
     )
 
 
