@@ -39,6 +39,8 @@ FLAGSHIPS = (
     ("incremental_corpus_dedup", "incremental ingest dedup — batch probes persisted fingerprint + band indexes"),
     ("bfs_shortest_hops", "distributed BFS — rounds behind a checkpoint barrier"),
     ("semdedup_survivors", "semantic dedup — cell-keyed cosine pair join, broadcast quantizer"),
+    ("maximal_repeated_substrings", "substring dedup — hashed-gram semi-join, per-doc interval-merge windows"),
+    ("embedding_pca_top_component", "PCA — single-scan Gram cells, dims-grain power-iteration matvecs"),
 )
 
 HEADER = """# PLANS — executed physical plans of the flagship queries
