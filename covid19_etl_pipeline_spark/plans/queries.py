@@ -17096,3 +17096,158 @@ def bag_setops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tagged.orderBy("op", "o_custkey", "o_orderpriority")
+
+
+@_register(
+    "quality_gate_threshold_sweep",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               sum(((CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64
+                          AS BIGINT) * 37) % 21 - 10) / 16.0) AS s,
+               count(*) AS n
+        FROM toks GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id, n,
+               round(1.0 / (1.0 + exp(-(-0.25 + s / n))), 4) + 0.0 AS score
+        FROM f
+    ),
+    n_total AS (SELECT count(*) AS nt, sum(n) AS tok_total FROM scored),
+    sweep AS (
+        SELECT s.doc_id, s.n, s.score, t.thr
+        FROM scored s,
+             (SELECT CAST(unnest([0.30, 0.35, 0.40, 0.45, 0.50,
+                                  0.55, 0.60, 0.65, 0.70]) AS DOUBLE)
+                     AS thr) t
+        WHERE s.score >= t.thr
+    )
+    SELECT sweep.thr AS threshold,
+           count(*) AS docs_kept,
+           round(count(*) * 1.0 / n_total.nt, 4) AS kept_frac,
+           round(sum(sweep.n) * 1.0 / n_total.tok_total, 4)
+               AS token_mass_kept_frac
+    FROM sweep CROSS JOIN n_total
+    GROUP BY sweep.thr, n_total.nt, n_total.tok_total
+    ORDER BY threshold
+    """,
+    "QUALITY-GATE OPERATING CURVE: the threshold sweep a data team "
+    "runs BEFORE committing a 100 TB filter pass — for nine candidate "
+    "score cutoffs, how many documents and what fraction of the "
+    "TOKEN mass survive the linear quality classifier at that "
+    "threshold (token mass is what the training budget actually "
+    "buys). Scoring is the classifier's zero-shuffle scan-speed fold "
+    "done ONCE; the sweep is a 9-way map-side explode of threshold "
+    "literals (no joins, no re-scoring per cutoff) into a 9-row "
+    "rollup; corpus totals are a 1-row broadcast. Answers 'where do "
+    "we set the knife' with one corpus pass",
+)
+def quality_gate_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights = F.array(*[F.lit(((j * 37) % 21 - 10) / 16.0) for j in range(64)])
+    toks = text.tokens("text")
+
+    def w_of(tok):
+        bucket = (
+            F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+            % 64
+        )
+        return F.element_at(weights, (bucket + 1).cast("int"))
+
+    n = F.size(toks)
+    s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w_of(t))
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(-0.25) + s / n))), 4
+    ) + F.lit(0.0)
+    scored = docs.select(
+        n.alias("n"), score.alias("score")
+    ).localCheckpoint(eager=False)
+    totals = scored.agg(
+        F.count("*").alias("nt"), F.sum("n").alias("tok_total")
+    )
+    thrs = [0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70]
+    sweep = scored.select(
+        "n",
+        "score",
+        F.explode(F.array(*[F.lit(t) for t in thrs])).alias("thr"),
+    ).filter(F.col("score") >= F.col("thr"))
+    return (
+        sweep.groupBy(F.col("thr").alias("threshold"))
+        .agg(F.count("*").alias("docs_kept"), F.sum("n").alias("kept_toks"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            "docs_kept",
+            F.round(F.col("docs_kept") * 1.0 / F.col("nt"), 4).alias("kept_frac"),
+            F.round(F.col("kept_toks") * 1.0 / F.col("tok_total"), 4).alias(
+                "token_mass_kept_frac"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+@_register(
+    "neardup_threshold_sweep",
+    f"""
+    WITH sets AS (
+        SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh FROM documents
+    ),
+    ne AS (SELECT * FROM sets WHERE len(sh) > 0),
+    p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               len(list_intersect(a.sh, b.sh)) * 1.0
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS j
+        FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    ),
+    sweep AS (
+        SELECT p.da, p.db, t.thr
+        FROM p, (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS thr) t
+        WHERE p.j >= t.thr
+    )
+    SELECT thr AS threshold,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT db) AS BIGINT) AS removable_docs_upper
+    FROM sweep
+    GROUP BY thr
+    ORDER BY threshold
+    """,
+    "NEAR-DUP OPERATING CURVE: pair counts and an upper bound on "
+    "removable documents (distinct higher-id pair members) at six "
+    "candidate Jaccard thresholds — the sweep that sizes a dedup "
+    "pass's aggressiveness BEFORE the 100 TB rewrite (too low deletes "
+    "paraphrases, too high keeps mirrors). The pair stream is "
+    "computed ONCE by the lossless prefix-filtered join at the most "
+    "permissive threshold (0.3) — every stricter cutoff is a FILTER "
+    "over those pairs, not a re-join (prefix filtering is monotone: "
+    "candidates at t are a superset of candidates at t' > t); the "
+    "sweep explodes six literals map-side into a 6-row rollup. The "
+    "oracle re-states it as the brute-force cross join, so the "
+    "hash-match proves the prefix pruning lossless at EVERY "
+    "threshold simultaneously",
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", text_col="text", threshold=0.3
+    )
+    thrs = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+    sweep = pairs.select(
+        "doc_id_b",
+        "jaccard",
+        F.explode(F.array(*[F.lit(t) for t in thrs])).alias("thr"),
+    ).filter(F.col("jaccard") >= F.col("thr"))
+    return (
+        sweep.groupBy(F.col("thr").alias("threshold"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_id_b").alias("removable_docs_upper"),
+        )
+        .orderBy("threshold")
+    )

@@ -137,6 +137,7 @@ BNLJ_OK = {
     "association_rules_parts",  # 1-row basket-count scalar broadcast
     "nation_link_prediction",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
     "nation_trade_anf",  # 1-row mean-edge-weight + node-count scalar broadcasts
+    "quality_gate_threshold_sweep",  # 1-row corpus-totals scalar broadcast
     "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
 
