@@ -17251,3 +17251,222 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@_register(
+    "join_size_estimate",
+    """
+    WITH ca AS (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY k),
+    cb AS (SELECT user_id % 1500 AS k, count(*) AS nb FROM events GROUP BY k),
+    exact AS (
+        SELECT CAST(sum(na * nb) AS BIGINT) AS exact_rows
+        FROM ca JOIN cb USING (k)
+    ),
+    sa AS (
+        SELECT o_custkey AS k, count(*) AS na FROM orders
+        WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::UBIGINT
+              % 10 = 0
+        GROUP BY k
+    ),
+    sb AS (
+        SELECT user_id % 1500 AS k, count(*) AS nb FROM events
+        WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::UBIGINT
+              % 10 = 0
+        GROUP BY k
+    ),
+    sampled AS (
+        SELECT CAST(sum(na * nb) * 100 AS BIGINT) AS sampled_est
+        FROM sa JOIN sb USING (k)
+    )
+    SELECT exact.exact_rows, sampled.sampled_est,
+           round(abs(sampled.sampled_est - exact.exact_rows) * 1.0
+                 / exact.exact_rows, 4) AS rel_error
+    FROM exact CROSS JOIN sampled
+    """,
+    "JOIN-CARDINALITY ESTIMATION — the optimizer-statistics number "
+    "that decides broadcast vs shuffle vs skew handling BEFORE a "
+    "100 TB join runs: |A join B| = sum over keys of cntA(k)*cntB(k), "
+    "computed exactly from two key-grain rollups (never the join "
+    "itself), beside the estimator a planner would actually use — "
+    "the same formula over deterministic 10%% row samples scaled by "
+    "1/p^2 — with its relative error. The key-count rollup is the "
+    "reusable statistics artifact (ANALYZE TABLE's histogram "
+    "sibling); both sides collapse to key grain before any join, so "
+    "the audit costs two scans regardless of the true join size. "
+    "Samples are md5-hash-deterministic, reproducible across engines "
+    "and partitioning",
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    ekey = (F.col("user_id") % 1500).alias("k")
+
+    def keyed_counts(df, key, alias):
+        return df.groupBy(key).agg(F.count("*").alias(alias))
+
+    def hsample(df, idcol):
+        return df.filter(
+            F.conv(F.substring(F.md5(F.col(idcol).cast("string").cast("binary")), 1, 4), 16, 10)
+            .cast("long")
+            % 10
+            == 0
+        )
+
+    ca = keyed_counts(orders, F.col("o_custkey").alias("k"), "na")
+    cb = keyed_counts(events, ekey, "nb")
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_rows"))
+    )
+    sa = keyed_counts(hsample(orders, "o_orderkey"), F.col("o_custkey").alias("k"), "na")
+    sb = keyed_counts(hsample(events, "event_id"), ekey, "nb")
+    sampled = (
+        sa.join(sb, "k")
+        .agg((F.sum(F.col("na") * F.col("nb")) * 100).alias("sampled_est"))
+    )
+    return exact.crossJoin(F.broadcast(sampled)).select(
+        "exact_rows",
+        "sampled_est",
+        F.round(
+            F.abs(F.col("sampled_est") - F.col("exact_rows"))
+            * 1.0
+            / F.col("exact_rows"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+@_register(
+    "selectivity_estimate_audit",
+    """
+    WITH stats AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               count(*) AS n
+        FROM orders
+    ),
+    binned AS (
+        SELECT least(19, greatest(0, CAST(floor((o_totalprice - stats.lo)
+                      / ((stats.hi - stats.lo) / 20.0)) AS INT))) AS b,
+               count(*) AS cnt
+        FROM orders CROSS JOIN stats
+        GROUP BY b
+    ),
+    preds AS (
+        SELECT CAST(unnest([1000, 5000, 20000, 50000, 100000]) AS DOUBLE)
+            AS cutoff
+    ),
+    est AS (
+        SELECT p.cutoff,
+               round(sum(CAST(binned.cnt AS DOUBLE) * least(1.0, greatest(0.0,
+                    (p.cutoff - (stats.lo + binned.b
+                                 * ((stats.hi - stats.lo) / 20.0)))
+                    / ((stats.hi - stats.lo) / 20.0)))), 2) + 0.0
+                   AS est_rows
+        FROM binned CROSS JOIN stats CROSS JOIN preds p
+        GROUP BY p.cutoff
+    ),
+    act AS (
+        SELECT p.cutoff, count(*) FILTER (o.o_totalprice < p.cutoff)
+            AS actual_rows
+        FROM orders o CROSS JOIN preds p
+        GROUP BY p.cutoff
+    )
+    SELECT est.cutoff, act.actual_rows,
+           est.est_rows,
+           round(abs(est.est_rows - act.actual_rows) * 1.0
+                 / greatest(act.actual_rows, 1), 4) AS rel_error
+    FROM est JOIN act USING (cutoff)
+    ORDER BY cutoff
+    """,
+    "SELECTIVITY-ESTIMATION AUDIT — how good are the table's "
+    "histogram statistics at predicting predicate selectivity (the "
+    "number every cost-based plan choice hangs on): build a 20-bucket "
+    "equi-width histogram of o_totalprice (the ANALYZE TABLE "
+    "artifact), estimate rows under five range predicates with "
+    "uniform-within-bucket interpolation, and report estimate vs "
+    "actual with relative error. Large errors on real predicates are "
+    "the signal to move to equi-DEPTH histograms "
+    "(equidepth_deciles) or sketches. One scan builds the histogram, "
+    "one scan measures truth; the estimation itself runs on 20 "
+    "bucket rows x 5 predicate literals",
+)
+def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binned = (
+        orders.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.least(
+                F.lit(19),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("b")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    cutoffs = [1000.0, 5000.0, 20000.0, 50000.0, 100000.0]
+    preds = F.explode(F.array(*[F.lit(c) for c in cutoffs])).alias("cutoff")
+    est = (
+        binned.crossJoin(F.broadcast(stats))
+        .select("b", "cnt", "lo", "hi", preds)
+        .groupBy("cutoff")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.col("cnt").cast("double")
+                        * F.least(
+                            F.lit(1.0),
+                            F.greatest(
+                                F.lit(0.0),
+                                (
+                                    F.col("cutoff")
+                                    - (
+                                        F.col("lo")
+                                        + F.col("b")
+                                        * ((F.col("hi") - F.col("lo")) / 20.0)
+                                    )
+                                )
+                                / ((F.col("hi") - F.col("lo")) / 20.0),
+                            ),
+                        )
+                    ),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("est_rows")
+        )
+    )
+    act = (
+        orders.select("o_totalprice", preds)
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") < F.col("cutoff"), 1)).alias(
+                "actual_rows"
+            )
+        )
+    )
+    return (
+        est.join(act, "cutoff")
+        .select(
+            "cutoff",
+            "actual_rows",
+            "est_rows",
+            F.round(
+                F.abs(F.col("est_rows") - F.col("actual_rows"))
+                * 1.0
+                / F.greatest(F.col("actual_rows"), F.lit(1)),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("cutoff")
+    )

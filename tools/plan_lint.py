@@ -138,6 +138,8 @@ BNLJ_OK = {
     "nation_link_prediction",  # 1-row mean-edge-weight scalar broadcast (backbone threshold)
     "nation_trade_anf",  # 1-row mean-edge-weight + node-count scalar broadcasts
     "quality_gate_threshold_sweep",  # 1-row corpus-totals scalar broadcast
+    "join_size_estimate",  # 1-row exact/sampled estimate scalar broadcast
+    "selectivity_estimate_audit",  # 1-row min/max/count stats scalar broadcast
     "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
 
