@@ -17470,3 +17470,87 @@ def selectivity_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cutoff")
     )
+
+
+@_register(
+    "runs_test_randomness",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS v
+        FROM orders GROUP BY d
+    ),
+    med AS (SELECT median(v) AS m FROM daily),
+    signed AS (
+        SELECT d, CAST(v > med.m AS INT) AS s
+        FROM daily CROSS JOIN med
+    ),
+    runs AS (
+        SELECT s,
+               CASE WHEN s = lag(s) OVER (ORDER BY d) THEN 0 ELSE 1 END
+                   AS brk
+        FROM signed
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(s) AS BIGINT) AS n_above,
+               CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+               CAST(sum(brk) AS BIGINT) AS n_runs
+        FROM runs
+    )
+    SELECT n_days, n_above, n_below, n_runs,
+           round(2.0 * n_above * n_below / (n_above + n_below) + 1, 4)
+               AS expected_runs,
+           round((n_runs - (2.0 * n_above * n_below / (n_above + n_below)
+                            + 1))
+                 / sqrt((2.0 * n_above * n_below
+                         * (2.0 * n_above * n_below - n_above - n_below))
+                        / ((n_above + n_below) * (n_above + n_below)
+                           * (n_above + n_below - 1.0))), 4) + 0.0
+               AS z_score
+    FROM agg
+    """,
+    "WALD-WOLFOWITZ RUNS TEST on the daily-revenue series: is the "
+    "above/below-median sign sequence consistent with independence, "
+    "or does it carry trend/cycle structure (too few runs) or "
+    "oscillation (too many)? The distribution-free independence "
+    "check that belongs beside the KS/Mann-Whitney/chi-square drift "
+    "family — run counts via one lag window, then the closed-form "
+    "normal approximation z = (R - mu)/sigma from EXACT integer "
+    "counts (every term is a ratio of integers, so both engines "
+    "compute bit-identical doubles before the final rounding). "
+    "Scale: the fact collapses to the days-sized rollup before the "
+    "only ordered window; the median is a 1-row scalar broadcast",
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("v")
+    )
+    med = daily.agg(F.median("v").alias("m"))
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("v") > F.col("m")).cast("int").alias("s")
+    )
+    w = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(F.col("s") == F.lag("s").over(w), 0).otherwise(1).alias("brk"),
+    )
+    agg = runs.agg(
+        F.count("*").alias("n_days"),
+        F.sum("s").alias("n_above"),
+        (F.count("*") - F.sum("s")).alias("n_below"),
+        F.sum("brk").alias("n_runs"),
+    )
+    na, nb, r = F.col("n_above"), F.col("n_below"), F.col("n_runs")
+    mu = 2.0 * na * nb / (na + nb) + 1
+    var = (2.0 * na * nb * (2.0 * na * nb - na - nb)) / (
+        (na + nb) * (na + nb) * (na + nb - 1.0)
+    )
+    return agg.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.round(mu, 4).alias("expected_runs"),
+        (F.round((r - mu) / F.sqrt(var), 4) + F.lit(0.0)).alias("z_score"),
+    )

@@ -140,6 +140,7 @@ BNLJ_OK = {
     "quality_gate_threshold_sweep",  # 1-row corpus-totals scalar broadcast
     "join_size_estimate",  # 1-row exact/sampled estimate scalar broadcast
     "selectivity_estimate_audit",  # 1-row min/max/count stats scalar broadcast
+    "runs_test_randomness",  # 1-row median scalar broadcast
     "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
 
@@ -205,6 +206,7 @@ SINGLE_PARTITION_OK = {
     "doremi_domain_weights",  # min/sum windows over the #sources-row rollup
     "quantile_normalize_scores",  # cumulative window over the bounded value-grain ECDF rollup
     "compaction_plan",  # cumulative-offset window over the days-sized file-stats rollup
+    "runs_test_randomness",  # lag window over the days-sized daily rollup
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
