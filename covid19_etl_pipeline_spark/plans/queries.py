@@ -17554,3 +17554,132 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu, 4).alias("expected_runs"),
         (F.round((r - mu) / F.sqrt(var), 4) + F.lit(0.0)).alias("z_score"),
     )
+
+
+@_register(
+    "capture_recapture_estimate",
+    """
+    WITH s1 AS (
+        SELECT l_partkey FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 4))::UBIGINT
+              % 5 = 0
+        GROUP BY l_partkey
+    ),
+    s2 AS (
+        SELECT l_partkey FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 4))::UBIGINT
+              % 5 = 1
+        GROUP BY l_partkey
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM s1) AS n1,
+               (SELECT count(*) FROM s2) AS n2,
+               (SELECT count(*) FROM s1 JOIN s2 USING (l_partkey)) AS overlap
+    ),
+    truth AS (SELECT count(DISTINCT l_partkey) AS true_distinct FROM lineitem)
+    SELECT m.n1 AS sample1_distinct, m.n2 AS sample2_distinct,
+           m.overlap,
+           CAST(round(((m.n1 + 1.0) * (m.n2 + 1.0) / (m.overlap + 1.0)) - 1)
+                AS BIGINT) AS chapman_estimate,
+           truth.true_distinct,
+           round(abs(((m.n1 + 1.0) * (m.n2 + 1.0) / (m.overlap + 1.0)) - 1
+                     - truth.true_distinct) * 1.0 / truth.true_distinct, 4)
+               AS rel_error
+    FROM m CROSS JOIN truth
+    """,
+    "CAPTURE-RECAPTURE population estimation (Chapman's "
+    "bias-corrected Lincoln-Petersen): two independent deterministic "
+    "20%%-of-orders samples each 'capture' a set of part keys; the "
+    "overlap rate estimates the TOTAL distinct population — "
+    "N ~ (n1+1)(n2+1)/(m+1) - 1 — the ecology estimator data teams "
+    "reuse to ask 'how many distinct entities exist that we have NOT "
+    "yet crawled/joined' from cheap samples, audited here against "
+    "the exact distinct count. All inputs are exact integers (two "
+    "sampled key rollups + one key-grain overlap join), so the "
+    "estimate is bit-identical across engines; samples are md5-hash "
+    "deterministic. Scale: the samples prune at the scan, the "
+    "overlap join runs at key grain — the audit never needs the "
+    "full-corpus distinct except as the truth column (which a real "
+    "deployment drops)",
+)
+def capture_recapture_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("l_orderkey").cast("string").cast("binary")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    s1 = li.filter(bucket == 0).select("l_partkey").distinct()
+    s2 = li.filter(bucket == 1).select("l_partkey").distinct()
+    n1 = s1.agg(F.count("*").alias("n1"))
+    n2 = s2.agg(F.count("*").alias("n2"))
+    overlap = s1.join(s2, "l_partkey").agg(F.count("*").alias("overlap"))
+    truth = li.agg(F.countDistinct("l_partkey").alias("true_distinct"))
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("overlap") + 1.0) - 1
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(overlap))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("n1").alias("sample1_distinct"),
+            F.col("n2").alias("sample2_distinct"),
+            "overlap",
+            F.round(est).cast("long").alias("chapman_estimate"),
+            "true_distinct",
+            F.round(
+                F.abs(est - F.col("true_distinct")) * 1.0 / F.col("true_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+@_register(
+    "event_count_overdispersion",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        FROM events GROUP BY event_type, d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(c), 4) AS mean_daily,
+           round(var_samp(c), 4) AS var_daily,
+           round(var_samp(c) / avg(c), 4) + 0.0 AS dispersion_index,
+           var_samp(c) / avg(c) > 1.5 AS overdispersed
+    FROM daily
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "OVERDISPERSION DIAGNOSTIC per event type: the variance-to-mean "
+    "ratio of daily counts (dispersion index; 1 under Poisson) — the "
+    "check that decides whether count models/alerting thresholds can "
+    "assume Poisson noise or need negative-binomial headroom (bursty "
+    "types false-alarm constantly under Poisson limits). Two "
+    "partial-aggregable rollups: fact to (type, day), then a "
+    "types-sized moment aggregate; var_samp is computed from "
+    "streaming central moments in both engines and rounded. "
+    "Complements user_event_burstiness (per-user gap CV) at the "
+    "SERIES level",
+)
+def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg("c"), 4).alias("mean_daily"),
+            F.round(F.var_samp("c"), 4).alias("var_daily"),
+            (F.round(F.var_samp("c") / F.avg("c"), 4) + F.lit(0.0)).alias(
+                "dispersion_index"
+            ),
+            (F.var_samp("c") / F.avg("c") > 1.5).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -141,6 +141,7 @@ BNLJ_OK = {
     "join_size_estimate",  # 1-row exact/sampled estimate scalar broadcast
     "selectivity_estimate_audit",  # 1-row min/max/count stats scalar broadcast
     "runs_test_randomness",  # 1-row median scalar broadcast
+    "capture_recapture_estimate",  # three 1-row sample/overlap/truth scalar broadcasts
     "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
 
