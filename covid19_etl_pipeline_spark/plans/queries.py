@@ -17683,3 +17683,137 @@ def event_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@_register(
+    "lorenz_curve_deciles",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev,
+               ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+        FROM per_cust
+    ),
+    tot AS (SELECT sum(rev) AS t, count(*) AS n FROM per_cust),
+    per_decile AS (
+        SELECT decile, count(*) AS n_customers, sum(rev) AS decile_rev
+        FROM ranked GROUP BY decile
+    )
+    SELECT CAST(p.decile AS INT) AS decile,
+           CAST(p.n_customers AS BIGINT) AS n_customers,
+           round(p.decile_rev, 4) AS decile_revenue,
+           round(p.decile_rev / tot.t, 4) AS revenue_share,
+           round(sum(p.decile_rev) OVER (ORDER BY p.decile
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) / tot.t, 4)
+               AS cum_revenue_share
+    FROM per_decile p CROSS JOIN tot
+    ORDER BY decile
+    """,
+    "LORENZ CURVE by customer decile — the distribution curve BEHIND "
+    "customer_revenue_gini's single coefficient: customers ranked "
+    "into revenue deciles (deterministic ntile with key tie-break), "
+    "each decile's revenue share and the cumulative share (the "
+    "Lorenz ordinates; the diagonal gap IS the Gini). The "
+    "whale-analysis view every revenue-concentration or data-source-"
+    "concentration review draws. Scale: the fact collapses to the "
+    "customer rollup first; the ntile and cumulative windows run "
+    "over entity-rollup and 10-row inputs respectively (the "
+    "documented post-aggregate global-series shape)",
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    ranked = per_cust.select(
+        "rev", F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile")
+    )
+    tot = per_cust.agg(F.sum("rev").alias("t"), F.count("*").alias("n"))
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("rev").alias("decile_rev")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            F.round("decile_rev", 4).alias("decile_revenue"),
+            F.round(F.col("decile_rev") / F.col("t"), 4).alias("revenue_share"),
+            F.round(
+                F.sum("decile_rev").over(w_cum) / F.col("t"), 4
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "linear_attribution_revenue",
+    """
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value AS rev
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    touches AS (
+        SELECT p.pid, p.rev, e.event_type AS channel
+        FROM purchases p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts < p.pts
+         AND e.ts >= p.pts - INTERVAL 7 DAY
+         AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT pid, channel,
+               rev * 1.0 / (count(*) OVER (PARTITION BY pid)) AS credit
+        FROM touches
+    )
+    SELECT channel,
+           CAST(count(DISTINCT pid) AS BIGINT) AS purchases_touched,
+           round(sum(credit), 4) AS attributed_revenue
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    "LINEAR MULTI-TOUCH ATTRIBUTION: every purchase's revenue splits "
+    "EQUALLY across the channels the user touched in the preceding "
+    "7 days — the each-touch-matters model beside "
+    "first_touch_attribution's winner-takes-all (the two bounds a "
+    "marketing-mix review compares). The touch join is the "
+    "close_order_pairs range-join shape: co-partitioned on user_id "
+    "with the time predicate evaluated in-bucket; per-purchase touch "
+    "counts ride a pid-keyed window; the channel rollup is "
+    "types-sized. Credit division is exact integers into one "
+    "division, so shares are engine-identical before rounding",
+)
+def linear_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("rev"),
+    )
+    touches = purchases.join(
+        ev,
+        (ev.user_id == F.col("p_user"))
+        & (ev.ts < F.col("pts"))
+        & (ev.ts >= F.col("pts") - F.expr("INTERVAL 7 DAY"))
+        & (ev.event_type != "purchase"),
+    ).select("pid", "rev", F.col("event_type").alias("channel"))
+    w = Window.partitionBy("pid")
+    credited = touches.withColumn(
+        "credit", F.col("rev") * 1.0 / F.count("*").over(w)
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.countDistinct("pid").alias("purchases_touched"),
+            F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
