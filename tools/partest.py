@@ -45,6 +45,19 @@ BUCKETS = [
     ],
 ]
 
+# Auto-sweep: any tests/test_*.py not explicitly bucketed joins a final
+# bucket, so NEW test files can never be silently skipped by this
+# runner (found the hard way: two invariant files missing from a run).
+_listed = {f for b in BUCKETS for f in b} | {"tests/test_oracle_parity.py"}
+_extra = sorted(
+    "tests/" + f
+    for f in os.listdir(os.path.join(REPO, "tests"))
+    if f.startswith("test_") and f.endswith(".py")
+    and "tests/" + f not in _listed
+)
+if _extra:
+    BUCKETS.append(_extra)
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
