@@ -17817,3 +17817,271 @@ def linear_attribution_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@_register(
+    "time_decay_attribution",
+    """
+    WITH purchases AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value AS rev
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    touches AS (
+        SELECT p.pid, p.rev, e.event_type AS channel,
+               power(0.5, date_diff('second', e.ts, p.pts)
+                          / (3.5 * 86400.0)) AS w
+        FROM purchases p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts < p.pts
+         AND e.ts >= p.pts - INTERVAL 7 DAY
+         AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT pid, channel,
+               rev * w / (sum(w) OVER (PARTITION BY pid)) AS credit
+        FROM touches
+    )
+    SELECT channel,
+           CAST(count(DISTINCT pid) AS BIGINT) AS purchases_touched,
+           round(sum(credit), 4) AS attributed_revenue
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    "TIME-DECAY ATTRIBUTION — the third model of the attribution "
+    "trilogy (first_touch_attribution winner-takes-all, "
+    "linear_attribution_revenue equal-credit, this one recency-"
+    "weighted): each 7-day-window touch carries weight "
+    "0.5^(age / 3.5 days) — a 3.5-day half-life — normalized per "
+    "purchase, so recent touches earn more credit. Same plan as the "
+    "linear model: co-partitioned user range join, pid-keyed "
+    "normalization window, types-sized rollup; the decay weight is "
+    "pure per-row arithmetic on exact second differences, identical "
+    "across engines before the final rounded sum",
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        F.col("value").alias("rev"),
+    )
+    t = ev.select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    ).filter(F.col("channel") != "purchase")
+    age_sec = F.col("pts").cast("long") - F.col("t_ts").cast("long")
+    touches = purchases.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("pts"))
+        & (F.col("t_ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "pid",
+        "rev",
+        "channel",
+        F.pow(F.lit(0.5), age_sec / (3.5 * 86400.0)).alias("w"),
+    )
+    win = Window.partitionBy("pid")
+    credited = touches.withColumn(
+        "credit", F.col("rev") * F.col("w") / F.sum("w").over(win)
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.countDistinct("pid").alias("purchases_touched"),
+            F.round(F.sum("credit"), 4).alias("attributed_revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@_register(
+    "trade_edge_truss_support",
+    """
+    WITH raw_edges AS (
+        SELECT DISTINCT
+               least(cn.n_name, sn.n_name)    AS a,
+               greatest(cn.n_name, sn.n_name) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM raw_edges e1
+        JOIN raw_edges e2 ON e2.a = e1.b
+        JOIN raw_edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    edge_support AS (
+        SELECT a, b, count(*) AS support FROM (
+            SELECT x AS a, y AS b FROM tri
+            UNION ALL SELECT y AS a, z AS b FROM tri
+            UNION ALL SELECT x AS a, z AS b FROM tri
+        ) GROUP BY a, b
+    )
+    SELECT e.a AS nation_a, e.b AS nation_b,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS triangle_support,
+           coalesce(s.support, 0) >= 2 AS in_4_truss
+    FROM raw_edges e LEFT JOIN edge_support s
+      ON e.a = s.a AND e.b = s.b
+    ORDER BY triangle_support, nation_a, nation_b
+    LIMIT 30
+    """,
+    "K-TRUSS EDGE SUPPORT on the trade graph: per edge, how many "
+    "triangles contain it (its 'support') — the edge-grain dense-"
+    "subgraph primitive beside node-grain k-core "
+    "(nation_trade_kcore): an edge with support >= k-2 survives the "
+    "k-truss, and support-0 edges are triangle-free ties (bridge "
+    "candidates between communities). Reuses "
+    "nation_trade_triangles' oriented enumeration — each triangle "
+    "produced once via two equi-joins on degree-ordered edges, then "
+    "unpivoted to its three edges for the support rollup; the 30 "
+    "weakest edges surface first (the ones a backbone/community "
+    "analysis examines). One fact-scale edge aggregation, "
+    "everything after is graph-grain",
+)
+def trade_edge_truss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .select(
+            F.least("cust_nation", "supp_nation").alias("a"),
+            F.greatest("cust_nation", "supp_nation").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds triangle joins + the base list
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    tri_edges = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+    )
+    support = tri_edges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    return (
+        edges.join(support, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("nation_a"),
+            F.col("b").alias("nation_b"),
+            F.coalesce(F.col("support"), F.lit(0)).alias("triangle_support"),
+            (F.coalesce(F.col("support"), F.lit(0)) >= 2).alias("in_4_truss"),
+        )
+        .orderBy("triangle_support", "nation_a", "nation_b")
+        .limit(30)
+    )
+
+
+@_register(
+    "ann_label_mrr",
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlabel, e AS qv FROM v
+          WHERE vec_id < 20),
+    s AS (
+        SELECT q.qid, q.qlabel, v.vec_id, v.label,
+               list_dot_product(q.qv, v.e)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(v.e, v.e))) AS sim
+        FROM q JOIN v ON v.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, qlabel, label, sim,
+               CAST(row_number() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, vec_id) AS INT)
+                   AS rnk
+        FROM s
+    ),
+    top10 AS (SELECT * FROM ranked WHERE rnk <= 10),
+    per_query AS (
+        SELECT qid,
+               min(CASE WHEN label = qlabel THEN rnk END) AS first_rel,
+               sum(CAST(label = qlabel AS INT)) AS rel_in_10
+        FROM top10 GROUP BY qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(CASE WHEN first_rel IS NULL THEN 0.0
+                          ELSE 1.0 / first_rel END), 4) AS mrr_at_10,
+           round(avg(rel_in_10 / 10.0), 4) AS precision_at_10,
+           CAST(sum(CAST(first_rel IS NOT NULL AS INT)) AS BIGINT)
+               AS queries_with_hit
+    FROM per_query
+    """,
+    "RETRIEVAL QUALITY EVALUATION — MRR@10 and Precision@10 of the "
+    "exact cosine retriever with LABEL MATCH as relevance (the "
+    "standard ANN-benchmark protocol: a neighbor is relevant iff it "
+    "shares the query's class): the IR-metric layer that turns the "
+    "similarity family's recall audits (ivf_multiprobe_recall / "
+    "lsh_banding_recall measure index faithfulness) into an "
+    "END-TO-END usefulness number — an index can be 100%% faithful "
+    "to embeddings that rank the wrong things. 20 deterministic "
+    "query vectors broadcast; per-query metrics fold over the rank-"
+    "<=10 rows; the corpus scans once. Swap the exact scan for any "
+    "ANN variant and re-run to get ITS MRR — the same contract",
+)
+def ann_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    top = similarity.brute_force_topk(emb, queries, k=10).filter(F.col("rank") <= 10)
+    qlabels = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    clabels = emb.select(F.col("vec_id"), F.col("label"))
+    labeled = top.join(F.broadcast(qlabels), "query_id").join(
+        F.broadcast(clabels), "vec_id"
+    )
+    per_query = labeled.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+        ).alias("first_rel"),
+        F.sum((F.col("label") == F.col("qlabel")).cast("int")).alias("rel_in_10"),
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.round(
+            F.avg(
+                F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                    1.0 / F.col("first_rel")
+                )
+            ),
+            4,
+        ).alias("mrr_at_10"),
+        F.round(F.avg(F.col("rel_in_10") / 10.0), 4).alias("precision_at_10"),
+        F.sum(F.col("first_rel").isNotNull().cast("int")).alias("queries_with_hit"),
+    )

@@ -142,6 +142,7 @@ BNLJ_OK = {
     "selectivity_estimate_audit",  # 1-row min/max/count stats scalar broadcast
     "runs_test_randomness",  # 1-row median scalar broadcast
     "capture_recapture_estimate",  # three 1-row sample/overlap/truth scalar broadcasts
+    "ann_label_mrr",  # 20-query dense-side broadcast (sim_bruteforce_topk shape) + 1-row metric agg
     "lorenz_curve_deciles",  # 1-row revenue-total scalar broadcast
     "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
@@ -210,6 +211,7 @@ SINGLE_PARTITION_OK = {
     "compaction_plan",  # cumulative-offset window over the days-sized file-stats rollup
     "runs_test_randomness",  # lag window over the days-sized daily rollup
     "lorenz_curve_deciles",  # ntile over the entity rollup + cumulative over 10 decile rows
+    "ann_label_mrr",  # rank window over the 20-query broadcast side (sim_bruteforce_topk shape)
 }
 
 #: Streaming queries execute sinks on build — lint the batch surface.
