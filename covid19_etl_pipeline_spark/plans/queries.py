@@ -18085,3 +18085,258 @@ def ann_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("rel_in_10") / 10.0), 4).alias("precision_at_10"),
         F.sum(F.col("first_rel").isNotNull().cast("int")).alias("queries_with_hit"),
     )
+
+
+@_register(
+    "modal_priority_by_nation",
+    """
+    WITH joined AS (
+        SELECT n.n_name AS nation, o.o_orderpriority AS priority
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    ),
+    counts AS (
+        SELECT nation, priority, count(*) AS cnt
+        FROM joined GROUP BY nation, priority
+    ),
+    ranked AS (
+        SELECT nation, priority, cnt,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY cnt DESC, priority) AS rn,
+               CAST(sum(cnt) OVER (PARTITION BY nation) AS BIGINT)
+                   AS nation_orders
+        FROM counts
+    )
+    SELECT nation, priority AS modal_priority,
+           CAST(cnt AS BIGINT) AS modal_count, nation_orders,
+           round(cnt * 1.0 / nation_orders, 4) AS modal_share
+    FROM ranked WHERE rn = 1
+    ORDER BY nation
+    """,
+    "MODE AGGREGATE per group — the one classic summary statistic "
+    "the aggregate family lacked (min/max/avg/median/percentiles all "
+    "exist): most frequent order priority per customer nation with "
+    "its share, via the scalable two-step (value-count rollup, then "
+    "a rank window over the GROUP x VALUE grain — never a "
+    "per-group collect). Deterministic tie-break on the value. The "
+    "same shape computes any categorical mode at 100 TB: the window "
+    "input is |groups| x |distinct values|, not the fact",
+)
+def modal_priority_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    counts = joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").alias("cnt"))
+    w_rank = Window.partitionBy("nation").orderBy(F.col("cnt").desc(), "priority")
+    w_tot = Window.partitionBy("nation")
+    ranked = counts.select(
+        "nation",
+        "priority",
+        "cnt",
+        F.row_number().over(w_rank).alias("rn"),
+        F.sum("cnt").over(w_tot).alias("nation_orders"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "nation",
+            F.col("priority").alias("modal_priority"),
+            F.col("cnt").alias("modal_count"),
+            "nation_orders",
+            F.round(F.col("cnt") * 1.0 / F.col("nation_orders"), 4).alias(
+                "modal_share"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@_register(
+    "selectivity_equidepth_compare",
+    """
+    WITH stats AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+               count(*) AS n
+        FROM orders
+    ),
+    widths AS (
+        SELECT least(19, greatest(0, CAST(floor((o_totalprice - stats.lo)
+                      / ((stats.hi - stats.lo) / 20.0)) AS INT))) AS b,
+               count(*) AS cnt
+        FROM orders CROSS JOIN stats
+        GROUP BY b
+    ),
+    depth_bounds AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35,
+                              0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70,
+                              0.75, 0.80, 0.85, 0.90, 0.95]) AS qs
+        FROM orders
+    ),
+    preds AS (
+        SELECT CAST(unnest([1000, 5000, 20000, 50000, 100000]) AS DOUBLE)
+            AS cutoff
+    ),
+    ew AS (
+        SELECT p.cutoff,
+               round(sum(CAST(widths.cnt AS DOUBLE) * least(1.0, greatest(0.0,
+                    (p.cutoff - (stats.lo + widths.b
+                                 * ((stats.hi - stats.lo) / 20.0)))
+                    / ((stats.hi - stats.lo) / 20.0)))), 2) + 0.0
+                   AS est_width
+        FROM widths CROSS JOIN stats CROSS JOIN preds p
+        GROUP BY p.cutoff
+    ),
+    ed AS (
+        SELECT p.cutoff,
+               round((len(list_filter(db.qs, q -> q < p.cutoff)) + 0.5)
+                     * stats.n / 20.0, 2) + 0.0 AS est_depth
+        FROM depth_bounds db CROSS JOIN stats CROSS JOIN preds p
+    ),
+    act AS (
+        SELECT p.cutoff, count(*) FILTER (o.o_totalprice < p.cutoff)
+            AS actual_rows
+        FROM orders o CROSS JOIN preds p
+        GROUP BY p.cutoff
+    )
+    SELECT act.cutoff, act.actual_rows,
+           ew.est_width, ed.est_depth,
+           round(abs(ew.est_width - act.actual_rows) * 1.0
+                 / greatest(act.actual_rows, 1), 4) AS err_width,
+           round(abs(ed.est_depth - act.actual_rows) * 1.0
+                 / greatest(act.actual_rows, 1), 4) AS err_depth
+    FROM act JOIN ew USING (cutoff) JOIN ed USING (cutoff)
+    ORDER BY cutoff
+    """,
+    "EQUI-WIDTH vs EQUI-DEPTH selectivity estimation, head to head — "
+    "the upgrade decision selectivity_estimate_audit points at, as a "
+    "measured number: the same five range predicates estimated from "
+    "a 20-bucket equi-width histogram (uniform interpolation) AND "
+    "from 19 exact vigintile boundaries (each bucket holds n/20 rows "
+    "by construction, so the estimate is buckets-below-cutoff + half "
+    "the straddling bucket), with per-predicate relative errors side "
+    "by side. Equi-depth wins wherever the value distribution is "
+    "skewed — which is why ANALYZE computes quantile sketches, not "
+    "value ranges, at 100 TB. Boundary list is a 1-row broadcast; "
+    "estimation runs on bucket/boundary grain",
+)
+def selectivity_equidepth_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    fracs = [round(0.05 * i, 2) for i in range(1, 20)]
+    depth_bounds = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(f) for f in fracs])).alias("qs")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    widths = (
+        orders.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.least(
+                F.lit(19),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast(
+                        "int"
+                    ),
+                ),
+            ).alias("b")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    cutoffs = [1000.0, 5000.0, 20000.0, 50000.0, 100000.0]
+    preds = F.explode(F.array(*[F.lit(cv) for cv in cutoffs])).alias("cutoff")
+    ew = (
+        widths.crossJoin(F.broadcast(stats))
+        .select("b", "cnt", "lo", "hi", preds)
+        .groupBy("cutoff")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.col("cnt").cast("double")
+                        * F.least(
+                            F.lit(1.0),
+                            F.greatest(
+                                F.lit(0.0),
+                                (
+                                    F.col("cutoff")
+                                    - (
+                                        F.col("lo")
+                                        + F.col("b")
+                                        * ((F.col("hi") - F.col("lo")) / 20.0)
+                                    )
+                                )
+                                / ((F.col("hi") - F.col("lo")) / 20.0),
+                            ),
+                        )
+                    ),
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("est_width")
+        )
+    )
+    ed = (
+        depth_bounds.crossJoin(F.broadcast(stats))
+        .select("qs", "n", preds)
+        .select(
+            "cutoff",
+            (
+                F.round(
+                    (
+                        F.size(
+                            F.filter("qs", lambda q: q < F.col("cutoff"))
+                        )
+                        + 0.5
+                    )
+                    * F.col("n")
+                    / 20.0,
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("est_depth"),
+        )
+    )
+    act = (
+        orders.select("o_totalprice", preds)
+        .groupBy("cutoff")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") < F.col("cutoff"), 1)).alias(
+                "actual_rows"
+            )
+        )
+    )
+    return (
+        act.join(ew, "cutoff")
+        .join(F.broadcast(ed), "cutoff")
+        .select(
+            "cutoff",
+            "actual_rows",
+            "est_width",
+            "est_depth",
+            F.round(
+                F.abs(F.col("est_width") - F.col("actual_rows"))
+                * 1.0
+                / F.greatest(F.col("actual_rows"), F.lit(1)),
+                4,
+            ).alias("err_width"),
+            F.round(
+                F.abs(F.col("est_depth") - F.col("actual_rows"))
+                * 1.0
+                / F.greatest(F.col("actual_rows"), F.lit(1)),
+                4,
+            ).alias("err_depth"),
+        )
+        .orderBy("cutoff")
+    )

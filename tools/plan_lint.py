@@ -140,6 +140,7 @@ BNLJ_OK = {
     "quality_gate_threshold_sweep",  # 1-row corpus-totals scalar broadcast
     "join_size_estimate",  # 1-row exact/sampled estimate scalar broadcast
     "selectivity_estimate_audit",  # 1-row min/max/count stats scalar broadcast
+    "selectivity_equidepth_compare",  # 1-row stats + vigintile-boundary scalar broadcasts
     "runs_test_randomness",  # 1-row median scalar broadcast
     "capture_recapture_estimate",  # three 1-row sample/overlap/truth scalar broadcasts
     "ann_label_mrr",  # 20-query dense-side broadcast (sim_bruteforce_topk shape) + 1-row metric agg
