@@ -175,3 +175,55 @@ def test_pca_component_matches_numpy_replication(spark):
     # dominate any coordinate direction's variance
     rq = (got @ C @ got) / (got @ got)
     assert rq >= C.diagonal().max() * 0.99
+
+
+def test_attribution_models_conserve_revenue(spark):
+    lin = REGISTRY["linear_attribution_revenue"].fn(spark, SF_DIR).collect()
+    dec = REGISTRY["time_decay_attribution"].fn(spark, SF_DIR).collect()
+    assert lin and dec
+    # both models split the SAME touched-purchase revenue pool — total
+    # attributed revenue must agree (weights renormalize per purchase)
+    assert abs(
+        sum(r["attributed_revenue"] for r in lin)
+        - sum(r["attributed_revenue"] for r in dec)
+    ) < 0.01
+    # recency weighting must not create or destroy purchases
+    assert {r["channel"] for r in lin} == {r["channel"] for r in dec}
+
+
+def test_mode_matches_bruteforce(spark):
+    rows = REGISTRY["modal_priority_by_nation"].fn(spark, SF_DIR).collect()
+    assert rows
+    truth = duckdb.sql(
+        f"""
+        SELECT n.n_name, o.o_orderpriority, count(*) AS c
+        FROM '{table_path(SF_DIR, 'orders')}' o
+        JOIN '{table_path(SF_DIR, 'customer')}' c ON o.o_custkey = c.c_custkey
+        JOIN '{table_path(SF_DIR, 'nation')}' n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    best = {}
+    for nation, pri, c in truth:
+        cur = best.get(nation)
+        if cur is None or (c, ) > (cur[1], ) or (c == cur[1] and pri < cur[0]):
+            best[nation] = (pri, c)
+    for r in rows:
+        assert best[r["nation"]] == (r["modal_priority"], r["modal_count"])
+
+
+def test_retrieval_metrics_bounded(spark):
+    r = REGISTRY["ann_label_mrr"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["mrr_at_10"] <= 1.0
+    assert 0.0 <= r["precision_at_10"] <= 1.0
+    assert r["queries_with_hit"] <= r["n_queries"]
+    # MRR can't be below P@10's implied floor when every hit is rank 10
+    assert r["mrr_at_10"] >= r["precision_at_10"] / 10.0 - 1e-9
+
+
+def test_truss_support_counts_triangles(spark):
+    rows = REGISTRY["trade_edge_truss_support"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["triangle_support"] >= 0
+        assert r["in_4_truss"] == (r["triangle_support"] >= 2)
