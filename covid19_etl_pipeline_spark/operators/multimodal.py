@@ -59,10 +59,13 @@ def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     dispatching a PIL/opencv body here is the one-function swap."""
     if payload is not None and bytes(payload[:8]) == _PNG_SIG:
         return decode_png(bytes(payload))
+    if payload is not None and bytes(payload[:2]) == b"BM":
+        return decode_bmp(bytes(payload))
     raise NotImplementedError(
-        "only PNG decodes without external codec libraries; "
+        "only PNG and BMP decode without external codec libraries; "
         "extract_features uses the deterministic stub featurizer "
-        "for non-PNG payloads"
+        "for other payloads (JPEG/WebP need codec libs this "
+        "container does not ship)"
     )
 
 
@@ -213,6 +216,93 @@ def decode_png(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     return width, height, out.reshape(height, width, channels)
 
 
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """REAL BMP encode — uncompressed 24-bit BI_RGB, pure stdlib
+    ``struct``. ``pixels`` is uint8 (h, w, 3) RGB; rows are written
+    bottom-up in BGR byte order and padded to 4-byte boundaries, the
+    canonical Windows-bitmap layout — so a round trip against
+    :func:`decode_bmp` exercises row inversion, channel swap, and pad
+    stripping, the three places a naive parser silently mis-decodes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB pixels")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    # bottom-up rows, RGB→BGR
+    body = b"".join(px[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER walk,
+    uncompressed 24-bit BI_RGB only (the layout above), tolerating both
+    bottom-up (positive height) and top-down (negative height) row
+    order and any pixel-array offset the file header declares. Returns
+    ``(width, height, pixels)`` with pixels uint8 (h, w, 3) RGB.
+    Anything not 24-bit/BI_RGB raises rather than silently
+    mis-decoding — same contract as :func:`decode_png`."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    info_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    if info_size < 40:
+        raise ValueError(f"unsupported BMP header size {info_size}")
+    planes, bits = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bits != 24 or compression != 0 or planes != 1:
+        raise ValueError(
+            f"unsupported BMP: bits={bits} compression={compression}"
+        )
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    stride = (width * 3 + 3) & ~3
+    if len(payload) < data_off + stride * height:
+        raise ValueError("BMP pixel payload length mismatch")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1].copy()  # BGR→RGB
+
+
+def synth_bmp_assets(df: DataFrame, id_col: str, w_col: str, h_col: str) -> DataFrame:
+    """Build real BMP payloads for (asset_id, width, height) rows over
+    the same closed-form :func:`synth_pixels` grid as the PNG fixtures —
+    the Arrow-batched ENCODE half of the uncompressed-raster round
+    trip."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            ws = pdf[w_col].astype("int64")
+            hs = pdf[h_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "payload": [
+                        encode_bmp(synth_pixels(int(i), int(w), int(h)))
+                        for i, w, h in zip(ids, ws, hs)
+                    ],
+                }
+            )
+
+    return df.select(id_col, w_col, h_col).mapInPandas(encode, schema=schema)
+
+
 def encode_wav_pcm16(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     """Encode int16 samples as a canonical RIFF/WAVE PCM blob — pure
     stdlib ``struct``, no codec dependency. Used by the synthetic-WAV
@@ -327,6 +417,23 @@ def png_channel_stats(assets: DataFrame) -> DataFrame:
     below 2^53), so an oracle recomputing it from the closed-form
     pattern must hash-match bit for bit — proving the zlib inflate and
     all five unfilter paths reconstruct every pixel exactly."""
+    return image_channel_stats(assets, decode_png)
+
+
+def bmp_channel_stats(assets: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics of DECODED BMP payloads — same
+    featurizer and hash-match contract as :func:`png_channel_stats`,
+    proving the row-inversion/BGR-swap/pad-strip path of
+    :func:`decode_bmp` reconstructs every pixel exactly."""
+    return image_channel_stats(assets, decode_bmp)
+
+
+def image_channel_stats(assets: DataFrame, decoder=None) -> DataFrame:
+    """Shared decode→per-channel-stats featurizer: one row per (asset,
+    channel) with exact integer sum + mean/min/max over the decoded
+    pixels. ``decoder`` is any ``payload -> (w, h, uint8 pixels)``
+    callable (defaults to the :func:`decode_image` format dispatch)."""
+    decoder = decoder or decode_image
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -335,7 +442,7 @@ def png_channel_stats(assets: DataFrame) -> DataFrame:
                 "sum_value", "mean_value", "min_value", "max_value",
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                w, h, px = decode_png(bytes(payload))
+                w, h, px = decoder(bytes(payload))
                 flat = px.reshape(-1, px.shape[2]).astype(np.int64)
                 for ch in range(px.shape[2]):
                     col = flat[:, ch]

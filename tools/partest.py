@@ -45,9 +45,10 @@ BUCKETS = [
     ],
 ]
 
-# Auto-sweep: any tests/test_*.py not explicitly bucketed joins a final
-# bucket, so NEW test files can never be silently skipped by this
-# runner (found the hard way: two invariant files missing from a run).
+# Auto-sweep: any tests/test_*.py not explicitly bucketed is round-robined
+# across the existing buckets, so NEW test files can never be silently
+# skipped by this runner (found the hard way: two invariant files missing
+# from a run) and the catch-all never becomes a serial straggler bucket.
 _listed = {f for b in BUCKETS for f in b} | {"tests/test_oracle_parity.py"}
 _extra = sorted(
     "tests/" + f
@@ -55,8 +56,8 @@ _extra = sorted(
     if f.startswith("test_") and f.endswith(".py")
     and "tests/" + f not in _listed
 )
-if _extra:
-    BUCKETS.append(_extra)
+for _i, _f in enumerate(_extra):
+    BUCKETS[_i % len(BUCKETS)].append(_f)
 
 
 def main() -> int:
