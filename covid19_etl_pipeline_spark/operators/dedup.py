@@ -66,14 +66,22 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataF
     )
 
 
-def minhash_value(shingle_col: Column, seed: int) -> Column:
-    """One MinHash: lexicographic min of md5('<seed>|' || shingle).
-
-    md5 (not F.hash/murmur3) so signatures are engine-portable and
-    stable across Spark versions.
+def minhash_value(shingle_col: Column, index: int) -> Column:
+    """One MinHash: lexicographic min over shingles of hash ``index``,
+    where hash ``index`` is the 8-hex-digit word ``index % 4`` of
+    md5('<index//4>|' || shingle) — four independent 32-bit hashes per
+    md5 evaluation, so an n-hash signature costs ceil(n/4) digests per
+    shingle instead of n (measured ~2× faster end-to-end at sf0.1; at
+    100 TB the digest count is the dominant narrow compute of the
+    whole dedup pass). md5 (not F.hash/murmur3) so signatures are
+    engine-portable and stable across Spark versions.
     """
+    g, w = index // 4, index % 4
     return F.array_min(
-        F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+        F.transform(
+            shingle_col,
+            lambda s: F.substring(F.md5(F.concat(F.lit(f"{g}|"), s)), 1 + 8 * w, 8),
+        )
     )
 
 
@@ -86,24 +94,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature columns ``mh0..mh{n-1}``.
 
-    Shape: explode shingles once, md5 all seeds in ONE codegen'd
-    Project over the flat (doc, shingle) stream, then a partial-
-    aggregable min per doc. The equivalent array-transform form keeps
-    everything narrow but evaluates the md5 lambdas in interpreted
-    (non-codegen) mode per element — measured ~2× slower cold; the
-    explode's doc-keyed exchange ships 32-byte hashes and is the
-    cheaper trade. ``explode_outer`` keeps sub-k-token docs as a NULL
-    row so the output row set matches the input (their signature
-    columns are NULL, as with an empty-set min).
+    Shape: explode shingles once, digest ceil(n/4) md5s in ONE
+    codegen'd Project over the flat (doc, shingle) stream — each md5
+    yields FOUR independent 32-bit hash words (8 hex digits each), the
+    standard several-hashes-from-one-digest economy — then a partial-
+    aggregable min per doc. vs one digest per hash this quarters the
+    dominant narrow compute (measured ~2× end-to-end at sf0.1); vs the
+    array-transform form the explode keeps the md5 inside whole-stage
+    codegen (interpreted lambda mode measured ~2× slower cold).
+    ``explode_outer`` keeps sub-k-token docs as a NULL row so the
+    output row set matches the input (their signature columns are
+    NULL, as with an empty-set min).
     """
     sh = shingles(tokens(text_col), k=shingle_k)
     # md5-minhashing is the expensive narrow compute; spread it across
     # all cores (a small parquet input is otherwise ONE task)
     ex = spread(df, id_col).select(F.col(id_col), F.explode_outer(sh).alias("__s"))
-    proj = ex.select(
+    n_groups = (num_hashes + 3) // 4
+    digests = ex.select(
         id_col,
         *[
-            F.md5(F.concat(F.lit(f"{i}|"), F.col("__s"))).alias(f"__h{i}")
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("__s"))).alias(f"__d{g}")
+            for g in range(n_groups)
+        ],
+    )
+    proj = digests.select(
+        id_col,
+        *[
+            F.substring(f"__d{i // 4}", 1 + 8 * (i % 4), 8).alias(f"__h{i}")
             for i in range(num_hashes)
         ],
     )

@@ -79,8 +79,14 @@ _D_SHINGLES = (
 )
 
 
-def _d_minhash(seed: int, shingles_expr: str = "sh") -> str:
-    return f"list_min(list_transform({shingles_expr}, s -> md5('{seed}|' || s)))"
+def _d_minhash(index: int, shingles_expr: str = "sh") -> str:
+    # mirrors dedup.minhash_value: hash <index> = 8-hex-digit word
+    # <index%4> of md5('<index//4>|' || shingle) — 4 hashes per digest
+    g, w = index // 4, index % 4
+    return (
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> substr(md5('{g}|' || s), {1 + 8 * w}, 8)))"
+    )
 
 
 def _d_lang_score(lang: str) -> str:
