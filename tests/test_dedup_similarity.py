@@ -201,6 +201,65 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def _kill_cached_blocks(spark):
+    """Simulate executor loss on local[n]: drop EVERY persisted RDD's
+    blocks (localCheckpoint stores its lineage-truncated data there —
+    exactly what dies with an executor on a real cluster)."""
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+
+
+def test_reliable_checkpoint_survives_block_loss(spark, tmp_path, monkeypatch):
+    """Failure injection (r03 verdict #8): kill all cached blocks
+    MID-ITERATION. The default localCheckpoint barrier has truncated its
+    lineage into executor blocks, so losing them is unrecoverable — the
+    run must fail (this is the documented local-mode trade-off, proven
+    here rather than asserted). With CHECKPOINT_DIR_CONF set, the same
+    barriers write to storage instead, so the identical injection is
+    harmless and the labels still converge to the known components."""
+    from covid19_etl_pipeline_spark.operators import dedup, partitioning
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (4, 5), (5, 6), (6, 7)], "a long, b long"
+    )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 4: 4, 5: 4, 6: 4, 7: 4}
+
+    real_barrier = partitioning.iteration_barrier
+    calls = {"n": 0}
+
+    def sabotaged(df, eager=True):
+        out = real_barrier(df, eager=eager)
+        calls["n"] += 1
+        # after the 3rd barrier (round-0 labels built, edges_m's eager
+        # blocks live) — the mid-iteration point where a real executor
+        # would die holding the only copy of the checkpointed edges
+        if calls["n"] == 3:
+            _kill_cached_blocks(df.sparkSession)
+        return out
+
+    monkeypatch.setattr(dedup, "iteration_barrier", sabotaged)
+
+    # default mode: lineage was truncated into the lost blocks —
+    # any downstream action must surface the loss, not silently
+    # recompute wrong data
+    with pytest.raises(Exception, match="[Cc]heckpoint|block"):
+        dedup.connected_components(edges, "a", "b").collect()
+
+    # reliable mode: same sabotage, but barriers live in storage
+    calls["n"] = 0
+    spark.conf.set(
+        partitioning.CHECKPOINT_DIR_CONF, str(tmp_path / "reliable_ckpt")
+    )
+    try:
+        got = {
+            r["node"]: r["label"]
+            for r in dedup.connected_components(edges, "a", "b").collect()
+        }
+    finally:
+        spark.conf.unset(partitioning.CHECKPOINT_DIR_CONF)
+    assert got == expected
+
+
 def test_containment_catches_quote_jaccard_misses(spark):
     """A short paragraph quoted inside a much larger page: containment
     ~1 for (quote ⊂ page) while Jaccard is far below any dedup

@@ -35,6 +35,9 @@ PANDAS_OK = {
     # reviewed codec-in-Arrow-batch shape as the WAV pair
     "multimodal_png_stats",
     "multimodal_png_resize",
+    # real BMP encode+decode (stdlib struct) — same reviewed
+    # codec-in-Arrow-batch shape as the PNG/WAV entries
+    "multimodal_bmp_stats",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts

@@ -8,9 +8,15 @@ smoke run.
 
 Usage:
     python tools/sweep.py [--sf /root/testdata/sf0.01] [--only q1,q2] [-v]
+    python tools/sweep.py --shards 6 --round 4   # the repeatable gate
 
-Exit code 0 iff every query matches. Writes a JSON log to
-/tmp/sweep_<sfname>.json.
+Exit code 0 iff every query matches. Single-process runs write a JSON
+log to /tmp/sweep_<sfname>.json (or --out). ``--shards N`` runs the
+registry as N parallel subprocesses (each its own local[4] Spark +
+DuckDB — the sweep is embarrassingly parallel per query) and merges
+their logs into ONE recorded artifact; with ``--round R`` that artifact
+is ``SWEEP_r{R}.json`` at the repo root, committed so the next round
+diffs per-query pass/fail and timing instead of re-discovering them.
 """
 
 from __future__ import annotations
@@ -75,12 +81,98 @@ def _frame_key(pdf):
     return cols, rows
 
 
+def _sharded(args) -> int:
+    """Spawn --shards sweep subprocesses over a round-robin split of the
+    registry and merge their logs into one artifact (SWEEP_r{N}.json at
+    the repo root when --round is given)."""
+    import subprocess
+    import tempfile
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    names = list(REGISTRY)
+    shards = [names[i :: args.shards] for i in range(args.shards)]
+    t0 = time.time()
+    procs, outs = [], []
+    for i, shard in enumerate(shards):
+        out = tempfile.mktemp(prefix=f"sweep_shard{i}_", suffix=".json")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--sf",
+                    args.sf,
+                    "--only",
+                    ",".join(shard),
+                    "--out",
+                    out,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    for i, pr in enumerate(procs):
+        log, _ = pr.communicate()
+        tail = log.strip().splitlines()[-1] if log.strip() else ""
+        print(f"[shard-{i + 1}of{args.shards}] rc={pr.returncode}: {tail}")
+
+    results: dict[str, dict] = {}
+    for out in outs:
+        try:
+            with open(out) as fh:
+                results.update(json.load(fh))
+        except FileNotFoundError:
+            pass
+    # registry order, not shard order, so artifact diffs are stable
+    results = {n: results[n] for n in names if n in results}
+    failures = [
+        n
+        for n, r in results.items()
+        if r.get("err") or r.get("hash_match") is False
+        or r.get("rows_match") is False or r.get("schema_match") is False
+    ]
+    missing = [n for n in names if n not in results]
+    doc = {
+        "sf": args.sf,
+        "shards": args.shards,
+        "wall_sec": round(time.time() - t0, 1),
+        "n_queries": len(names),
+        "n_pass": len(results) - len(failures),
+        "failures": failures,
+        "missing": missing,
+        "results": results,
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = (
+        os.path.join(repo, f"SWEEP_r{args.round:02d}.json")
+        if args.round
+        else args.out or f"/tmp/sweep_{os.path.basename(args.sf.rstrip('/'))}.json"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(
+        f"\n{doc['n_pass']}/{len(names)} pass in {doc['wall_sec']}s -> {out_path}"
+    )
+    if failures or missing:
+        print("FAILURES:", ", ".join(failures + [f"{m} (missing)" for m in missing]))
+    return 1 if failures or missing else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/root/testdata/sf0.01")
     p.add_argument("--only", default=None, help="comma-separated query names")
+    p.add_argument("--out", default=None, help="JSON log path")
+    p.add_argument("--shards", type=int, default=0, help="parallel subprocesses")
+    p.add_argument("--round", type=int, default=0, help="write SWEEP_r{N}.json")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
+
+    if args.shards:
+        return _sharded(args)
 
     import duckdb
 
@@ -140,7 +232,7 @@ def main(argv=None) -> int:
         status = "ok" if ok else "FAIL"
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({rec['sec']}s)", flush=True)
 
-    out = f"/tmp/sweep_{os.path.basename(args.sf.rstrip('/'))}.json"
+    out = args.out or f"/tmp/sweep_{os.path.basename(args.sf.rstrip('/'))}.json"
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     total = round(time.time() - t_start, 1)
