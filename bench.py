@@ -196,6 +196,29 @@ def main() -> None:
             timings[name] = min(first, round(time.perf_counter() - start, 3))
             retried[name] = first
             gc.collect()
+    # Retry insurance for FIRST-SEEN headline queries (r04 verdict #4):
+    # a query with no baseline entry can never trip the >1.5x trigger, so
+    # a steal-inflated first pass would be recorded unchallenged (r04:
+    # skewed_key_rollup_salted logged 2.07x its real cost because the
+    # newest parseable baseline predated the query). Every no-baseline
+    # query gets ONE unconditional warm re-measure, min-of-two, visible
+    # via "retried". Capped so a round with NO parseable baseline at all
+    # degrades to partial insurance instead of doubling the whole run.
+    no_base = [n for n in HEADLINE if n not in ref and n not in retried]
+    if len(no_base) > 12:
+        print(
+            f"# bench: {len(no_base)} queries lack a baseline; "
+            "re-measuring only the first 12",
+            file=sys.stderr,
+        )
+        no_base = no_base[:12]
+    for name in no_base:
+        first = timings[name]
+        start = time.perf_counter()
+        materialize(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = min(first, round(time.perf_counter() - start, 3))
+        retried[name] = first
+        gc.collect()
     # Flagged queries with a hard per-round bar: a steal-inflated first
     # pass always gets ONE re-measurement even when the >1.5x-vs-baseline
     # trigger doesn't fire (the r03 training_corpus artifact recorded
@@ -246,6 +269,12 @@ def main() -> None:
         # keep the parseable payload safely inside the driver's 2000-char
         # tail capture: drop timing precision before dropping anything else
         doc["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(doc, separators=(",", ":"))
+    if len(line) > 1750:
+        # still too long (many long-named queries): drop the per-query
+        # map from the summary line entirely — full detail already lives
+        # in bench_last.json and the printed per-query lines above
+        doc["queries"] = "see bench_last.json + detail lines"
         line = json.dumps(doc, separators=(",", ":"))
     print(line)
     spark.stop()

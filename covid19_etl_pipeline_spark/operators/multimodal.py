@@ -59,7 +59,7 @@ def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     dispatching a PIL/opencv body here is the one-function swap."""
     if payload is not None and bytes(payload[:8]) == _PNG_SIG:
         return decode_png(bytes(payload))
-    if payload is not None and bytes(payload[:2]) == b"BM":
+    if payload is not None and _sniff_bmp(bytes(payload)):
         return decode_bmp(bytes(payload))
     raise NotImplementedError(
         "only PNG and BMP decode without external codec libraries; "
@@ -236,6 +236,20 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     return header + info + body
 
 
+def _sniff_bmp(payload: bytes) -> bool:
+    """BMP sniff stronger than the 2-byte 'BM' prefix (a non-BMP payload
+    could start with those bytes): the declared file size must match the
+    payload and the info-header size must be a known DIB size. A sniff
+    miss falls through to decode_image's NotImplementedError path; a
+    sniff HIT with malformed internals still raises ValueError from
+    decode_bmp, as documented there."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return False
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    (info_size,) = struct.unpack_from("<I", payload, 14)
+    return file_size == len(payload) and info_size in (40, 52, 56, 108, 124)
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """REAL BMP decode: BITMAPFILEHEADER + BITMAPINFOHEADER walk,
     uncompressed 24-bit BI_RGB only (the layout above), tolerating both
@@ -256,8 +270,14 @@ def decode_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         raise ValueError(
             f"unsupported BMP: bits={bits} compression={compression}"
         )
+    if data_off < 14 + info_size:
+        # a pixel-array offset inside the headers would silently decode
+        # header bytes as pixels
+        raise ValueError(f"BMP pixel offset {data_off} overlaps headers")
     top_down = height_raw < 0
     height = -height_raw if top_down else height_raw
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height_raw}")
     stride = (width * 3 + 3) & ~3
     if len(payload) < data_off + stride * height:
         raise ValueError("BMP pixel payload length mismatch")

@@ -1,0 +1,396 @@
+"""Market-basket and pattern mining (a-priori, PCY, association rules,
+skyline).
+
+Registered query family (5 entries); split from the
+original monolithic plans/queries.py.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from covid19_etl_pipeline_spark.catalog import TABLES, load_table
+
+from covid19_etl_pipeline_spark.plans._registry import _register
+
+@_register(
+    "brand_affinity_lift",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n FROM ob),
+    brand_f AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand),
+    pair_f AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_cooccur,
+           round((p.n_ab / n.n) / ((fa.n_b / n.n) * (fb.n_b / n.n)), 4) AS lift
+    FROM pair_f p
+    JOIN brand_f fa ON fa.p_brand = p.brand_a
+    JOIN brand_f fb ON fb.p_brand = p.brand_b
+    CROSS JOIN n_orders n
+    WHERE p.n_ab >= 20
+    ORDER BY lift DESC, brand_a, brand_b
+    LIMIT 25
+    """,
+    "market-basket affinity: brand pairs co-occurring in one order, "
+    "scored by lift P(a,b)/(P(a)P(b)) — the co-purchase signal behind "
+    "recommendations and assortment planning. The pair join is keyed "
+    "on the ORDER (fan-out bounded by lines-per-order, never brand x "
+    "brand over the catalog); brand marginals and the order total are "
+    "tiny broadcast rollups; a min-support gate (n>=20) cuts noise "
+    "pairs before ranking — the Apriori support-pruning idea in one "
+    "SQL-shaped pass",
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds marginals, the total, AND both pair-join sides
+    )
+    n_total = ob.select("l_orderkey").distinct().count()
+    brand_f = ob.groupBy("p_brand").agg(F.count("*").alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pair_f = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    fa = brand_f.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("n_a"))
+    fb = brand_f.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("n_bb"))
+    n = float(n_total)
+    lift = (F.col("n_ab") / n) / ((F.col("n_a") / n) * (F.col("n_bb") / n))
+    return (
+        pair_f.join(F.broadcast(fa), "brand_a")
+        .join(F.broadcast(fb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").cast("bigint").alias("n_cooccur"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+@_register(
+    "frequent_part_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey FROM items
+        GROUP BY l_partkey HAVING count(*) >= 3
+    ),
+    fitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN freq f ON i.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM fitems a JOIN fitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    """,
+    "market-basket pair mining with A-PRIORI pruning: items below "
+    "min-support can never appear in a frequent pair, so the per-order "
+    "self-join runs AFTER the frequent-item filter — the downward-"
+    "closure trick that keeps the pair space tractable (the naive "
+    "order self-join is quadratic in basket size over the FULL "
+    "catalog; pruning first cuts both the join input and the pair "
+    "fan-out). Shuffles: one distinct, one item-support rollup (tiny, "
+    "the filter side of a semi-ish join), one order-keyed pair join + "
+    "pair rollup. At 100 TB add a second prune round (pair-support on "
+    "hashed buckets) before materializing pairs — PCY's bitmap trick",
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    fitems = items.join(freq, "l_partkey").localCheckpoint(eager=False)
+    a = fitems.alias("a")
+    b = fitems.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+@_register(
+    "frequent_part_pairs_pcy",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey FROM items
+        GROUP BY l_partkey HAVING count(*) >= 3
+    ),
+    fitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN freq f ON i.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS support
+        FROM fitems a JOIN fitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    """,
+    "PCY (Park-Chen-Yu) market-basket pair mining — the hashed-bucket "
+    "prune SCALE.md prescribes for frequent_part_pairs at 100 TB, "
+    "hash-matched against the same a-priori oracle to prove the prune "
+    "LOSSLESS (bucket count >= true pair support, so no qualifying "
+    "pair can land in a pruned bucket). Pass 1 generates candidate "
+    "pairs in-basket (array expansion, map-side) but shuffles only "
+    "65536 bucket counters (xxhash64(pair) mod B with map-side "
+    "combine), never the pairs; frequent buckets broadcast back as a "
+    "LEFT SEMI filter, so pass 2's pair rollup shuffles only pairs "
+    "whose bucket could reach min-support — at 100 TB the shuffle "
+    "volume drops by the infrequent-pair fraction, the PCY win. "
+    "Baskets are lazily checkpointed so both passes share one "
+    "distinct+filter computation; the bucket hash is a physical "
+    "detail (never in the output), so it needs no oracle portability",
+)
+def frequent_part_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_buckets = 1 << 16
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    baskets = (
+        items.join(freq, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .localCheckpoint(eager=False)  # both passes read the baskets
+    )
+    n = F.size("arr")
+    pair_structs = F.flatten(
+        F.transform(
+            "arr",
+            lambda x, i: F.transform(
+                F.slice("arr", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = baskets.select(F.explode(pair_structs).alias("p")).select(
+        "p.part_a", "p.part_b"
+    )
+    bkt = F.pmod(F.xxhash64("part_a", "part_b"), F.lit(n_buckets))
+    freq_buckets = (
+        pairs.groupBy(bkt.alias("bkt"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("bkt")
+    )
+    return (
+        pairs.withColumn("bkt", bkt)
+        .join(F.broadcast(freq_buckets), "bkt", "left_semi")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+    )
+
+
+@_register(
+    "skyline_parts",
+    """
+    WITH pg AS (
+        SELECT p_retailprice AS pr, max(p_size) AS gmax
+        FROM part GROUP BY p_retailprice
+    ),
+    pg2 AS (
+        SELECT pr, gmax,
+               max(gmax) OVER (ORDER BY pr
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prevmax
+        FROM pg
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pg2 ON p.p_retailprice = pg2.pr
+    WHERE NOT (coalesce(prevmax, -1) >= p_size OR gmax > p_size)
+    ORDER BY p.p_retailprice, p.p_partkey
+    """,
+    "SKYLINE (Pareto frontier) operator: parts not dominated on "
+    "(minimize p_retailprice, maximize p_size) — the classic "
+    "preference-query operator (Borzsony/Kossmann/Stocker, ICDE'01) the "
+    "reference's SQL surface cannot express without a quadratic "
+    "NOT EXISTS self-join. 2-D skyline decomposes into a sort-free "
+    "scalable form: group to PRICE grain (bounded by the price domain, "
+    "not the fact), one ordered running-max pass over that rollup, then "
+    "a broadcast join back — dominance is 'a strictly cheaper price "
+    "group reached >= my size, or my own price group has strictly "
+    "bigger size'. The O(n^2) pairwise test never materializes",
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    pg = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    pg2 = pg.withColumn("prevmax", F.max("gmax").over(w))
+    joined = parts.join(F.broadcast(pg2), "p_retailprice")
+    dominated = (
+        F.coalesce(F.col("prevmax"), F.lit(-1)) >= F.col("p_size")
+    ) | (F.col("gmax") > F.col("p_size"))
+    return (
+        joined.filter(~dominated)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@_register(
+    "association_rules_parts",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    isup AS (
+        SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey
+    ),
+    freq AS (SELECT l_partkey FROM isup WHERE s >= 3),
+    fitems AS (
+        SELECT i.l_orderkey, i.l_partkey FROM items i
+        JOIN freq f ON i.l_partkey = f.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS ps
+        FROM fitems a JOIN fitems b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 2
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, ps FROM pairs
+        UNION ALL
+        SELECT pb AS antecedent, pa AS consequent, ps FROM pairs
+    )
+    SELECT r.antecedent, r.consequent,
+           CAST(r.ps AS BIGINT) AS pair_support,
+           CAST(ia.s AS BIGINT) AS ante_support,
+           CAST(ic.s AS BIGINT) AS cons_support,
+           round(r.ps * 1.0 / ia.s, 4) AS confidence,
+           round(r.ps * 1.0 * n.n_orders / (ia.s * 1.0 * ic.s), 4) AS lift
+    FROM rules r
+    JOIN isup ia ON r.antecedent = ia.l_partkey
+    JOIN isup ic ON r.consequent = ic.l_partkey
+    CROSS JOIN n
+    ORDER BY lift DESC, confidence DESC, antecedent, consequent
+    LIMIT 25
+    """,
+    "ASSOCIATION RULES over the market baskets: the frequent pairs "
+    "(same a-priori prune as frequent_part_pairs) become directed "
+    "rules A=>B scored with CONFIDENCE supp(AB)/supp(A) and LIFT "
+    "conf/P(B) — the co-purchase signal ranked by how far it beats "
+    "the independence baseline, which raw pair support can't tell "
+    "(Agrawal/Srikant, VLDB'94). All ratios divide exact integer "
+    "supports, so both engines compute identical doubles. Scale: the "
+    "pair rollup is the only order-keyed shuffle; item supports are "
+    "catalog-grain and broadcast onto the rules; the basket count is "
+    "a 1-row scalar broadcast; top-25 is TakeOrderedAndProject",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    isup = (
+        items.groupBy("l_partkey").agg(F.count("*").alias("s")).localCheckpoint(eager=False)
+    )
+    freq = isup.filter(F.col("s") >= 3).select("l_partkey")
+    fitems = items.join(F.broadcast(freq), "l_partkey").localCheckpoint(eager=False)
+    a, b = fitems.alias("a"), fitems.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("ps"))
+        .filter(F.col("ps") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "ps"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "ps"
+        )
+    )
+    ia = isup.select(F.col("l_partkey").alias("antecedent"), F.col("s").alias("sa"))
+    ic = isup.select(F.col("l_partkey").alias("consequent"), F.col("s").alias("sc"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("ps").alias("pair_support"),
+            F.col("sa").alias("ante_support"),
+            F.col("sc").alias("cons_support"),
+            F.round(F.col("ps") * 1.0 / F.col("sa"), 4).alias("confidence"),
+            F.round(
+                F.col("ps") * 1.0 * F.col("n_orders")
+                / (F.col("sa") * 1.0 * F.col("sc")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("confidence").desc(),
+            "antecedent",
+            "consequent",
+        )
+        .limit(25)
+    )

@@ -23,7 +23,7 @@ def test_readme_counts_match_registry():
         f"registry has {oracled}/{total} — update README.md"
     )
 
-    m2 = re.search(r"plans/queries\.py\s+(\d+) named queries", text)
+    m2 = re.search(r"plans/\*\.py\s+(\d+) named queries", text)
     assert m2, "README layout count line missing"
     assert int(m2.group(1)) == total, (
         f"README layout says {m2.group(1)} queries; registry has {total}"

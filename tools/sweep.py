@@ -95,7 +95,8 @@ def _sharded(args) -> int:
     t0 = time.time()
     procs, outs = [], []
     for i, shard in enumerate(shards):
-        out = tempfile.mktemp(prefix=f"sweep_shard{i}_", suffix=".json")
+        fd, out = tempfile.mkstemp(prefix=f"sweep_shard{i}_", suffix=".json")
+        os.close(fd)
         outs.append(out)
         procs.append(
             subprocess.Popen(
@@ -124,8 +125,15 @@ def _sharded(args) -> int:
         try:
             with open(out) as fh:
                 results.update(json.load(fh))
-        except FileNotFoundError:
+        except (FileNotFoundError, json.JSONDecodeError):
+            # mkstemp pre-creates the file, so a shard that died before
+            # writing leaves it empty rather than absent
             pass
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
     # registry order, not shard order, so artifact diffs are stable
     results = {n: results[n] for n in names if n in results}
     failures = [
