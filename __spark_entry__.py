@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twin per query (omitted where the op is
-    not SQL-expressible — driver records a rows-only check)."""
+    """DuckDB-runnable ANSI-SQL twin per query — every registry entry
+    carries one (the live streaming entries are oracled against their
+    batch twins; a fully-drained finite stream equals the batch
+    computation, see plans/streaming.py)."""
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

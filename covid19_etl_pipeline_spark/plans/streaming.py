@@ -1,8 +1,18 @@
-"""Live Structured Streaming executions (rows-only entries; correctness is
-carried by the stream==batch equality tests).
+"""Live Structured Streaming executions.
 
-Registered query family (6 entries); split from the
-original monolithic plans/queries.py.
+Registered query family (6 entries); split from the original monolithic
+plans/queries.py.
+
+Every entry here EXECUTES the stream (readStream -> stateful operators
+-> memory sink driven to completion) and carries a full DuckDB oracle
+equal to its batch twin: a fully-drained finite stream equals the batch
+computation because the rollup entries run in complete mode (no
+eviction), dedup runs without a watermark (exact state), and the staged
+source is a single parquet file so the watermarked stream-stream join
+drains in one micro-batch (the watermark never advances mid-stream; the
+stream==batch pytest equality tests prove the same identity under
+multi-batch arrival). Aggregated doubles are rounded to 4 decimals on
+both sides per the plans/_registry.py conventions.
 """
 
 from __future__ import annotations
@@ -41,18 +51,26 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
 @_register(
     "streaming_daily_rollup_live",
-    None,  # genuinely streaming — driver records the rows-only check;
-    # tests/test_sources_streaming.py proves stream == batch rollup
+    """
+    SELECT CAST(time_bucket(INTERVAL 1 DAY, ts) AS DATE) AS event_date,
+           round(sum(value), 4) + 0.0                    AS total_value,
+           count(user_id)                                AS users_reporting
+    FROM events
+    GROUP BY event_date
+    ORDER BY event_date
+    """,
     "LIVE Structured Streaming execution of the daily rollup (SURVEY "
     "§2.9 extension): file-source readStream over a staged copy of "
     "events -> 1-day watermark -> 1-day tumbling window -> sum/"
     "non-null-count (the reference's aggregate_by_date semantics, "
     "data_transformer.py:258-276) -> memory sink driven to completion. "
     "Incremental state replaces the reference's daily full-table "
-    "recompute; the watermark bounds state for late data. Not "
-    "SQL-expressible (stateful incremental execution), so no oracle — "
-    "the batch twin daily_rollup_7day carries the hash check, and the "
-    "stream==batch equality test carries this one",
+    "recompute; the watermark bounds state for late data. Oracled "
+    "(r04 verdict #8): COMPLETE output mode evicts nothing, so the "
+    "fully-drained stream equals the batch rollup exactly — the "
+    "epoch-aligned 1-day window is DuckDB's time_bucket; the "
+    "stream==batch equality test proves the same identity under "
+    "multi-batch arrival",
 )
 def streaming_daily_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.streaming.daily_rollup import (
@@ -64,21 +82,57 @@ def streaming_daily_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = _staged_events_dir(spark, sf_dir)
     rollup = streaming_daily_rollup(read_events_stream(spark, staging, 8))
     run_to_memory_sink(rollup, "streaming_daily_rollup_live")
-    return spark.table("streaming_daily_rollup_live").orderBy("event_date")
+    return (
+        spark.table("streaming_daily_rollup_live")
+        .select(
+            "event_date",
+            (F.round("total_value", 4) + F.lit(0.0)).alias("total_value"),
+            "users_reporting",
+        )
+        .orderBy("event_date")
+    )
 
 
 @_register(
     "streaming_session_rollup_live",
-    None,  # stateful streaming (merging session windows) — rows-only;
-    # tests prove batch == streaming session semantics
+    """
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM lagged
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events,
+           round(sum(value), 4) + 0.0     AS session_value
+    FROM marked
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
     "LIVE streaming session windows (SURVEY §2.9 extension): "
     "file-source stream -> 10-min watermark -> dynamic-gap "
     "session_window per user -> per-session count/sum, driven to "
     "completion through a memory sink in complete mode. Session "
     "windows MERGE as events arrive — state the watermark bounds and "
-    "evicts; the batch twin (sessionize / session_rollup tests) "
-    "carries the value checks, this entry proves the incremental "
-    "execution path end-to-end",
+    "evicts in append mode; complete mode evicts nothing, so the "
+    "drained stream equals the batch session build exactly. Oracled "
+    "(r04 verdict #8) via the lag+cumulative-flag sessionize idiom: "
+    "a new session starts when the gap to the previous event is "
+    ">= 30 min (session_window merges overlapping [ts, ts+gap) "
+    "intervals, so an exact-gap event starts a NEW session); "
+    "session_end = last ts + gap, matching session_window.end",
 )
 def streaming_session_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.streaming.daily_rollup import (
@@ -90,15 +144,27 @@ def streaming_session_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame
     staging = _staged_events_dir(spark, sf_dir)
     rollup = streaming_session_rollup(read_events_stream(spark, staging, 8))
     run_to_memory_sink(rollup, "streaming_session_rollup_live")
-    return spark.table("streaming_session_rollup_live").orderBy(
-        "user_id", "session_start"
+    return (
+        spark.table("streaming_session_rollup_live")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            (F.round("session_value", 4) + F.lit(0.0)).alias("session_value"),
+        )
+        .orderBy("user_id", "session_start")
     )
 
 
 @_register(
     "streaming_dedup_live",
-    None,  # genuinely streaming — driver records the rows-only check;
-    # the deduped row count equals the exact batch-distinct count
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     "LIVE streaming deduplication (streaming.stateful.streaming_dedup): "
     "the staged events stream unioned with itself (an at-least-once "
     "source that redelivers every row) -> dropDuplicates on event_id "
@@ -106,9 +172,10 @@ def streaming_session_rollup_live(spark: SparkSession, sf_dir: str) -> DataFrame
     "input collapsed back to exactly one row per event. State is "
     "per-key and watermark-evictable (dropDuplicatesWithinWatermark) "
     "in the bounded-state production form; the exact no-watermark form "
-    "runs here so the result is deterministic for the rows-only "
-    "check. Not SQL-expressible (incremental stateful execution); "
-    "batch twin = exact_dedup, stream==batch equality in "
+    "runs here so the drained result is deterministic. Oracled (r04 "
+    "verdict #8): event_id is the events PK, so deduping the doubled "
+    "stream reproduces the base table and the per-type rollup equals "
+    "a plain batch GROUP BY; stream==batch equality in "
     "tests/test_streaming_stateful.py",
 )
 def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,16 +200,31 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_join_live",
-    None,  # genuinely streaming — driver records the rows-only check
+    """
+    SELECT p.user_id                  AS user_id,
+           count(*)                   AS n_context_rows,
+           count(DISTINCT p.event_id) AS n_purchases
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 60 MINUTE
+     AND e.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.user_id
+    ORDER BY user_id
+    """,
     "LIVE watermarked stream-stream join (streaming.joins."
     "purchase_context_join): purchases stream inner-joined to the same "
     "user's events in the preceding 60 minutes, equi key + time-range "
     "predicate over two watermarked file streams -> memory sink -> "
     "batch per-user rollup of joined pairs. Both sides buffer only "
     "within the watermark horizon, so state is O(window), not "
-    "O(stream) — the streaming twin of the batch events_before_"
-    "purchase range join, which carries the hash check for these "
-    "semantics",
+    "O(stream). Oracled (r04 verdict #8) with the batch range-join "
+    "SQL: the staged source is one parquet file, so the join drains "
+    "in a single micro-batch and the watermark never evicts a "
+    "buffered row before its matches arrive — under multi-batch "
+    "arrival the same identity is proven by the stream==batch "
+    "equality test (tests/test_streaming_stateful.py)",
 )
 def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.streaming.daily_rollup import (
@@ -193,18 +275,35 @@ def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
 
 @_register(
     "streaming_corpus_gate_live",
-    None,  # genuinely streaming — rows-only check; the batch twins
-    # (text_quality gate + exact_dedup) carry the hash checks
+    r"""
+    SELECT lang,
+           count(*)                     AS n_admitted,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, min(n_chars) AS n_chars
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        GROUP BY lang, md5(text)
+    ) survivors
+    GROUP BY lang
+    ORDER BY lang
+    """,
     "LIVE streaming corpus intake — the ingestion half of the training "
     "pipeline run as a stream: documents file-stream -> quality gate "
     "(>= 5 tokens, the training_corpus precondition) -> streaming "
-    "exact dedup on the content fingerprint -> append sink -> per-lang "
-    "admitted counts. Composes the same operators the batch capstone "
-    "verifies, incrementally: a crawl batch landing every few minutes "
-    "is gated and deduped as it arrives instead of re-scanning the "
-    "corpus nightly; fingerprint state is per-key (watermark-evictable "
-    "at scale against a persisted index — the incremental_corpus_dedup "
-    "batch twin is the replay/backfill path)",
+    "exact dedup on (lang, content fingerprint) -> append sink -> "
+    "per-lang admitted counts. Composes the same operators the batch "
+    "capstone verifies, incrementally: a crawl batch landing every few "
+    "minutes is gated and deduped as it arrives instead of re-scanning "
+    "the corpus nightly; fingerprint state is per-key (watermark-"
+    "evictable at scale against a persisted index — the "
+    "incremental_corpus_dedup batch twin is the replay/backfill path). "
+    "Oracled (r04 verdict #8): keying the dedup on (lang, fp) instead "
+    "of fp alone makes the rollup deterministic at EVERY scale — the "
+    "sf0.1 corpus has 7 identical texts labeled with two langs, and a "
+    "fp-only dedup would keep an arrival-order-dependent copy; every "
+    "aggregated column (lang in the key; n_chars a function of text) "
+    "is then independent of which physical row survived",
 )
 def streaming_corpus_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.streaming.daily_rollup import run_to_memory_sink
@@ -219,7 +318,7 @@ def streaming_corpus_gate_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = (
         stream.filter(F.size(text.tokens("text")) >= 5)
         .withColumn("__fp", F.md5(F.col("text").cast("binary")))
-        .dropDuplicates(["__fp"])
+        .dropDuplicates(["lang", "__fp"])
     )
     run_to_memory_sink(gated, "streaming_corpus_gate_live", output_mode="append")
     return (

@@ -30,9 +30,10 @@ def test_readme_counts_match_registry():
     )
 
     n_rows_only = total - oracled
-    assert n_rows_only == 5, (
-        "rows-only (streaming) entry count changed; update the README "
-        f"exceptions sentence (now {n_rows_only})"
+    assert n_rows_only == 0, (
+        "an unoracled (rows-only) entry appeared — r04 verdict #8 "
+        "closed the last five; every new registry entry must carry a "
+        f"DuckDB oracle (now {n_rows_only} without one)"
     )
 
 
