@@ -52,19 +52,22 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Real image decode for PNG payloads (the one raster format whose
-    codec is pure stdlib: zlib + the filter math below). Other formats
-    (JPEG/WebP/...) need external codec libraries this container does
-    not ship and raise — the plumbing around them is production-shaped;
-    dispatching a PIL/opencv body here is the one-function swap."""
+    """Real image decode for the raster formats whose codecs are pure
+    stdlib: PNG (zlib + filter math), uncompressed 24-bit BMP, and
+    binary netpbm (P5 PGM / P6 PPM). Other formats (JPEG/WebP/...)
+    need external codec libraries this container does not ship and
+    raise — the plumbing around them is production-shaped; dispatching
+    a PIL/opencv body here is the one-function swap."""
     if payload is not None and bytes(payload[:8]) == _PNG_SIG:
         return decode_png(bytes(payload))
     if payload is not None and _sniff_bmp(bytes(payload)):
         return decode_bmp(bytes(payload))
+    if payload is not None and _sniff_ppm(bytes(payload)):
+        return decode_ppm(bytes(payload))
     raise NotImplementedError(
-        "only PNG and BMP decode without external codec libraries; "
-        "extract_features uses the deterministic stub featurizer "
-        "for other payloads (JPEG/WebP need codec libs this "
+        "only PNG, BMP, and binary PGM/PPM decode without external "
+        "codec libraries; extract_features uses the deterministic stub "
+        "featurizer for other payloads (JPEG/WebP need codec libs this "
         "container does not ship)"
     )
 
@@ -287,6 +290,123 @@ def decode_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     if not top_down:
         rows = rows[::-1]
     return width, height, rows[:, :, ::-1].copy()  # BGR→RGB
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """REAL binary-netpbm encode — P6 (RGB) for 3-channel input, P5
+    (PGM grayscale) for 1-channel. Pure stdlib: an ASCII header
+    (magic, width, height, maxval) followed by the raw raster, no
+    padding, no compression — the third uncompressed-raster codec
+    beside PNG and BMP."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch == 3:
+        magic = b"P6"
+    elif ch == 1:
+        magic = b"P5"
+    else:
+        raise ValueError(f"netpbm supports 1 or 3 channels, got {ch}")
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+
+def _sniff_ppm(payload: bytes) -> bool:
+    """Binary-netpbm sniff: P5/P6 magic followed by a whitespace byte
+    (the netpbm grammar requires one; a random 'P6x...' blob falls
+    through to decode_image's NotImplementedError path)."""
+    return (
+        len(payload) >= 3
+        and payload[:2] in (b"P5", b"P6")
+        and payload[2:3].isspace()
+    )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL binary-netpbm decode: P5 (PGM grayscale) / P6 (PPM RGB)
+    magic, whitespace- and comment-tolerant header scan ('#' runs to
+    end of line per the netpbm spec), 8-bit maxval only. Returns
+    ``(width, height, pixels)`` with pixels uint8 (h, w, {1,3}).
+    Malformed headers, non-255 maxval, or a short raster raise
+    ValueError — same raise-rather-than-mis-decode contract as
+    :func:`decode_png` / :func:`decode_bmp`."""
+    if payload is None or len(payload) < 3 or payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad netpbm header token {tok!r}")
+        fields.append(int(tok))
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid netpbm dimensions {width}x{height}")
+    if maxval != 255:
+        raise ValueError(f"only 8-bit netpbm supported (maxval {maxval})")
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    need = width * height * channels
+    if len(payload) < pos + need:
+        raise ValueError("netpbm pixel payload length mismatch")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return width, height, px.reshape(height, width, channels).copy()
+
+
+def synth_ppm_assets(df: DataFrame, id_col: str, w_col: str, h_col: str) -> DataFrame:
+    """Build real binary-netpbm payloads for (asset_id, width, height)
+    rows over the closed-form :func:`synth_pixels` grid — EVEN asset
+    ids encode as P6 RGB, ODD as P5 grayscale, so one fixture frame
+    exercises both magics and both channel shapes through the same
+    Arrow-batched encode boundary as the PNG/BMP fixtures."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            ws = pdf[w_col].astype("int64")
+            hs = pdf[h_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "payload": [
+                        encode_ppm(
+                            synth_pixels(
+                                int(i), int(w), int(h),
+                                channels=3 if int(i) % 2 == 0 else 1,
+                            )
+                        )
+                        for i, w, h in zip(ids, ws, hs)
+                    ],
+                }
+            )
+
+    return df.select(id_col, w_col, h_col).mapInPandas(encode, schema=schema)
+
+
+def ppm_channel_stats(assets: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics of DECODED netpbm payloads — same
+    featurizer and hash-match contract as :func:`png_channel_stats` /
+    :func:`bmp_channel_stats`; P5 assets emit one channel row, P6
+    three."""
+    return image_channel_stats(assets, decode_ppm)
 
 
 def synth_bmp_assets(df: DataFrame, id_col: str, w_col: str, h_col: str) -> DataFrame:

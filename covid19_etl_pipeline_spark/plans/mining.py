@@ -190,6 +190,12 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LEFT SEMI filter, so pass 2's pair rollup shuffles only pairs "
     "whose bucket could reach min-support — at 100 TB the shuffle "
     "volume drops by the infrequent-pair fraction, the PCY win. "
+    "MEASURED (SCALE.md §11, tools/pcy_crossover.py): the prune only "
+    "engages when B ≳ P/minsup — the fixed 65536 here is sized for "
+    "the test corpus; at scale B must grow with the pair space — and "
+    "on a single node the memory-resident pair shuffle means a-priori "
+    "wins at every tested size, so this stays the documented cluster-"
+    "scale alternative, not the headline plan. "
     "Baskets are lazily checkpointed so both passes share one "
     "distinct+filter computation; the bucket hash is a physical "
     "detail (never in the output), so it needs no oracle portability",

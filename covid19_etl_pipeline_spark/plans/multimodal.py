@@ -394,6 +394,76 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_ppm_stats",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               14 + (doc_id % 5) * 9 AS w,
+               8 + (doc_id % 3) * 6 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS nch
+        FROM documents WHERE doc_id >= 150 AND doc_id < 290
+    ),
+    ys AS (SELECT doc_id, w, h, nch, unnest(range(0, h)) AS y FROM base),
+    xs AS (SELECT doc_id, w, h, nch, y, unnest(range(0, w)) AS x FROM ys),
+    px AS (
+        SELECT doc_id, w, h, y, x, unnest(range(0, nch)) AS c FROM xs
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channel,
+           CAST(sum((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256) AS BIGINT)
+               AS sum_value,
+           round(sum((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256) * 1.0
+                 / (w * h), 4) + 0.0 AS mean_value,
+           CAST(min((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256) AS INT)
+               AS min_value,
+           CAST(max((doc_id * 31 + y * 7 + x * 3 + c * 11) % 256) AS INT)
+               AS max_value
+    FROM px
+    GROUP BY doc_id, w, h, c
+    ORDER BY asset_id, channel
+    """,
+    "third REAL raster codec in the multimodal slot (r04 verdict #7 — "
+    "the cheapest honest close-out of the decode dispatch): the closed-"
+    "form pixel grids are encoded as genuine binary netpbm — EVEN asset "
+    "ids as P6 RGB, ODD as P5 grayscale, so both magics, both channel "
+    "shapes, and the whitespace-header grammar are exercised — then "
+    "DECODED back (multimodal.decode_ppm: magic check, comment-tolerant "
+    "header scan, maxval validation, raster length check) and reduced "
+    "to per-channel pixel statistics through the SAME featurizer as the "
+    "PNG/BMP paths. The oracle recomputes every pixel from the closed "
+    "form (P5 assets contribute exactly the channel-0 row); a hash "
+    "match proves the netpbm round trip is byte-exact. "
+    "NotImplementedError now narrows to JPEG/WebP — formats whose "
+    "codecs genuinely cannot be had from the stdlib",
+)
+def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 290)
+    )
+    base = spread(docs, "doc_id", partitions=8).select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(14) + (F.col("doc_id") % 5) * 9).cast("int").alias("w"),
+        (F.lit(8) + (F.col("doc_id") % 3) * 6).cast("int").alias("h"),
+    )
+    assets = multimodal.synth_ppm_assets(base, "asset_id", "w", "h")
+    stats = multimodal.ppm_channel_stats(assets)
+    return stats.select(
+        "asset_id",
+        "width",
+        "height",
+        "channel",
+        "sum_value",
+        (F.round("mean_value", 4) + F.lit(0.0)).alias("mean_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("asset_id", "channel")
+
+
+@_register(
     "multimodal_frame_sample",
     """
     WITH assets AS (

@@ -205,6 +205,50 @@ def test_png_codec_roundtrip():
         decode_png(b"not a png")
 
 
+def test_ppm_codec_roundtrip():
+    """Pure-stdlib binary-netpbm codec: P6 (RGB) and P5 (grayscale)
+    encode→decode identity, comment-tolerant header parsing, and the
+    raise-rather-than-mis-decode contract for malformed payloads."""
+    import numpy as np
+    import pytest
+
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(9, 7, 3), (6, 4, 1), (5, 6)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, back = decode_ppm(encode_ppm(px))
+        exp = px[:, :, None] if px.ndim == 2 else px
+        assert (w, h) == (exp.shape[1], exp.shape[0])
+        assert np.array_equal(back, exp)
+
+    # deterministic blobs + decode_image dispatch
+    assert encode_ppm(px) == encode_ppm(px)
+    w, h, _ = decode_image(encode_ppm(px))
+    assert (w, h) == (6, 5)
+    # netpbm allows '#' comments anywhere between header tokens
+    commented = b"P6\n# a comment\n2 1\n# another\n255\n" + bytes(6)
+    w, h, back = decode_ppm(commented)
+    assert (w, h) == (2, 1) and back.shape == (1, 2, 3)
+    # malformed payloads raise ValueError, never mis-decode
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))  # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n255\n" + bytes(3))  # short raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\nx 1\n255\n" + bytes(6))  # non-numeric header
+    # a 4-channel array has no netpbm form
+    with pytest.raises(ValueError):
+        encode_ppm(np.zeros((2, 2, 4), dtype=np.uint8))
+    # non-netpbm payload falls through decode_image to the stub path
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P9 not a real magic")
+
+
 def test_png_resize_nn_and_stats(spark):
     """Distributed decode→NN-resize→re-encode→decode: a constant-color
     image stays constant through resize; dims follow the integer

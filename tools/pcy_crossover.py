@@ -131,7 +131,14 @@ def main() -> int:
 
     from covid19_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="pcy-crossover")
+    # the default 1g local-mode driver heap OOMs on the ~19M-pair
+    # expansion (32 concurrent tasks each holding pair arrays + the
+    # lazily checkpointed basket blocks); the experiment needs a real
+    # heap, it is not a plan defect
+    spark = get_spark(
+        app_name="pcy-crossover",
+        extra_conf={"spark.driver.memory": "24g"},
+    )
     baskets = build_baskets(
         spark, args.baskets, args.size, args.head, args.tail
     )

@@ -38,6 +38,9 @@ PANDAS_OK = {
     # real BMP encode+decode (stdlib struct) — same reviewed
     # codec-in-Arrow-batch shape as the PNG/WAV entries
     "multimodal_bmp_stats",
+    # real binary-netpbm (P5/P6) encode+decode — same reviewed
+    # codec-in-Arrow-batch shape
+    "multimodal_ppm_stats",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
