@@ -38,3 +38,14 @@ def test_oracles_only_reference_catalog_tables():
         targets = re.findall(r"(?i)\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle)
         unknown = [t for t in targets if t.lower() not in catalog and t not in ctes]
         assert not unknown, (name, unknown)
+
+
+def test_registry_order_is_canonical():
+    """REGISTRY iteration order must equal the pinned canonical order
+    EXACTLY (plans/_order.py). The driver's sampling and cross-round
+    artifact diffs key off names, but order stability removes a
+    variable — and this guard forces every new query to be pinned
+    rather than silently appended in module-import order."""
+    from covid19_etl_pipeline_spark.plans._order import CANONICAL_ORDER
+
+    assert list(REGISTRY) == CANONICAL_ORDER
