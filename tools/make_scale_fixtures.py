@@ -2,10 +2,12 @@
 curvature spot-bench (r04 verdict #6). NEVER touches /root/testdata —
 writes to --out (default /tmp/spark_graft_sfx{k}).
 
-Construction: k copies of each fact table with DISJOINT key spaces
-(key columns offset by copy_index * 1e8; foreign keys offset in
-lockstep so referential integrity holds within every copy). The global
-dimensions (region, nation) are shared, as they would be at any scale.
+Construction: each fact table cross-joined with a k-row copy index
+(ONE compact plan at any k — a k-way unionByName chain blows up plan
+analysis around k~100), key columns offset by copy * 1e8 with foreign
+keys offset in lockstep so referential integrity holds within every
+copy. The global dimensions (region, nation) are shared, as they would
+be at any scale.
 
 Copy independence is engineered so the measured queries scale by
 ENGINE cost, not by data-structure artifacts:
@@ -18,9 +20,9 @@ ENGINE cost, not by data-structure artifacts:
   survives, so quality gates behave identically in every copy. The
   baseline (k=1) is built through the SAME transform, so the two
   scales compare like with like.
-- embeddings: vectors are component-rotated by the copy index —
-  within-copy cosine structure is exactly preserved, cross-copy
-  cosines are scrambled (no artificial cross-copy near-duplicates).
+- embeddings: vectors are component-rotated by copy % 64 — within-copy
+  cosine structure is exactly preserved, cross-copy cosines are
+  scrambled (no artificial cross-copy near-duplicates).
 
 Usage:
   python tools/make_scale_fixtures.py [--src /root/testdata/sf0.1]
@@ -51,16 +53,18 @@ KEYED = {
 SHARED_DIMS = ("region", "nation")
 OFFSET = 100_000_000
 EMB_DIM = 64
+COPY = "__copy"
 
 
-def salted_documents(df, i: int):
+def salt_documents(df):
     toks = F.split(F.trim(F.col("text")), r"\s+")
     salted = F.concat_ws(
         " ",
         F.transform(
             toks,
             lambda x, j: F.when(
-                j % 2 == 1, F.concat(x, F.lit(f"zq{i}"))
+                j % 2 == 1,
+                F.concat(x, F.lit("zq"), F.col(COPY).cast("string")),
             ).otherwise(x),
         ),
     )
@@ -69,14 +73,14 @@ def salted_documents(df, i: int):
     )
 
 
-def rotated_embeddings(df, i: int):
-    r = i % EMB_DIM
-    if r == 0:
-        return df
+def rotate_embeddings(df):
+    r = F.col(COPY) % EMB_DIM
     emb = F.col("embedding")
+    rotated = F.concat(
+        F.slice(emb, r + 1, F.lit(EMB_DIM) - r), F.slice(emb, F.lit(1), r)
+    )
     return df.withColumn(
-        "embedding",
-        F.concat(F.slice(emb, r + 1, EMB_DIM - r), F.slice(emb, 1, r)),
+        "embedding", F.when(r == 0, emb).otherwise(rotated)
     )
 
 
@@ -93,35 +97,34 @@ def main() -> int:
     from covid19_etl_pipeline_spark.catalog import load_table
     from covid19_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="make-scale-fixtures")
+    spark = get_spark(
+        app_name="make-scale-fixtures",
+        extra_conf={"spark.driver.memory": "16g"},
+    )
     os.makedirs(out, exist_ok=True)
 
     for name in SHARED_DIMS:
         load_table(spark, args.src, name).write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
-        print(f"{name}: copied")
+        print(f"{name}: copied", flush=True)
 
+    copies = spark.range(args.k).withColumnRenamed("id", COPY)
     for name, keys in KEYED.items():
-        base = load_table(spark, args.src, name)
-        copies = []
-        for i in range(args.k):
-            c = base
-            for kcol in keys:
-                c = c.withColumn(kcol, F.col(kcol) + F.lit(i * OFFSET))
-            if name == "documents":
-                c = salted_documents(c, i)
-            elif name == "embeddings":
-                c = rotated_embeddings(c, i)
-            copies.append(c)
-        df = copies[0]
-        for c in copies[1:]:
-            df = df.unionByName(c)
-        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
-        print(f"{name}: x{args.k}")
+        df = load_table(spark, args.src, name).crossJoin(F.broadcast(copies))
+        for kcol in keys:
+            df = df.withColumn(kcol, F.col(kcol) + F.col(COPY) * OFFSET)
+        if name == "documents":
+            df = salt_documents(df)
+        elif name == "embeddings":
+            df = rotate_embeddings(df)
+        df.drop(COPY).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+        print(f"{name}: x{args.k}", flush=True)
 
     spark.stop()
-    print(f"wrote {out}")
+    print(f"wrote {out}", flush=True)
     return 0
 
 
