@@ -37,9 +37,16 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     staging = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_events_{key}")
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         # write-to-temp + atomic rename: concurrent stagers race benignly
-        # (one rename wins, losers read the winner's complete copy)
+        # (one rename wins, losers read the winner's complete copy).
+        # coalesce(1) pins the single-file invariant the watermarked
+        # stream-stream join's oracle relies on (one file -> one
+        # micro-batch -> the watermark never evicts a buffered row
+        # before its matches arrive); it held incidentally at the test
+        # SFs, this makes it explicit at any SF.
         tmp = staging + f".tmp{os.getpid()}"
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+        load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         try:
             os.rename(tmp, staging)
         except OSError:
@@ -263,7 +270,9 @@ def _staged_docs_dir(spark: SparkSession, sf_dir: str) -> str:
     staging = os.path.join(tempfile.gettempdir(), f"spark_graft_stage_docs_{key}")
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         tmp = staging + f".tmp{os.getpid()}"
-        load_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(tmp)
+        load_table(spark, sf_dir, "documents").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         try:
             os.rename(tmp, staging)
         except OSError:

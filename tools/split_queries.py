@@ -307,6 +307,12 @@ IMPORT_ORDER = [
 
 
 def main() -> None:
+    if (PLANS / "_registry.py").exists() and "--force" not in sys.argv:
+        sys.exit(
+            "the split already ran (plans/_registry.py exists); re-running "
+            "would clobber post-split hand edits (cross-family imports, "
+            "_order.py additions). Pass --force only if you know why."
+        )
     src_text = SRC.read_text()
     lines = src_text.splitlines(keepends=True)
     tree = ast.parse(src_text)
