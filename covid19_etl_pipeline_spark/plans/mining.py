@@ -184,24 +184,25 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-matched against the same a-priori oracle to prove the prune "
     "LOSSLESS (bucket count >= true pair support, so no qualifying "
     "pair can land in a pruned bucket). Pass 1 generates candidate "
-    "pairs in-basket (array expansion, map-side) but shuffles only "
-    "65536 bucket counters (xxhash64(pair) mod B with map-side "
-    "combine), never the pairs; frequent buckets broadcast back as a "
-    "LEFT SEMI filter, so pass 2's pair rollup shuffles only pairs "
-    "whose bucket could reach min-support — at 100 TB the shuffle "
-    "volume drops by the infrequent-pair fraction, the PCY win. "
+    "pairs in-basket (array expansion, map-side) but shuffles only B "
+    "bucket counters (xxhash64(pair) mod B with map-side combine), "
+    "never the pairs; frequent buckets broadcast back as a LEFT SEMI "
+    "filter, so pass 2's pair rollup shuffles only pairs whose bucket "
+    "could reach min-support — at 100 TB the shuffle volume drops by "
+    "the infrequent-pair fraction, the PCY win. "
     "MEASURED (SCALE.md §11, tools/pcy_crossover.py): the prune only "
-    "engages when B ≳ P/minsup — the fixed 65536 here is sized for "
-    "the test corpus; at scale B must grow with the pair space — and "
-    "on a single node the memory-resident pair shuffle means a-priori "
-    "wins at every tested size, so this stays the documented cluster-"
-    "scale alternative, not the headline plan. "
+    "engages when B ≳ P/minsup, so B is now AUTO-SIZED from the exact "
+    "candidate-pair count (Σ C(|basket|,2), one scalar probe that "
+    "doubles as the basket checkpoint's materializing action) with 4x "
+    "headroom — B is a physical knob, the lossless prune makes the "
+    "result B-invariant. On a single node the memory-resident pair "
+    "shuffle means a-priori wins at every tested size, so this stays "
+    "the documented cluster-scale alternative, not the headline plan. "
     "Baskets are lazily checkpointed so both passes share one "
     "distinct+filter computation; the bucket hash is a physical "
     "detail (never in the output), so it needs no oracle portability",
 )
 def frequent_part_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_buckets = 1 << 16
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     freq = (
@@ -218,6 +219,18 @@ def frequent_part_pairs_pcy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # both passes read the baskets
     )
     n = F.size("arr")
+    minsup = 2
+    # SCALE.md §11's measured sizing rule, operationalized: pruning only
+    # engages when B >= candidate-pair space / minsup, so B is derived
+    # from the EXACT pair count (Σ C(|basket|,2) — one scalar agg whose
+    # action doubles as the basket checkpoint's materializer). 4x
+    # headroom keeps mean bucket load ~minsup/4. B is a physical knob:
+    # the prune is lossless at ANY B, so the result (and its oracle)
+    # are B-invariant.
+    n_pairs = baskets.select(
+        F.sum((n * (n - F.lit(1))) / 2).alias("p")
+    ).collect()[0]["p"] or 1
+    n_buckets = max(1 << 16, 1 << int(4 * n_pairs / minsup).bit_length())
     pair_structs = F.flatten(
         F.transform(
             "arr",

@@ -305,6 +305,21 @@ def test_semdedup_survivor_rule(spark):
     assert cells[0] == 0 and cells[1] == 1
 
 
+def test_semdedup_auto_quantizer(spark, sf_dir):
+    """k='auto' sizes the quantizer by the measured balanced rule
+    (SCALE.md §12b): k = max(8, isqrt(n)). Deterministic across runs,
+    and equivalent to passing the same k explicitly."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    auto = similarity.semdedup_survivors(emb, k="auto")
+    explicit = similarity.semdedup_survivors(emb, k=max(8, int(n**0.5)))
+    a = sorted(r["vec_id"] for r in auto.collect())
+    e = sorted(r["vec_id"] for r in explicit.collect())
+    assert a == e and 0 < len(a) <= n
+
+
 def test_lsh_max_bucket_cap(spark):
     """max_bucket: a degenerate bucket (many docs sharing a band
     signature) is dropped wholesale instead of expanding its quadratic
