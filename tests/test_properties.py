@@ -424,6 +424,29 @@ def test_png_codec_roundtrip_property(w, h, ch, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=17),
+    ch=st.sampled_from([1, 3]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, ch, seed):
+    """Property: binary-netpbm encode→decode is the identity for every
+    8-bit shape and both channel counts (P5 grayscale / P6 RGB),
+    including raster content that happens to contain header-looking
+    bytes ('#', whitespace, digits) — the raster is length-delimited,
+    never scanned."""
+    import numpy as np
+
+    from covid19_etl_pipeline_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    ww, hh, back = decode_ppm(encode_ppm(px))
+    assert (ww, hh) == (w, h)
+    assert np.array_equal(back, px)
+
+
+@given(
     edges=st.lists(
         st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
         min_size=0,
