@@ -162,18 +162,80 @@ def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) 
     """Assign each point to its nearest centroid (squared euclidean,
     expanded as ||v||² − 2·v·c + ||c||² so both engines evaluate the
     same dot products in the same element order). Centroids are
-    broadcast — the assignment is a map-side nested loop, no shuffle.
-    Ties break on centroid id."""
+    broadcast — the assignment is a map-side nested loop — and the
+    argmin is a ``min_by`` hash aggregate, NOT a window: a window over
+    the scored rows would hash-exchange all n·k of them (vector
+    payloads included), while the aggregate's map-side partial combine
+    collapses each point to one row before any shuffle. Same
+    deterministic (d2, cid) tie-break either way — a struct compares
+    lexicographically — so results are bit-identical; only the
+    physical plan changed (r05: the n·k window exchange was the
+    dominant cost of every centroid assignment at scale)."""
     d2 = (
         dot(F.col("v"), F.col("v"))
         - 2 * dot(F.col("v"), F.col("cv"))
         + dot(F.col("cv"), F.col("cv"))
     )
     scored = pts.join(F.broadcast(cent)).withColumn("d2", d2)
-    w = Window.partitionBy("pid").orderBy("d2", "cid")
-    out = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    cols = list(pts.columns) + ["cid"] + (["d2"] if keep_dist else [])
-    return out.select(*cols)
+    carry = [c for c in pts.columns if c != "pid"] + ["cid"] + (
+        ["d2"] if keep_dist else []
+    )
+    best = scored.groupBy("pid").agg(
+        F.min_by(F.struct(*carry), F.struct("d2", "cid")).alias("best")
+    )
+    return best.select("pid", *[F.col(f"best.{c}").alias(c) for c in carry])
+
+
+def _nearest_centroid_two_level(
+    pts: DataFrame, cent: DataFrame, keep_dist: bool = False
+) -> DataFrame:
+    """IMI-style two-level nearest-centroid assignment: the k leaf
+    centroids are grouped under g = isqrt(k) pivots (the first g
+    leaves; each leaf joins its nearest pivot's group), a point scores
+    the g pivots, descends into the winning group, and scores only
+    that group's leaves — ~2·√k distance evaluations per point instead
+    of k. This is the hierarchical-quantizer answer to the
+    assignment-bound regime measured in SCALE.md §12b.
+
+    APPROXIMATE by design: a point whose true nearest leaf lives in a
+    different pivot group gets its group-local nearest instead (the
+    standard IVF/IMI recall trade). Fine for cell-PARTITIONING uses —
+    near-identical vectors share distances, hence pivots, hence cells —
+    but NOT a drop-in for :func:`_nearest_centroid` in oracled plans.
+    Deterministic: every argmin tie-breaks on id."""
+    k = cent.count()  # cent is broadcast-sized by contract
+    g = max(1, math.isqrt(k))
+    pivots = (
+        cent.orderBy("cid")
+        .limit(g)
+        .select(F.col("cid").alias("gid"), F.col("cv").alias("gv"))
+    )
+    as_cent = pivots.select(
+        F.col("gid").alias("cid"), F.col("gv").alias("cv")
+    )
+    # leaves grouped under their nearest pivot (k·g work, fully lazy)
+    leaf_groups = _nearest_centroid(
+        cent.select(F.col("cid").alias("pid"), F.col("cv").alias("v")),
+        as_cent,
+    ).select(F.col("pid").alias("cid"), F.col("cid").alias("gid"))
+    leaves = cent.join(leaf_groups, "cid")
+    # level 1: n·g distance evaluations
+    p1 = _nearest_centroid(pts, as_cent).withColumnRenamed("cid", "gid")
+    # level 2: broadcast-hash join on gid — each point meets only its
+    # group's leaves (~k/g rows), argmin via the same min_by aggregate
+    d2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    scored = p1.join(F.broadcast(leaves), "gid").withColumn("d2", d2)
+    carry = [c for c in pts.columns if c != "pid"] + ["cid"] + (
+        ["d2"] if keep_dist else []
+    )
+    best = scored.groupBy("pid").agg(
+        F.min_by(F.struct(*carry), F.struct("d2", "cid")).alias("best")
+    )
+    return best.select("pid", *[F.col(f"best.{c}").alias(c) for c in carry])
 
 
 def lloyd_iterations(
@@ -246,6 +308,7 @@ def semdedup_survivors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
+    assign: str = "flat",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: partition the corpus with
     a coarse quantizer (deterministic first-k centroids — the trained
@@ -276,6 +339,13 @@ def semdedup_survivors(
     partition and therefore which near-dup pairs are compared — callers
     pinning an oracle must pin k explicitly.
 
+    ``assign="two_level"`` routes assignment through the IMI-style
+    hierarchical quantizer (:func:`_nearest_centroid_two_level`) —
+    ~2·√k distance evaluations per point instead of k, the remaining
+    lever once the argmin shuffle is gone (SCALE.md §12b). Cell
+    membership may differ from flat assignment near group boundaries,
+    so oracled callers keep the flat default.
+
     Returns (id, extra_cols..., cid) for surviving vectors.
     """
     if k == "auto":
@@ -295,7 +365,10 @@ def semdedup_survivors(
     # same RDD. LAZY: everything here is one plan with one action, so
     # the blocks materialize inside the caller's job instead of paying
     # a separate scheduler round-trip.
-    assigned = _nearest_centroid(pts, cent).localCheckpoint(eager=False)
+    assigner = (
+        _nearest_centroid_two_level if assign == "two_level" else _nearest_centroid
+    )
+    assigned = assigner(pts, cent).localCheckpoint(eager=False)
     unit = assigned.filter(dot(F.col("v"), F.col("v")) > 0).select(
         "pid",
         "cid",

@@ -320,6 +320,43 @@ def test_semdedup_auto_quantizer(spark, sf_dir):
     assert a == e and 0 < len(a) <= n
 
 
+def test_semdedup_two_level_assignment(spark, sf_dir):
+    """The IMI-style two-level assigner agrees with flat assignment on
+    the real fixture corpus when the group structure is trivial (k
+    small enough that g=isqrt(k) puts every leaf under one pivot), and
+    at larger k still produces a valid deterministic partition whose
+    survivors are reproducible run to run."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # g = isqrt(3) = 1 -> single pivot group -> two_level IS flat
+    flat = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(emb, k=3).collect()
+    )
+    two = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=3, assign="two_level"
+        ).collect()
+    )
+    assert two == flat
+    # larger k: approximate but deterministic; survivors reproducible
+    a = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=32, assign="two_level"
+        ).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=32, assign="two_level"
+        ).collect()
+    )
+    assert a == b and 0 < len(a) <= emb.count()
+
+
 def test_lsh_max_bucket_cap(spark):
     """max_bucket: a degenerate bucket (many docs sharing a band
     signature) is dropped wholesale instead of expanding its quadratic
