@@ -163,14 +163,15 @@ def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) 
     expanded as ||v||² − 2·v·c + ||c||² so both engines evaluate the
     same dot products in the same element order). Centroids are
     broadcast — the assignment is a map-side nested loop — and the
-    argmin is a ``min_by`` hash aggregate, NOT a window: a window over
-    the scored rows would hash-exchange all n·k of them (vector
-    payloads included), while the aggregate's map-side partial combine
-    collapses each point to one row before any shuffle. Same
-    deterministic (d2, cid) tie-break either way — a struct compares
-    lexicographically — so results are bit-identical; only the
-    physical plan changed (r05: the n·k window exchange was the
-    dominant cost of every centroid assignment at scale)."""
+    argmin is a ``min_by`` hash aggregate, NOT a window. Spark 4 does
+    give the row_number-filter form a map-side WindowGroupLimit, but
+    that path still SORTS the n·k scored rows (vector payloads
+    included) on both sides of the exchange; the aggregate keeps one
+    running min per point instead — measured 203 → 141 s on the
+    200k-vector × k=450 assignment (SCALE.md §12c). Same deterministic
+    (d2, cid) tie-break either way — a struct compares
+    lexicographically — so results are bit-identical; plan-only
+    change."""
     d2 = (
         dot(F.col("v"), F.col("v"))
         - 2 * dot(F.col("v"), F.col("cv"))
