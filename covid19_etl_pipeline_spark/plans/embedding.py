@@ -1212,6 +1212,88 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "semdedup_two_level_survivors",
+    """
+    WITH pts AS (
+        SELECT vec_id AS pid, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS cv
+        FROM pts WHERE pid < 36
+    ),
+    piv AS (
+        SELECT cid AS gid, cv AS gv FROM c0 WHERE cid < 6
+    ),
+    lg AS (
+        SELECT cid, gid FROM (
+            SELECT c.cid, p.gid,
+                   row_number() OVER (PARTITION BY c.cid ORDER BY
+                       list_dot_product(c.cv, c.cv)
+                         - 2 * list_dot_product(c.cv, p.gv)
+                         + list_dot_product(p.gv, p.gv), p.gid) AS rn
+            FROM c0 c, piv p) WHERE rn = 1
+    ),
+    p1 AS (
+        SELECT pid, label, v, gid FROM (
+            SELECT p.pid, p.label, p.v, g.gid,
+                   row_number() OVER (PARTITION BY p.pid ORDER BY
+                       list_dot_product(p.v, p.v)
+                         - 2 * list_dot_product(p.v, g.gv)
+                         + list_dot_product(g.gv, g.gv), g.gid) AS rn
+            FROM pts p, piv g) WHERE rn = 1
+    ),
+    a AS (
+        SELECT pid, label, cid, v FROM (
+            SELECT p1.pid, p1.label, c.cid, p1.v,
+                   row_number() OVER (PARTITION BY p1.pid ORDER BY
+                       list_dot_product(p1.v, p1.v)
+                         - 2 * list_dot_product(p1.v, c.cv)
+                         + list_dot_product(c.cv, c.cv), c.cid) AS rn
+            FROM p1 JOIN lg ON lg.gid = p1.gid
+                    JOIN c0 c ON c.cid = lg.cid) WHERE rn = 1
+    ),
+    u AS (
+        SELECT pid, cid,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+        FROM a WHERE list_dot_product(v, v) > 0
+    ),
+    dropped AS (
+        SELECT DISTINCT y.pid
+        FROM u x JOIN u y ON x.cid = y.cid AND x.pid < y.pid
+        WHERE list_dot_product(x.uv, y.uv) >= 0.35
+    )
+    SELECT a.pid AS vec_id, a.label, a.cid
+    FROM a LEFT JOIN dropped d ON a.pid = d.pid
+    WHERE d.pid IS NULL
+    ORDER BY vec_id
+    """,
+    "HIERARCHICAL (two-level / IMI-style) semantic dedup — the scale "
+    "path of `semdedup_survivors`, oracle-verified rather than merely "
+    "flagged: the k=36 leaf centroids group under g=isqrt(k)=6 pivots "
+    "(each leaf joins its nearest pivot), every vector scores the 6 "
+    "pivots, descends into the winning group, and scores only that "
+    "group's leaves — ~2*sqrt(k) distance evaluations per point "
+    "instead of k, the fix for the assignment-bound regime measured "
+    "in SCALE.md §12b/§12c (k=800 at the 100x corpus: flat 239s -> "
+    "two-level 49s). Assignment is deterministic (argmin tie-breaks "
+    "on id at every level), so the full hierarchy — pivot selection, "
+    "leaf grouping, two-stage descent, within-cell survivor rule — is "
+    "mirrored in the DuckDB oracle and hash-checked end to end",
+)
+def semdedup_two_level_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.semdedup_survivors(
+            emb, k=36, threshold=0.35, extra_cols=("label",),
+            assign="two_level",
+        )
+        .select("vec_id", "label", "cid")
+        .orderBy("vec_id")
+    )
+
+
+@_register(
     "embedding_outlier_docs",
     """
     WITH pts AS (
