@@ -241,16 +241,19 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 
 def _sniff_bmp(payload: bytes) -> bool:
     """BMP sniff stronger than the 2-byte 'BM' prefix (a non-BMP payload
-    could start with those bytes): the declared file size must match the
-    payload and the info-header size must be a known DIB size. A sniff
-    miss falls through to decode_image's NotImplementedError path; a
-    sniff HIT with malformed internals still raises ValueError from
-    decode_bmp, as documented there."""
+    could start with those bytes): the info-header size must be a known
+    DIB size and the declared file size must match the payload OR be 0
+    — many real-world writers emit bfSize=0 (the field is explicitly
+    unreliable in the wild), so requiring exact equality would bounce
+    valid external BMPs to the NotImplementedError path (ADVICE r05).
+    A sniff miss falls through to decode_image's NotImplementedError
+    path; a sniff HIT with malformed internals still raises ValueError
+    from decode_bmp, as documented there."""
     if len(payload) < 54 or payload[:2] != b"BM":
         return False
     (file_size,) = struct.unpack_from("<I", payload, 2)
     (info_size,) = struct.unpack_from("<I", payload, 14)
-    return file_size == len(payload) and info_size in (40, 52, 56, 108, 124)
+    return file_size in (0, len(payload)) and info_size in (40, 52, 56, 108, 124)
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, "np.ndarray"]:
@@ -353,8 +356,20 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         raise ValueError(f"invalid netpbm dimensions {width}x{height}")
     if maxval != 255:
         raise ValueError(f"only 8-bit netpbm supported (maxval {maxval})")
+    sep = payload[pos : pos + 1]
     pos += 1  # exactly ONE whitespace byte separates maxval from raster
     need = width * height * channels
+    if sep == b"\r" and payload[pos : pos + 1] == b"\n":
+        # CRLF-writing producer (common on Windows): the LF is the
+        # separator's second byte, not the first raster byte. Skip it
+        # only when the remaining length PROVES that reading (exact
+        # fit); keep the strict single-separator reading when IT fits
+        # exactly; anything else is ambiguous -> raise, never shift
+        # the whole raster by one (ADVICE r05).
+        if len(payload) == pos + 1 + need:
+            pos += 1
+        elif len(payload) != pos + need:
+            raise ValueError("ambiguous CRLF separator after netpbm maxval")
     if len(payload) < pos + need:
         raise ValueError("netpbm pixel payload length mismatch")
     px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)

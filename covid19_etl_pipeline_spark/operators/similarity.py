@@ -171,7 +171,10 @@ def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) 
     200k-vector × k=450 assignment (SCALE.md §12c). Same deterministic
     (d2, cid) tie-break either way — a struct compares
     lexicographically — so results are bit-identical; plan-only
-    change."""
+    change. Null-distance rows (null vector / null elements → d2 is
+    NULL for every centroid) order as +Infinity so they deterministically
+    take the lowest cid, matching the old window form's ``NULLS FIRST``
+    assignment; the carried d2 stays NULL either way."""
     d2 = (
         dot(F.col("v"), F.col("v"))
         - 2 * dot(F.col("v"), F.col("cv"))
@@ -182,45 +185,77 @@ def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) 
         ["d2"] if keep_dist else []
     )
     best = scored.groupBy("pid").agg(
-        F.min_by(F.struct(*carry), F.struct("d2", "cid")).alias("best")
+        F.min_by(F.struct(*carry), _argmin_key()).alias("best")
     )
     return best.select("pid", *[F.col(f"best.{c}").alias(c) for c in carry])
 
 
+def _argmin_key() -> Column:
+    """Ordering key for the ``min_by`` centroid argmin: (d2, cid) with
+    NULL d2 coalesced to +Infinity. ``min_by`` skips rows whose
+    ordering key is NULL-ish; coalescing keeps null-vector points
+    assigned (to the lowest cid, the old window form's NULLS FIRST
+    behavior) instead of collapsing to a null carry struct."""
+    return F.struct(
+        F.coalesce(F.col("d2"), F.lit(float("inf"))).alias("d2"), F.col("cid")
+    )
+
+
 def _nearest_centroid_two_level(
-    pts: DataFrame, cent: DataFrame, keep_dist: bool = False
+    pts: DataFrame,
+    cent: DataFrame,
+    keep_dist: bool = False,
+    k: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """IMI-style two-level nearest-centroid assignment: the k leaf
-    centroids are grouped under g = isqrt(k) pivots (the first g
-    leaves; each leaf joins its nearest pivot's group), a point scores
-    the g pivots, descends into the winning group, and scores only
-    that group's leaves — ~2·√k distance evaluations per point instead
-    of k. This is the hierarchical-quantizer answer to the
-    assignment-bound regime measured in SCALE.md §12b.
+    centroids are grouped under g = isqrt(k) pivots (the leaves with
+    ``cid < g`` — the same literal first-rows convention as the
+    ``pid < k`` centroid seed, so SQL oracles can state the identical
+    predicate; each leaf joins its nearest pivot's group), a point
+    scores the g pivots, descends into the ``probes`` best groups, and
+    scores only those groups' leaves — ~√k·(1 + probes) distance
+    evaluations per point instead of k. This is the
+    hierarchical-quantizer answer to the assignment-bound regime
+    measured in SCALE.md §12b.
 
-    APPROXIMATE by design: a point whose true nearest leaf lives in a
-    different pivot group gets its group-local nearest instead (the
-    standard IVF/IMI recall trade). Fine for cell-PARTITIONING uses —
-    near-identical vectors share distances, hence pivots, hence cells —
-    but NOT a drop-in for :func:`_nearest_centroid` in oracled plans.
-    Deterministic: every argmin tie-breaks on id.
+    ``k`` is the leaf-centroid count; callers that know it (they built
+    ``cent``) pass it down to keep the plan fully lazy — when omitted
+    it is probed with ``cent.count()``, an extra Spark job over
+    whatever lineage ``cent`` carries.
 
-    Measured boundary-recall trade (sf0.1 synthetic embeddings, which
-    are near-uniform random — the hard case, no cluster structure for
-    pivot groups to align with): within-cell coverage of weakly-similar
-    pairs (cosine >= 0.35) is 14.7% for two-level vs 14.5% for flat at
-    k=32, and 9.3% vs 14.2% at k=128 — i.e. parity at moderate k, a
-    ~35% relative boundary loss at large k on unstructured data.
+    ``probes`` is the standard IMI multiprobe knob: a point whose true
+    nearest leaf sits just across a pivot boundary is recovered by
+    also searching the runner-up pivot groups. probes=1 is the pure
+    two-level descent; probes=g degenerates to exact flat assignment
+    (every leaf scored). Cost is linear in probes; the measured
+    recall-vs-cost curve is SCALE.md §12d.
+
+    APPROXIMATE by design (for probes < g): a point whose true nearest
+    leaf lives outside the probed pivot groups gets the probed-local
+    nearest instead (the standard IVF/IMI recall trade). Fine for
+    cell-PARTITIONING uses — near-identical vectors share distances,
+    hence pivots, hence cells — but NOT a drop-in for
+    :func:`_nearest_centroid` in oracled plans. Deterministic: every
+    argmin tie-breaks on id, and the probe list orders by (d2, gid).
+
+    Measured boundary-recall trade at probes=1 (sf0.1 synthetic
+    embeddings, which are near-uniform random — the hard case, no
+    cluster structure for pivot groups to align with): within-cell
+    coverage of weakly-similar pairs (cosine >= 0.35) is 14.7% for
+    two-level vs 14.5% for flat at k=32, and 9.3% vs 14.2% at k=128 —
+    i.e. parity at moderate k, a ~35% relative boundary loss at large
+    k on unstructured data, recovered by multiprobe (§12d).
     Near-identical pairs (the actual dedup targets; the synthetic
     corpus has none above cosine 0.9) co-locate by construction under
     either assigner. On real clustered embedding corpora the pivot
     groups align with the clusters and the gap narrows."""
-    k = cent.count()  # cent is broadcast-sized by contract
+    if k is None:
+        k = cent.count()  # cent is broadcast-sized by contract
     g = max(1, math.isqrt(k))
-    pivots = (
-        cent.orderBy("cid")
-        .limit(g)
-        .select(F.col("cid").alias("gid"), F.col("cv").alias("gv"))
+    p = max(1, min(probes, g))
+    pivots = cent.filter(F.col("cid") < g).select(
+        F.col("cid").alias("gid"), F.col("cv").alias("gv")
     )
     as_cent = pivots.select(
         F.col("gid").alias("cid"), F.col("gv").alias("cv")
@@ -231,10 +266,33 @@ def _nearest_centroid_two_level(
         as_cent,
     ).select(F.col("pid").alias("cid"), F.col("cid").alias("gid"))
     leaves = cent.join(leaf_groups, "cid")
-    # level 1: n·g distance evaluations
-    p1 = _nearest_centroid(pts, as_cent).withColumnRenamed("cid", "gid")
+    # level 1: n·g distance evaluations, keep the top-p pivot groups.
+    # g is √k (small), so the collect_list partial aggregates stay a
+    # few dozen (d2, gid) scalars per point — no vector payload in the
+    # probe list; the point's own columns ride once via min_by.
+    d2p = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("gv"))
+        + dot(F.col("gv"), F.col("gv"))
+    )
+    carry1 = [c for c in pts.columns if c != "pid"]
+    key1 = F.struct(
+        F.coalesce(F.col("d2"), F.lit(float("inf"))).alias("d2"),
+        F.col("gid").alias("gid"),
+    )
+    scored1 = pts.join(F.broadcast(pivots)).withColumn("d2", d2p)
+    agg1 = scored1.groupBy("pid").agg(
+        F.min_by(F.struct(*carry1), key1).alias("best"),
+        F.slice(F.array_sort(F.collect_list(key1)), 1, p).alias("probe"),
+    )
+    p1 = agg1.select(
+        "pid",
+        *[F.col(f"best.{c}").alias(c) for c in carry1],
+        F.explode(F.col("probe.gid")).alias("gid"),
+    )
     # level 2: broadcast-hash join on gid — each point meets only its
-    # group's leaves (~k/g rows), argmin via the same min_by aggregate
+    # probed groups' leaves (~p·k/g rows), argmin via the same min_by
+    # aggregate (multiprobe duplicates collapse there: one min per pid)
     d2 = (
         dot(F.col("v"), F.col("v"))
         - 2 * dot(F.col("v"), F.col("cv"))
@@ -245,7 +303,7 @@ def _nearest_centroid_two_level(
         ["d2"] if keep_dist else []
     )
     best = scored.groupBy("pid").agg(
-        F.min_by(F.struct(*carry), F.struct("d2", "cid")).alias("best")
+        F.min_by(F.struct(*carry), _argmin_key()).alias("best")
     )
     return best.select("pid", *[F.col(f"best.{c}").alias(c) for c in carry])
 
@@ -321,6 +379,7 @@ def semdedup_survivors(
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
     assign: str = "flat",
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: partition the corpus with
     a coarse quantizer (deterministic first-k centroids — the trained
@@ -355,8 +414,10 @@ def semdedup_survivors(
     hierarchical quantizer (:func:`_nearest_centroid_two_level`) —
     ~2·√k distance evaluations per point instead of k, the remaining
     lever once the argmin shuffle is gone (SCALE.md §12b). Cell
-    membership may differ from flat assignment near group boundaries,
-    so oracled callers keep the flat default.
+    membership may differ from flat assignment near group boundaries
+    (``probes`` widens the descent to the top-p pivot groups to close
+    that gap — measured curve in SCALE.md §12d), so oracled callers
+    keep the flat default.
 
     Returns (id, extra_cols..., cid) for surviving vectors.
     """
@@ -377,10 +438,13 @@ def semdedup_survivors(
     # same RDD. LAZY: everything here is one plan with one action, so
     # the blocks materialize inside the caller's job instead of paying
     # a separate scheduler round-trip.
-    assigner = (
-        _nearest_centroid_two_level if assign == "two_level" else _nearest_centroid
-    )
-    assigned = assigner(pts, cent).localCheckpoint(eager=False)
+    if assign == "two_level":
+        # k is known here — pass it down so assignment stays one lazy
+        # plan (no cent.count() probe over the filter-on-spread lineage)
+        assigned = _nearest_centroid_two_level(pts, cent, k=k, probes=probes)
+    else:
+        assigned = _nearest_centroid(pts, cent)
+    assigned = assigned.localCheckpoint(eager=False)
     unit = assigned.filter(dot(F.col("v"), F.col("v")) > 0).select(
         "pid",
         "cid",

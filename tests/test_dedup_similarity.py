@@ -357,6 +357,90 @@ def test_semdedup_two_level_assignment(spark, sf_dir):
     assert a == b and 0 < len(a) <= emb.count()
 
 
+def test_semdedup_two_level_multiprobe(spark, sf_dir):
+    """Multiprobe flat-equivalence: probing ALL g pivot groups makes
+    the two-level assigner score every leaf, i.e. exact flat
+    assignment — survivors must match flat bit-for-bit at any k.
+    Intermediate probes stay deterministic and within the flat/1-probe
+    envelope (non-strict: recall is monotone in probes by construction
+    since each point's candidate leaf set only grows)."""
+    import math
+
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 32
+    g = math.isqrt(k)
+    flat = sorted(
+        r["vec_id"] for r in similarity.semdedup_survivors(emb, k=k).collect()
+    )
+    all_probes = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=k, assign="two_level", probes=g
+        ).collect()
+    )
+    assert all_probes == flat
+    # probes beyond g clamp to g — still flat-equivalent
+    over = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=k, assign="two_level", probes=g + 100
+        ).collect()
+    )
+    assert over == flat
+    # intermediate probe count: deterministic across runs
+    p2a = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=k, assign="two_level", probes=2
+        ).collect()
+    )
+    p2b = sorted(
+        r["vec_id"]
+        for r in similarity.semdedup_survivors(
+            emb, k=k, assign="two_level", probes=2
+        ).collect()
+    )
+    assert p2a == p2b and 0 < len(p2a) <= emb.count()
+
+
+def test_nearest_centroid_null_vector_assignment(spark):
+    """A point whose vector is NULL (or has NULL elements) has NULL
+    distance to every centroid; the min_by argmin coalesces that to
+    +Infinity so the point still gets a deterministic assignment — the
+    lowest cid, matching the old window form's NULLS FIRST order —
+    instead of a null carry struct (ADVICE r05)."""
+    pts = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [None, 2.0]), (3, [0.0, 3.0])],
+        "pid long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cv array<double>"
+    )
+    out = {
+        r["pid"]: r["cid"]
+        for r in similarity._nearest_centroid(pts, cent).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1}
+    # two-level path inherits the same guarantee (k=2 -> g=1, one group)
+    out2 = {
+        r["pid"]: r["cid"]
+        for r in similarity._nearest_centroid_two_level(
+            pts, cent, k=2
+        ).collect()
+    }
+    assert out2 == {0: 0, 1: 0, 2: 0, 3: 1}
+    # keep_dist carries the honest NULL distance for null-vector rows
+    kd = {
+        r["pid"]: r["d2"]
+        for r in similarity._nearest_centroid(
+            pts, cent, keep_dist=True
+        ).collect()
+    }
+    assert kd[1] is None and kd[2] is None and kd[0] == 0.0
+
+
 def test_lsh_max_bucket_cap(spark):
     """max_bucket: a degenerate bucket (many docs sharing a band
     signature) is dropped wholesale instead of expanding its quadratic

@@ -247,6 +247,52 @@ def test_ppm_codec_roundtrip():
     # non-netpbm payload falls through decode_image to the stub path
     with pytest.raises(NotImplementedError):
         decode_image(b"P9 not a real magic")
+    # CRLF after maxval (Windows writers): when the length proves the
+    # LF is the separator's second byte, skip it — identical pixels
+    crlf = b"P6\n2 1\n255\r\n" + bytes(range(6))
+    w, h, back = decode_ppm(crlf)
+    assert (w, h) == (2, 1) and back.tobytes() == bytes(range(6))
+    # ...when the length proves the LF is the FIRST raster byte, keep it
+    strict = b"P6\n2 1\n255\r" + b"\n" + bytes(5)
+    w, h, back = decode_ppm(strict)
+    assert back.tobytes() == b"\n" + bytes(5)
+    # ...and when neither reading fits exactly, raise — never shift
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n255\r\n" + bytes(6) + b"trailing junk")
+
+
+def test_bmp_sniff_tolerates_zero_bfsize():
+    """Many real-world BMP writers emit bfSize=0 (the field is
+    unreliable in the wild); the sniff accepts 0 or the true payload
+    length and still rejects a random 'BM'-prefixed blob, so external
+    BMPs decode instead of bouncing to NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        _sniff_bmp,
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = bytearray(encode_bmp(px))
+    assert _sniff_bmp(bytes(blob))
+    # zero out bfSize (bytes 2..6) — still a decodable BMP
+    blob[2:6] = b"\x00\x00\x00\x00"
+    assert _sniff_bmp(bytes(blob))
+    w, h, back = decode_image(bytes(blob))
+    assert (w, h) == (3, 2) and np.array_equal(back, px)
+    # a WRONG nonzero bfSize is still rejected (not a sniff match)...
+    blob[2:6] = (len(blob) + 7).to_bytes(4, "little")
+    assert not _sniff_bmp(bytes(blob))
+    # ...and a 'BM'-prefixed non-BMP blob never sniffs as BMP
+    assert not _sniff_bmp(b"BM" + bytes(60))
+    # decode_bmp itself still enforces its contract on truncated input
+    good = encode_bmp(px)
+    with pytest.raises(ValueError):
+        decode_bmp(good[:40])
 
 
 def test_png_resize_nn_and_stats(spark):
