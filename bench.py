@@ -118,23 +118,45 @@ def _steal_sec() -> float | None:
         return None
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
-    steal0 = _steal_sec()
-
-    # warm the JVM/codegen paths once with the cheapest query, and the
-    # Python worker pool with a trivial Arrow round trip — so session
-    # startup costs are not attributed to whichever headline query
-    # happens to run first (queries measure steady-state cost)
-    materialize(REGISTRY["rollup_entity"].fn(spark, sf_dir))
-    materialize(
-        spark.range(8).repartition(8).mapInPandas(
-            lambda it: it, schema="id long"
-        )
+def _load_baseline(repo: str, sf: str) -> dict[str, float]:
+    """Newest parseable per-query baseline at this sf, for the
+    contention-outlier retry trigger. Walks BENCH_r*.json newest-first
+    until one artifact actually yields per-query timings:
+    BENCH_r03.json stored "parsed": null (summary line outgrew the
+    driver tail capture), and stopping at the newest file silently
+    disabled the retry baseline for the whole round."""
+    ref_paths = sorted(
+        p for p in os.listdir(repo)
+        if p.startswith("BENCH_r") and p.endswith(".json")
     )
+    for p in reversed(ref_paths):
+        try:
+            with open(os.path.join(repo, p)) as fh:
+                doc = json.load(fh)
+            parsed = doc.get("parsed") or {}
+            cand = parsed.get("queries") or doc.get("queries") or {}
+            if not cand:
+                continue
+            if doc.get("sf") not in (sf, float(sf)) and parsed.get(
+                "sf"
+            ) not in (sf, float(sf)):
+                # reference timings are sf-specific; other scales have
+                # no baseline to call an outlier against
+                continue
+            return cand
+        except Exception:
+            continue
+    if ref_paths:
+        print(f"# bench: no usable outlier baseline in {ref_paths}", file=sys.stderr)
+    return {}
 
+
+def _run_pass(
+    spark, sf_dir: str, ref: dict[str, float]
+) -> tuple[dict[str, float], dict[str, float], float | None]:
+    """One full headline measurement pass. Returns (timings, retried
+    first-run seconds, host-steal seconds accrued during the pass)."""
+    steal0 = _steal_sec()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         start = time.perf_counter()
@@ -158,36 +180,6 @@ def main() -> None:
     # so nothing is silently discarded; note the re-run is warm
     # (codegen cached), so a retried entry reads as steady-state cost.
     retried: dict[str, float] = {}
-    repo = os.path.dirname(os.path.abspath(__file__))
-    ref_paths = sorted(
-        p for p in os.listdir(repo)
-        if p.startswith("BENCH_r") and p.endswith(".json")
-    )
-    # Newest-first until one artifact actually yields parseable per-query
-    # timings: BENCH_r03.json stored "parsed": null (summary line outgrew
-    # the driver tail capture), and stopping at the newest file silently
-    # disabled the retry baseline for the whole round.
-    ref: dict[str, float] = {}
-    for p in reversed(ref_paths):
-        try:
-            with open(os.path.join(repo, p)) as fh:
-                doc = json.load(fh)
-            parsed = doc.get("parsed") or {}
-            cand = parsed.get("queries") or doc.get("queries") or {}
-            if not cand:
-                continue
-            if doc.get("sf") not in (sf, float(sf)) and parsed.get(
-                "sf"
-            ) not in (sf, float(sf)):
-                # reference timings are sf-specific; other scales have
-                # no baseline to call an outlier against
-                continue
-            ref = cand
-            break
-        except Exception:
-            continue
-    if not ref and ref_paths:
-        print(f"# bench: no usable outlier baseline in {ref_paths}", file=sys.stderr)
     for name, prev in ref.items():
         if name in timings and prev >= 0.5 and timings[name] > 1.5 * prev:
             first = timings[name]
@@ -239,13 +231,81 @@ def main() -> None:
             retried[name] = first
             gc.collect()
 
-    total = round(sum(timings.values()), 3)
     steal1 = _steal_sec()
     steal = (
         round(steal1 - steal0, 1)
         if steal0 is not None and steal1 is not None
         else None
     )
+    return timings, retried, steal
+
+
+#: Re-run the whole headline pass while host steal exceeds this share
+#: of the pass's wall-clock. 2% ≈ 1s on the ~55s sf0.1 pass — below
+#: that, steal is measurement noise; above it the artifact would
+#: mis-charge host contention to the engine (r05: 10.4s of steal
+#: inflated the committed total 55→67s and the whole next round diffed
+#: against the polluted number).
+STEAL_FRAC_LIMIT = 0.02
+MAX_PASSES = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/codegen paths once with the cheapest query, and the
+    # Python worker pool with a trivial Arrow round trip — so session
+    # startup costs are not attributed to whichever headline query
+    # happens to run first (queries measure steady-state cost)
+    materialize(REGISTRY["rollup_entity"].fn(spark, sf_dir))
+    materialize(
+        spark.range(8).repartition(8).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+    )
+
+    ref = _load_baseline(repo, sf)
+
+    # Steal-aware pass selection (r05 verdict #1): a single pass taken
+    # under heavy host contention pollutes the committed artifact for a
+    # whole round. Run the full headline pass again (up to MAX_PASSES
+    # total) while the steal share stays above STEAL_FRAC_LIMIT, then
+    # keep the MIN-STEAL pass (total wall breaks ties). Every pass's
+    # (total, steal) is recorded in the summary so nothing is silently
+    # discarded; later passes are warm, which matches the steady-state
+    # semantics the per-query retries already report.
+    passes: list[dict] = []
+    timings: dict[str, float] = {}
+    retried: dict[str, float] = {}
+    for attempt in range(MAX_PASSES):
+        t, r, s = _run_pass(spark, sf_dir, ref)
+        passes.append(
+            {"total": round(sum(t.values()), 3), "steal": s,
+             "timings": t, "retried": r}
+        )
+        frac = (s or 0.0) / max(passes[-1]["total"], 1e-9)
+        if s is None or frac <= STEAL_FRAC_LIMIT:
+            break
+        if attempt + 1 < MAX_PASSES:
+            print(
+                f"# bench: pass {attempt + 1} saw {s}s host steal "
+                f"({frac:.1%} of wall) — re-running the full pass",
+                file=sys.stderr,
+            )
+    best = min(
+        range(len(passes)),
+        key=lambda i: (
+            passes[i]["steal"] if passes[i]["steal"] is not None else 0.0,
+            passes[i]["total"],
+        ),
+    )
+    timings = passes[best]["timings"]
+    retried = passes[best]["retried"]
+    steal = passes[best]["steal"]
+    total = passes[best]["total"]
     doc = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -253,6 +313,12 @@ def main() -> None:
         "n": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "host_cpu_steal_sec": steal,
+        # every pass's (total, steal) + which one was kept — the
+        # steal-aware selection is visible, never silent
+        "passes": [
+            {"total": p["total"], "steal": p["steal"]} for p in passes
+        ],
+        "kept_pass": best,
         # names only in the summary line; first-run seconds live in the
         # detail lines + bench_last.json so cross-round consumers can
         # discount warm-rerun (steady-state) timings
@@ -265,7 +331,15 @@ def main() -> None:
     # single JSON line outgrew the 2000-char tail and the round's perf
     # signal was lost ("parsed": null).
     with open(os.path.join(repo, "bench_last.json"), "w") as fh:
-        json.dump({**doc, "retried_first_run_sec": retried}, fh, indent=1)
+        json.dump(
+            {
+                **doc,
+                "retried_first_run_sec": retried,
+                "all_passes": passes,
+            },
+            fh,
+            indent=1,
+        )
     for name, sec in timings.items():
         flag = " (retried)" if name in retried else ""
         print(f"# {sec:7.3f}s  {name}{flag}")
