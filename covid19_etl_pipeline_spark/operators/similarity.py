@@ -206,7 +206,7 @@ def _nearest_centroid_two_level(
     cent: DataFrame,
     keep_dist: bool = False,
     k: int | None = None,
-    probes: int = 1,
+    probes: int = 3,
 ) -> DataFrame:
     """IMI-style two-level nearest-centroid assignment: the k leaf
     centroids are grouped under g = isqrt(k) pivots (the leaves with
@@ -379,7 +379,7 @@ def semdedup_survivors(
     vec_col: str = "embedding",
     extra_cols: tuple[str, ...] = (),
     assign: str = "flat",
-    probes: int = 1,
+    probes: int = 3,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: partition the corpus with
     a coarse quantizer (deterministic first-k centroids — the trained

@@ -1241,7 +1241,7 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        list_dot_product(p.v, p.v)
                          - 2 * list_dot_product(p.v, g.gv)
                          + list_dot_product(g.gv, g.gv), g.gid) AS rn
-            FROM pts p, piv g) WHERE rn = 1
+            FROM pts p, piv g) WHERE rn <= 3
     ),
     a AS (
         SELECT pid, label, cid, v FROM (
@@ -1271,14 +1271,19 @@ def semdedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "HIERARCHICAL (two-level / IMI-style) semantic dedup — the scale "
     "path of `semdedup_survivors`, oracle-verified rather than merely "
     "flagged: the k=36 leaf centroids group under g=isqrt(k)=6 pivots "
-    "(each leaf joins its nearest pivot), every vector scores the 6 "
-    "pivots, descends into the winning group, and scores only that "
-    "group's leaves — ~2*sqrt(k) distance evaluations per point "
-    "instead of k, the fix for the assignment-bound regime measured "
-    "in SCALE.md §12b/§12c (k=800 at the 100x corpus: flat 239s -> "
-    "two-level 49s). Assignment is deterministic (argmin tie-breaks "
-    "on id at every level), so the full hierarchy — pivot selection, "
-    "leaf grouping, two-stage descent, within-cell survivor rule — is "
+    "(the cid < g leaves — the same literal predicate in both "
+    "engines; each leaf joins its nearest pivot), every vector scores "
+    "the 6 pivots, descends into its top-3 pivot groups (the measured "
+    "multiprobe default, SCALE.md §12d: probes=1 overstuffs boundary "
+    "cells to 2.4x flat's pair-join work while probes=3 lands within "
+    "16% of flat AND recovers boundary recall), and scores only those "
+    "groups' leaves — ~sqrt(k)*(1+probes) distance evaluations per "
+    "point instead of k, the fix for the assignment-bound regime "
+    "measured in SCALE.md §12b/§12c (k=800 at the 100x corpus: flat "
+    "239s -> two-level 49s). Assignment is deterministic (argmin "
+    "tie-breaks on id at every level; the probe list orders by "
+    "(d2, gid)), so the full hierarchy — pivot selection, leaf "
+    "grouping, multiprobe descent, within-cell survivor rule — is "
     "mirrored in the DuckDB oracle and hash-checked end to end",
 )
 def semdedup_two_level_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
