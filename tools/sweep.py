@@ -90,8 +90,9 @@ def _sharded(args) -> int:
 
     from covid19_etl_pipeline_spark.plans.queries import REGISTRY
 
-    names = list(REGISTRY)
+    names = args.only.split(",") if args.only else list(REGISTRY)
     shards = [names[i :: args.shards] for i in range(args.shards)]
+    shards = [s for s in shards if s]
     t0 = time.time()
     procs, outs = [], []
     for i, shard in enumerate(shards):
@@ -191,10 +192,15 @@ def main(argv=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(args.sf, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the §12
+            # scale fixtures); DuckDB needs the glob form
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
 
     names = args.only.split(",") if args.only else list(REGISTRY)
     results, failures = {}, []
