@@ -361,15 +361,17 @@ def decode_ppm(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     need = width * height * channels
     if sep == b"\r" and payload[pos : pos + 1] == b"\n":
         # CRLF-writing producer (common on Windows): the LF is the
-        # separator's second byte, not the first raster byte. Skip it
-        # only when the remaining length PROVES that reading (exact
-        # fit); keep the strict single-separator reading when IT fits
-        # exactly; anything else is ambiguous -> raise, never shift
-        # the whole raster by one (ADVICE r05).
+        # separator's second byte, not the first raster byte. The ONLY
+        # override is the exact-CRLF length fit; otherwise the strict
+        # single-separator reading wins whenever it fits, trailing
+        # bytes tolerated — frombuffer has always read need-count, and
+        # r06 ADVICE flagged that raising here regressed strict
+        # \r-separated payloads whose raster begins with \n and that
+        # carry trailing bytes. A payload that fits neither falls
+        # through to the length-mismatch raise below (never a silent
+        # one-byte raster shift — ADVICE r05).
         if len(payload) == pos + 1 + need:
             pos += 1
-        elif len(payload) != pos + need:
-            raise ValueError("ambiguous CRLF separator after netpbm maxval")
     if len(payload) < pos + need:
         raise ValueError("netpbm pixel payload length mismatch")
     px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)

@@ -249,9 +249,30 @@ def _nearest_centroid_two_level(
     Near-identical pairs (the actual dedup targets; the synthetic
     corpus has none above cosine 0.9) co-locate by construction under
     either assigner. On real clustered embedding corpora the pivot
-    groups align with the clusters and the gap narrows."""
+    groups align with the clusters and the gap narrows.
+
+    PRECONDITION (dense cids): ``cent.cid`` must be the dense range
+    0..k-1. Pivot selection is the literal ``cid < g`` — the same
+    first-rows convention as the ``pid < k`` centroid seed, chosen so
+    SQL oracles can state the identical predicate — and a ``cent``
+    whose cids all sit at or above g would yield an EMPTY pivot set,
+    which the inner joins would propagate as an EMPTY assignment
+    rather than an error. Every in-repo caller seeds centroids with
+    ``pid < k`` over dense vec_ids, satisfying this; a caller with
+    arbitrary centroid ids must re-label them to 0..k-1 first. When
+    ``k`` is probed (k=None — already an eager job by contract), the
+    same job verifies density and raises instead of going silent."""
     if k is None:
-        k = cent.count()  # cent is broadcast-sized by contract
+        # cent is broadcast-sized by contract, so piggyback the dense-cid
+        # precondition check on the count job we are paying anyway
+        k, lo, hi = cent.agg(
+            F.count("*"), F.min("cid"), F.max("cid")
+        ).first()
+        if k and (lo != 0 or hi != k - 1):
+            raise ValueError(
+                "two-level assignment requires dense centroid ids 0..k-1 "
+                f"(got min={lo}, max={hi}, k={k}); re-label cids first"
+            )
     g = max(1, math.isqrt(k))
     p = max(1, min(probes, g))
     pivots = cent.filter(F.col("cid") < g).select(
@@ -412,7 +433,8 @@ def semdedup_survivors(
 
     ``assign="two_level"`` routes assignment through the IMI-style
     hierarchical quantizer (:func:`_nearest_centroid_two_level`) —
-    ~2·√k distance evaluations per point instead of k, the remaining
+    ~√k·(1 + probes) distance evaluations per point instead of k
+    (≈ 4·√k at the probes=3 default), the remaining
     lever once the argmin shuffle is gone (SCALE.md §12b). Cell
     membership may differ from flat assignment near group boundaries
     (``probes`` widens the descent to the top-p pivot groups to close

@@ -40,6 +40,33 @@ def test_oracles_only_reference_catalog_tables():
         assert not unknown, (name, unknown)
 
 
+def test_plans_modules_stay_under_size_cap():
+    """No plans/*.py module may exceed ~2,500 lines (r05 verdict #7):
+    the r03 registry was an 18k-LoC monolith that made review and
+    navigation impractical; it was split into per-family modules in
+    r04 and this cap keeps any single family from regrowing it. A
+    family that hits the cap splits (as dedup/similarity already
+    did), it does not grow."""
+    import os
+
+    import covid19_etl_pipeline_spark.plans as plans
+
+    cap = 2500
+    plans_dir = os.path.dirname(plans.__file__)
+    oversize = {}
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(plans_dir, fname)) as fh:
+            n = sum(1 for _ in fh)
+        if n > cap:
+            oversize[fname] = n
+    assert not oversize, (
+        f"plans modules over the {cap}-line cap (split the family): "
+        f"{oversize}"
+    )
+
+
 def test_registry_order_is_canonical():
     """REGISTRY iteration order must equal the pinned canonical order
     EXACTLY (plans/_order.py). The driver's sampling and cross-round

@@ -256,9 +256,15 @@ def test_ppm_codec_roundtrip():
     strict = b"P6\n2 1\n255\r" + b"\n" + bytes(5)
     w, h, back = decode_ppm(strict)
     assert back.tobytes() == b"\n" + bytes(5)
-    # ...and when neither reading fits exactly, raise — never shift
+    # ...a strict \r-separated payload whose raster begins with \n AND
+    # carries trailing bytes keeps the strict reading (trailing bytes
+    # were always tolerated; the exact-CRLF fit is the ONLY override —
+    # ADVICE r06)
+    w, h, back = decode_ppm(strict + b"trailing junk")
+    assert back.tobytes() == b"\n" + bytes(5)
+    # ...and a genuinely short raster still raises — never shift
     with pytest.raises(ValueError):
-        decode_ppm(b"P6\n2 1\n255\r\n" + bytes(6) + b"trailing junk")
+        decode_ppm(b"P6\n2 1\n255\r\n" + bytes(4))
 
 
 def test_bmp_sniff_tolerates_zero_bfsize():

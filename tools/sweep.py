@@ -91,6 +91,13 @@ def _sharded(args) -> int:
     from covid19_etl_pipeline_spark.plans.queries import REGISTRY
 
     names = args.only.split(",") if args.only else list(REGISTRY)
+    # fail fast on typos: an unknown name round-robined into a shard
+    # would raise an uncaught KeyError in the child, killing the whole
+    # shard and mis-reporting its siblings as 'missing' (ADVICE r06)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"sweep: unknown query names: {', '.join(unknown)}", file=sys.stderr)
+        return 2
     shards = [names[i :: args.shards] for i in range(args.shards)]
     shards = [s for s in shards if s]
     t0 = time.time()
@@ -203,6 +210,10 @@ def main(argv=None) -> int:
         )
 
     names = args.only.split(",") if args.only else list(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"sweep: unknown query names: {', '.join(unknown)}", file=sys.stderr)
+        return 2
     results, failures = {}, []
     t_start = time.time()
     for i, name in enumerate(names):
