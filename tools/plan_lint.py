@@ -41,6 +41,10 @@ PANDAS_OK = {
     # real binary-netpbm (P5/P6) encode+decode — same reviewed
     # codec-in-Arrow-batch shape
     "multimodal_ppm_stats",
+    # real baseline-JPEG (SOF0) encode+decode — same reviewed
+    # codec-in-Arrow-batch shape; lossy, so the query asserts error
+    # bounds instead of byte-exact stats
+    "multimodal_jpeg_stats",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
