@@ -571,6 +571,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG segment framing")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break

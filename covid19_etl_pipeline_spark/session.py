@@ -68,6 +68,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    # local-mode JVM heap (driver == executor here) defaults to 1g,
+    # which the 10x scale fixtures overflow; honored only at JVM
+    # launch, so it must be set before the first session of a process
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 

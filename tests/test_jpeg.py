@@ -131,6 +131,15 @@ def test_error_paths_raise_value_error():
         encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8), quality=0)
 
 
+def test_fill_bytes_before_markers_are_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; some writers pad with them."""
+    px = _synth(4, 12, 16)
+    blob = encode_jpeg_baseline(px)
+    filled = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    assert np.array_equal(decode_jpeg(filled)[2], decode_jpeg(blob)[2])
+
+
 def test_sniff_and_decode_image_dispatch():
     from covid19_etl_pipeline_spark.operators.multimodal import decode_image
 
