@@ -193,9 +193,13 @@ def test_table_count_and_decode_stub(spark):
     assert table_count(spark.range(5)) == 5
     import pytest as _pytest
 
-    # non-PNG formats still need an external codec and raise honestly
-    with _pytest.raises(NotImplementedError):
+    # a JPEG-sniffed but malformed payload hits the real SOF0 codec and
+    # raises ValueError; formats with no in-repo codec (WebP) still
+    # raise NotImplementedError honestly
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_pagerank_hand_computed_chain(spark):

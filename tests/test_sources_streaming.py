@@ -196,11 +196,15 @@ def test_png_codec_roundtrip():
 
     # deterministic blobs (fixture/fingerprint contract)
     assert encode_png(px) == encode_png(px)
-    # decode_image dispatches PNG; other formats still raise honestly
+    # decode_image dispatches PNG; a JPEG-sniffed but malformed payload
+    # hits the real SOF0 codec and raises ValueError (not the stub path),
+    # while formats with no in-repo codec (WebP) still raise honestly
     w, h, _ = decode_image(encode_png(px))
     assert (w, h) == (3, 7)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(ValueError):
         decode_png(b"not a png")
 
