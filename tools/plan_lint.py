@@ -45,6 +45,16 @@ PANDAS_OK = {
     # codec-in-Arrow-batch shape; lossy, so the query asserts error
     # bounds instead of byte-exact stats
     "multimodal_jpeg_stats",
+    # broadcast-GEMM exact-pair / exact-NN kernels
+    # (similarity.gemm_threshold_pairs / gemm_nearest_neighbor):
+    # reviewed numeric kernel in an Arrow batch — chunked float64
+    # B @ M^T against the broadcast unit matrix; replaces the
+    # >300s-at-20k-vectors BroadcastNestedLoopJoin pair stage
+    "embedding_neardup_pairs",
+    "mutual_nearest_embeddings",
+    "dup_clusters",
+    "near_dedup_survivors",
+    "dup_cluster_size_distribution",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
@@ -72,7 +82,6 @@ BNLJ_OK = {
     "kmeans_refined_centroids",
     "sim_bruteforce_topk",
     "hard_negative_mining",
-    "embedding_neardup_pairs",
     "embedding_dimension_whitening",
     "embedding_cluster_separation",
     "quantize_embeddings_int8",
@@ -123,7 +132,6 @@ BNLJ_OK = {
     "null_profile_enriched",
     "training_corpus",
     "leakage_safe_split",
-    "dup_cluster_size_distribution",
     "acf_multi_lag",
     "curriculum_order_documents",  # 1-row quantile-cutoff scalar + 4-row tier-offset self-join
     "embedding_outlier_docs",  # broadcast k-centroid quantizer + 1-row p95 scalar
@@ -155,7 +163,6 @@ BNLJ_OK = {
     "capture_recapture_estimate",  # three 1-row sample/overlap/truth scalar broadcasts
     "ann_label_mrr",  # 20-query dense-side broadcast (sim_bruteforce_topk shape) + 1-row metric agg
     "lorenz_curve_deciles",  # 1-row revenue-total scalar broadcast
-    "mutual_nearest_embeddings",  # full-corpus query-side broadcast (exact-NN audit baseline; IVF probe at scale)
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
