@@ -24,3 +24,23 @@ def _d_minhash(index: int, shingles_expr: str = "sh") -> str:
         f"list_min(list_transform({shingles_expr}, "
         f"s -> substr(md5('{g}|' || s), {1 + 8 * w}, 8)))"
     )
+
+
+#: Adaptive pair-blocking width for the (source, md5-sub-block) audit
+#: queries: hex-prefix length of the content-free md5(doc_id) block key.
+#: 16-way blocking up to 20k docs, 256-way to 320k, 4096-way beyond —
+#: per-block membership (and the per-block quadratic pair stage) stays
+#: bounded as the corpus scales, which is exactly "the knob a 100 TB
+#: run turns" promised by the blocked-pair docstrings. The SQL fragment
+#: and the Python function MUST stay in lockstep: the oracle derives
+#: the width from count(documents) inside the query, the Spark plan
+#: from DataFrame.count() at build time.
+_D_BLK_W = (
+    "(SELECT 1 + CAST(count(*) > 20000 AS INT) "
+    "+ CAST(count(*) > 320000 AS INT) FROM documents)"
+)
+
+
+def adaptive_blk_width(n: int) -> int:
+    """Python twin of ``_D_BLK_W`` — see that fragment's comment."""
+    return 1 + (n > 20_000) + (n > 320_000)

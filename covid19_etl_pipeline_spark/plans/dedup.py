@@ -16,7 +16,9 @@ from covid19_etl_pipeline_spark.operators.partitioning import spread
 from covid19_etl_pipeline_spark.plans._registry import _register
 from covid19_etl_pipeline_spark.plans.embedding import embedding_neardup_pairs
 from covid19_etl_pipeline_spark.plans._shared import (
+    _D_BLK_W,
     _D_SHINGLES,
+    adaptive_blk_width,
     _d_minhash,
 )
 
@@ -84,7 +86,7 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH s AS (
         SELECT doc_id, source,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS blk,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, {_D_BLK_W}) AS blk,
                list_distinct({_D_SHINGLES}) AS sh
         FROM documents
     ),
@@ -100,20 +102,25 @@ def lsh_candidate_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM pairs WHERE jaccard IS NOT NULL AND jaccard >= 0.0
     """,
     "exact n-gram Jaccard similarity on blocked pairs (near-dup "
-    "verification stage). Blocking key = (source, 16-way md5 "
+    "verification stage). Blocking key = (source, ADAPTIVE md5 "
     "sub-block): all-pairs-within-source is O(n^2/sources) and "
-    "detonates at scale — the sub-block bounds pairs per block, the "
-    "knob a 100 TB run turns (in production the candidate set comes "
-    "from LSH banding instead: `lsh_candidate_pairs`, and the "
-    "composed form in `training_corpus`). Content-free md5 keeps the "
-    "blocking reproducible across engines and repartitioning",
+    "detonates at scale — the sub-block count now GROWS with the "
+    "corpus (16-way to 20k docs, 256-way to 320k, 4096-way beyond; "
+    "identical rule in the oracle via a count(*) scalar subquery), so "
+    "per-block pair cost stays bounded instead of quadrupling per "
+    "corpus doubling. This is the knob a 100 TB run turns (in "
+    "production the candidate set comes from LSH banding instead: "
+    "`lsh_candidate_pairs`, and the composed form in "
+    "`training_corpus`). Content-free md5 keeps the blocking "
+    "reproducible across engines and repartitioning",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    blk_w = adaptive_blk_width(docs.count())
     a = docs.select(
         "doc_id",
         "source",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("blk"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, blk_w).alias("blk"),
     )
     candidates = (
         a.alias("a")
@@ -357,7 +364,7 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
         SELECT doc_id, source,
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS blk,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, {_D_BLK_W}) AS blk,
                list_distinct(sh) AS shd,
                {", ".join(_d_minhash(i) + f" AS mh{i}" for i in range(8))}
         FROM s
@@ -378,8 +385,12 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(corr(est_jaccard, exact_jaccard), 4) + 0.0 AS est_exact_corr
     FROM pairs
     """,
-    "sketch-accuracy audit for the MinHash pipeline: on (source, md5 "
-    "sub-block)-blocked pairs, the 8-component signature-match fraction (the estimate LSH "
+    "sketch-accuracy audit for the MinHash pipeline: on (source, "
+    "ADAPTIVE md5 sub-block)-blocked pairs (block count grows with the "
+    "corpus — 16-way to 20k docs, 256/4096 beyond — same count(*) "
+    "rule in both engines, so the sampled pair population stays "
+    "bounded per block at any scale), "
+    "the 8-component signature-match fraction (the estimate LSH "
     "banding acts on) against the exact shingle Jaccard — one summary "
     "row of avg/max absolute error + estimate-truth correlation. "
     "md5-derived hashes make the estimate bit-identical in both "
@@ -390,11 +401,12 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    blk_w = adaptive_blk_width(docs.count())
     sigs = (
         dedup.minhash_signatures(docs, "doc_id")
         .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn(
-            "blk", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            "blk", F.substring(F.md5(F.col("doc_id").cast("string")), 1, blk_w)
         )
         .localCheckpoint(eager=False)
     )
@@ -559,6 +571,7 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     sigs AS (
         SELECT doc_id, source, list_distinct(sh) AS shd,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, {_D_BLK_W} - 1) AS tblk,
                {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
                {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
                {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
@@ -580,7 +593,7 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     truth AS (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
         FROM sigs a JOIN sigs b
-          ON a.source = b.source AND a.doc_id < b.doc_id
+          ON a.source = b.source AND a.tblk = b.tblk AND a.doc_id < b.doc_id
         WHERE len(list_distinct(list_cat(a.shd, b.shd))) > 0
           AND len(list_intersect(a.shd, b.shd)) * 1.0
               / len(list_distinct(list_cat(a.shd, b.shd))) >= 0.5
@@ -594,8 +607,11 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     LEFT JOIN cand c ON t.doc_id_a = c.doc_id_a AND t.doc_id_b = c.doc_id_b
     """,
     "dedup-pipeline quality audit: banding recall — what fraction of "
-    "true near-dup pairs (exact Jaccard >= 0.5, measured on the "
-    "tractable source-blocked sample) the 4-band x 2-row LSH "
+    "true near-dup pairs (exact Jaccard >= 0.5, measured on a "
+    "tractable (source, adaptive md5 sub-block) sample: unblocked at "
+    "test SFs, 16/256-way at the 10x/100x fixtures — same count(*) "
+    "width rule in both engines, one hex char narrower than the "
+    "pair-audit block) the 4-band x 2-row LSH "
     "candidate join captures. The companion to "
     "minhash_estimate_accuracy (sketch error) and "
     "ivf_multiprobe_recall (ANN recall): together they size "
@@ -606,20 +622,30 @@ def dup_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def lsh_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # truth-sample block: one hex char NARROWER than the pair-audit
+    # block (unblocked at test SFs — width 0 is the empty prefix — and
+    # 16/256-way at the 10x/100x fixtures), so the exact-Jaccard truth
+    # join stays tractable while remaining an unbiased blocked sample
+    tblk_w = adaptive_blk_width(docs.count()) - 1
     sets = (
         spread(docs, "doc_id")
         .select(
             "doc_id",
             "source",
+            F.substring(
+                F.md5(F.col("doc_id").cast("string")), 1, tblk_w
+            ).alias("tblk"),
             F.array_distinct(text.shingles(text.tokens("text"))).alias("shd"),
         )
         .localCheckpoint(eager=False)  # feeds both truth-join sides
     )
     a = sets.select(
-        F.col("doc_id").alias("doc_id_a"), "source", F.col("shd").alias("sh_a")
+        F.col("doc_id").alias("doc_id_a"), "source", "tblk",
+        F.col("shd").alias("sh_a"),
     )
     b = sets.select(
-        F.col("doc_id").alias("doc_id_b"), "source", F.col("shd").alias("sh_b")
+        F.col("doc_id").alias("doc_id_b"), "source", "tblk",
+        F.col("shd").alias("sh_b"),
     )
     union_sz = F.size(F.array_union("sh_a", "sh_b"))
     # when()-guarded: a bare union_sz > 0 pre-filter is NOT enough —
@@ -629,7 +655,7 @@ def lsh_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         union_sz > 0, F.size(F.array_intersect("sh_a", "sh_b")) / union_sz
     )
     truth = (
-        a.join(b, on=["source"])
+        a.join(b, on=["source", "tblk"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .filter(jac >= 0.5)
         .select("doc_id_a", "doc_id_b")

@@ -457,3 +457,122 @@ def test_lsh_max_bucket_cap(spark):
     assert (10, 11) in full_pairs and (0, 1) in full_pairs
     # cap drops every pair from the 6-doc bucket, keeps the small one
     assert capped_pairs == {(10, 11)}
+
+
+def _unit_rows():
+    """8 deterministic 4-dim unit-ish vectors incl. an exact duplicate
+    pair (ids 3/7, for tie-break coverage) and near/far structure."""
+    import math
+
+    raw = [
+        (0, "a", [1.0, 0.0, 0.0, 0.0]),
+        (1, "a", [0.9, 0.1, 0.0, 0.0]),
+        (2, "b", [0.0, 1.0, 0.0, 0.0]),
+        (3, "b", [0.5, 0.5, 0.5, 0.5]),
+        (4, "a", [0.0, 0.0, 1.0, 0.0]),
+        (5, "b", [-1.0, 0.0, 0.0, 0.0]),
+        (6, "a", [0.1, 0.2, 0.9, 0.0]),
+        (7, "b", [0.5, 0.5, 0.5, 0.5]),  # exact dup of 3
+    ]
+    out = []
+    for i, lab, v in raw:
+        n = math.sqrt(sum(x * x for x in v))
+        out.append((i, lab, [x / n for x in v]))
+    return out
+
+
+def test_gemm_threshold_pairs_matches_join_form(spark):
+    """The broadcast-GEMM pair kernel emits exactly the pairs the
+    naive a<b join + per-pair dot fold emits, with sims equal at the
+    round-6 oracle contract."""
+    unit = spark.createDataFrame(
+        _unit_rows(), "vec_id long, label string, uv array<double>"
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"], r["label_a"], r["label_b"],
+         round(r["cosine_sim"], 6))
+        for r in similarity.gemm_threshold_pairs(
+            unit, threshold=0.35, vec_col="uv", label_col="label"
+        ).collect()
+    }
+    a = unit.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("label").alias("label_a"),
+        F.col("uv").alias("ua"),
+    )
+    b = unit.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("label").alias("label_b"),
+        F.col("uv").alias("ub"),
+    )
+    ref = {
+        (r["vec_id_a"], r["vec_id_b"], r["label_a"], r["label_b"],
+         round(r["sim"], 6))
+        for r in a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("sim", similarity.dot(F.col("ua"), F.col("ub")))
+        .filter(F.col("sim") >= 0.35)
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+    # the exact-duplicate pair is present with sim 1.0
+    assert (3, 7, "b", "b", 1.0) in got
+
+
+def test_gemm_nearest_neighbor_matches_window_form(spark):
+    """The GEMM NN kernel reproduces the window-form exact NN,
+    including the (sim DESC, id ASC) tie-break on exact-duplicate
+    vectors, with one output row per input vector."""
+    from pyspark.sql import Window
+
+    unit = spark.createDataFrame(
+        [(i, v) for i, _, v in _unit_rows()], "vec_id long, nv array<double>"
+    )
+    got = {
+        r["query_id"]: (r["vec_id"], round(r["cosine_sim"], 6))
+        for r in similarity.gemm_nearest_neighbor(unit, vec_col="nv").collect()
+    }
+    a = unit.select(F.col("vec_id").alias("qa"), F.col("nv").alias("na"))
+    b = unit.select(F.col("vec_id").alias("qb"), F.col("nv").alias("nb"))
+    w = Window.partitionBy("qa").orderBy(F.col("sim").desc(), "qb")
+    ref = {
+        r["qa"]: (r["qb"], round(r["sim"], 6))
+        for r in a.join(b, F.col("qa") != F.col("qb"))
+        .withColumn("sim", similarity.dot(F.col("na"), F.col("nb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == ref and len(got) == 8
+    # duplicate vectors are each other's NN at sim 1.0
+    assert got[3] == (7, 1.0) and got[7] == (3, 1.0)
+
+
+def test_gemm_kernels_degenerate_inputs(spark):
+    """Single-vector input: no pair exists and no NN exists — both
+    kernels return empty instead of emitting a self-match."""
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, uv array<double>"
+    )
+    assert similarity.gemm_threshold_pairs(one, threshold=0.0).count() == 0
+    assert similarity.gemm_nearest_neighbor(one, vec_col="uv").count() == 0
+
+
+def test_adaptive_blk_width_sql_python_lockstep():
+    """The oracle derives the pair-block width from count(documents)
+    inside the query; the Spark plan derives it driver-side — the two
+    rules must agree at every boundary or blocked-pair queries diverge
+    silently at exactly the scale the knob exists for."""
+    import duckdb
+
+    from covid19_etl_pipeline_spark.plans._shared import (
+        _D_BLK_W,
+        adaptive_blk_width,
+    )
+
+    con = duckdb.connect()
+    for n in (1, 500, 5000, 20000, 20001, 50000, 320000, 320001, 5_000_000):
+        con.execute(
+            f"CREATE OR REPLACE VIEW documents AS SELECT * FROM range({n})"
+        )
+        w_sql = con.execute(f"SELECT {_D_BLK_W}").fetchone()[0]
+        assert w_sql == adaptive_blk_width(n) == (
+            1 + (n > 20000) + (n > 320000)
+        ), n
