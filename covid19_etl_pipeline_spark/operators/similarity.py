@@ -328,6 +328,70 @@ def gemm_nearest_neighbor(
     return probe.mapInPandas(gen, schema=out_schema)
 
 
+def grouped_gemm_nearest_neighbor(
+    df: DataFrame,
+    group_col: str = "cid",
+    id_col: str = "vec_id",
+    vec_col: str = "nv",
+) -> DataFrame:
+    """EXACT within-group single nearest neighbor, one GEMM per group —
+    the DISTRIBUTED counterpart of `gemm_nearest_neighbor`: no driver
+    collect, no broadcast; the group key (an IVF cell, an LSH bucket)
+    is the shuffle key and each `applyInPandas` task computes its own
+    chunked ``M @ Mᵀ`` argmax. Cost is Σ|cell|²·d — the same quantity
+    the §12d cell-balance table bounds — so this is the piece that
+    turns a coarse quantizer into a scalable mutual-NN/bitext-mining
+    pass. Tie-break matches ``ORDER BY sim DESC, id``: rows are sorted
+    by id before the GEMM and argmax keeps the first maximum. Groups
+    with fewer than 2 members emit nothing (no self-match)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    grp_type = df.schema[group_col].dataType
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, grp_type, False),
+            T.StructField("query_id", id_type, False),
+            T.StructField("vec_id", id_type, False),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import os
+
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        mat_t = np.ascontiguousarray(mat.T)
+        step = max(1, _GEMM_SLICE_ELEMS // len(ids))
+        outs = []
+        for s in range(0, len(ids), step):
+            sims = mat[s : s + step] @ mat_t
+            rows = np.arange(sims.shape[0])
+            sims[rows, s + rows] = -np.inf  # mask self
+            best = np.argmax(sims, axis=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        group_col: pdf[group_col].iloc[s : s + step].to_numpy(),
+                        "query_id": ids[s : s + step],
+                        "vec_id": ids[best],
+                        "cosine_sim": sims[rows, best],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return df.groupBy(group_col).applyInPandas(fn, schema=out_schema)
+
+
 def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) -> DataFrame:
     """Assign each point to its nearest centroid (squared euclidean,
     expanded as ||v||² − 2·v·c + ||c||² so both engines evaluate the

@@ -576,3 +576,29 @@ def test_adaptive_blk_width_sql_python_lockstep():
         assert w_sql == adaptive_blk_width(n) == (
             1 + (n > 20000) + (n > 320000)
         ), n
+
+
+def test_grouped_gemm_nearest_neighbor(spark):
+    """Per-cell NN: neighbors never cross the group key, the
+    (sim DESC, id ASC) tie-break holds within a cell, and a 1-member
+    cell emits nothing rather than a self-match."""
+    rows = [
+        # cell 0: three vectors, 1 and 2 are exact duplicates
+        (0, 10, [1.0, 0.0]),
+        (0, 11, [0.6, 0.8]),
+        (0, 12, [0.6, 0.8]),
+        # cell 1: two anti-parallel vectors — still each other's NN
+        (1, 20, [0.0, 1.0]),
+        (1, 21, [0.0, -1.0]),
+        # cell 2: singleton — no NN
+        (2, 30, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "cid int, vec_id long, nv array<double>")
+    out = {
+        r["query_id"]: (r["cid"], r["vec_id"], round(r["cosine_sim"], 6))
+        for r in similarity.grouped_gemm_nearest_neighbor(df).collect()
+    }
+    assert set(out) == {10, 11, 12, 20, 21}  # singleton 30 absent
+    assert out[11] == (0, 12, 1.0) and out[12] == (0, 11, 1.0)  # dup pair
+    assert out[10][1] in (11, 12)  # stays inside cell 0
+    assert out[20] == (1, 21, -1.0) and out[21] == (1, 20, -1.0)

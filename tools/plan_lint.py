@@ -55,6 +55,10 @@ PANDAS_OK = {
     "dup_clusters",
     "near_dedup_survivors",
     "dup_cluster_size_distribution",
+    # grouped per-cell GEMM NN (similarity.grouped_gemm_nearest_neighbor):
+    # applyInPandas keyed on the IVF cell — distributed, no broadcast
+    "mutual_nearest_ivf",
+    "mutual_nn_ivf_recall",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
@@ -163,6 +167,8 @@ BNLJ_OK = {
     "capture_recapture_estimate",  # three 1-row sample/overlap/truth scalar broadcasts
     "ann_label_mrr",  # 20-query dense-side broadcast (sim_bruteforce_topk shape) + 1-row metric agg
     "lorenz_curve_deciles",  # 1-row revenue-total scalar broadcast
+    "mutual_nearest_ivf",  # 8-row centroid broadcast (the sim_ivf_topk quantizer shape)
+    "mutual_nn_ivf_recall",  # centroid broadcast + three 1-row pair-count scalar crosses
 }
 
 #: Documented post-aggregate global series (days-sized input) where an
