@@ -574,3 +574,74 @@ def test_pcy_equals_apriori():
         plain = {tuple(r) for r in REGISTRY["frequent_part_pairs"].fn(spark, sf_dir).collect()}
         pcy = {tuple(r) for r in REGISTRY["frequent_part_pairs_pcy"].fn(spark, sf_dir).collect()}
         assert pcy == plain, sf_dir
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+                      width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=14,
+    ),
+    threshold=st.sampled_from([-0.5, 0.0, 0.35, 0.9]),
+)
+def test_gemm_kernels_match_naive_forms(spark, vecs, threshold):
+    """PROPERTY: on arbitrary float vectors the broadcast-GEMM kernels
+    agree with the naive join forms at the round-6 oracle contract —
+    pair survival (>= threshold after unit-normalizing, zero-norm rows
+    dropped) and exact-NN choice incl. the (sim DESC, id) tie-break."""
+    import math
+
+    unit = []
+    for i, v in enumerate(vecs):
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 0:
+            unit.append((i, [x / n for x in v]))
+    df = spark.createDataFrame(
+        unit or [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, uv array<double>"
+    )
+    from covid19_etl_pipeline_spark.operators import similarity
+
+    got_pairs = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cosine_sim"]
+        for r in similarity.gemm_threshold_pairs(
+            df, threshold=threshold, vec_col="uv"
+        ).collect()
+    }
+    rows = {r["vec_id"]: r["uv"] for r in df.collect()}
+    ids = sorted(rows)
+    eps = 1e-9  # float-summation-order noise band (true error ~1e-15)
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            s = sum(a * b for a, b in zip(rows[i], rows[j]))
+            if s >= threshold + eps:
+                assert (i, j) in got_pairs
+                assert abs(got_pairs[(i, j)] - s) < eps
+            elif s < threshold - eps:
+                assert (i, j) not in got_pairs
+            # |s - threshold| <= eps: knife-edge, either verdict is fine
+
+    got_nn = {
+        r["query_id"]: (r["vec_id"], r["cosine_sim"])
+        for r in similarity.gemm_nearest_neighbor(df, vec_col="uv").collect()
+    }
+    if len(ids) < 2:
+        assert got_nn == {}
+        return
+    for i in ids:
+        sims = sorted(
+            ((sum(a * b for a, b in zip(rows[i], rows[j])), j)
+             for j in ids if j != i),
+            key=lambda t: (-t[0], t[1]),
+        )
+        best_s, best_j = sims[0]
+        got_j, got_s = got_nn[i]
+        assert abs(got_s - best_s) < eps  # NN sim always the max sim
+        if len(sims) == 1 or best_s - sims[1][0] > eps:
+            assert got_j == best_j  # unambiguous winner must match
+        # near-tie within eps: either candidate is a valid NN
