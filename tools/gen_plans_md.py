@@ -41,6 +41,8 @@ FLAGSHIPS = (
     ("semdedup_survivors", "semantic dedup — cell-keyed cosine pair join, broadcast quantizer"),
     ("maximal_repeated_substrings", "substring dedup — hashed-gram semi-join, per-doc interval-merge windows"),
     ("embedding_pca_top_component", "PCA — single-scan Gram cells, dims-grain power-iteration matvecs"),
+    ("embedding_neardup_pairs", "exact pair tier — broadcast unit matrix, Arrow-batched chunked B@Mᵀ GEMM"),
+    ("mutual_nearest_ivf", "IVF mutual-NN — cell-keyed grouped GEMM (applyInPandas), reciprocity self-join"),
 )
 
 HEADER = """# PLANS — executed physical plans of the flagship queries

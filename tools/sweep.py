@@ -240,6 +240,14 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="sweep")
     con = duckdb.connect()
+    duck_mem = os.environ.get("SWEEP_DUCK_MEM")
+    if duck_mem:
+        # scale-fixture mode: the quadratic oracle twins allocate fast
+        # enough at 10x to draw the kernel OOM killer onto the whole
+        # shard (r07: one shard SIGKILLed, its sibling's JVM torn down
+        # with it, 40 queries lost). A memory cap makes DuckDB spill to
+        # disk instead — slower, but every query records SOMETHING.
+        con.execute(f"SET memory_limit='{duck_mem}'")
     for t in TABLES:
         path = os.path.join(args.sf, f"{t}.parquet")
         if os.path.isdir(path):
