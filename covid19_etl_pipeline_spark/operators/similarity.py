@@ -15,7 +15,17 @@ neighbor over the ``embeddings`` table.
   per query drops from |C| to |C| / 2^b on average.
 
 All double-precision math is done in declared element order so results
-are reproducible and oracle-comparable.
+are reproducible and oracle-comparable — with ONE documented exception:
+the broadcast-GEMM exact kernels (`gemm_threshold_pairs`,
+`gemm_nearest_neighbor`, `grouped_gemm_nearest_neighbor`) hand the dot
+products to BLAS, whose summation order is implementation-defined. The
+per-element products are identical and the result differs from the
+element-order fold by ~1e-15 relative — far inside the registry's
+round-to-6-decimals oracle contract — but a pair sitting EXACTLY on a
+threshold knife-edge, or an NN tie at ~1e-15, could in principle
+resolve differently than DuckDB's fold order. Fixture thresholds are
+kept away from representable sims and the tie-break is on id, so the
+residual risk is adversarial-input-only (ADVICE r07, accepted).
 """
 
 from __future__ import annotations
@@ -158,16 +168,45 @@ def lsh_ann_topk(
     )
 
 
+#: Max vectors _collect_unit_matrix will pull driver-side: at d=64
+#: float64 this is ~5 GB — the documented n·d broadcast bound of the
+#: exact GEMM tier. Past it the production swaps are lsh_ann_topk /
+#: semdedup_survivors / grouped_gemm_nearest_neighbor (no collect).
+_GEMM_MAX_BROADCAST_VECS = 10_000_000
+
+
 def _collect_unit_matrix(unit: DataFrame, id_col: str, vec_col: str, label_col=None):
     """Materialize the (small) unit-vector table driver-side as a dense
     float64 matrix sorted by id ascending — the broadcast side of the
     GEMM kernels below. One Arrow collect; the same DataFrame also
     feeds the distributed probe side, so with a lazy localCheckpoint
-    upstream the normalization computes once."""
+    upstream the normalization computes once.
+
+    CONTRACT (the broadcast IS the exact-tier algorithm): this pulls
+    the WHOLE table through the driver — valid only while n·d fits a
+    broadcast, enforced as n <= _GEMM_MAX_BROADCAST_VECS (~10M at
+    d=64) via a cheap limit-bounded count that a caller's lazy
+    localCheckpoint makes nearly free. Any caller outside the exact
+    tier inherits a driver bottleneck by definition — use the
+    distributed `grouped_gemm_nearest_neighbor` instead. Empty input
+    returns (empty ids, (0,0) matrix, empty labels) so callers see
+    zero rows, not a np.stack ValueError (ADVICE r07)."""
     import numpy as np
 
+    cap = _GEMM_MAX_BROADCAST_VECS
+    if unit.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"exact-GEMM broadcast tier is bounded at {cap} vectors "
+            "(n·d must fit a driver collect + broadcast); use the "
+            "sub-quadratic production paths (lsh_ann_topk, "
+            "semdedup_survivors, grouped_gemm_nearest_neighbor) instead"
+        )
     cols = [id_col, vec_col] + ([label_col] if label_col else [])
     pdf = unit.select(*cols).toPandas()
+    if len(pdf) == 0:
+        ids = pdf[id_col].to_numpy()
+        labels = pdf[label_col].to_numpy() if label_col else None
+        return ids, np.empty((0, 0), dtype="float64"), labels
     order = pdf[id_col].to_numpy().argsort(kind="stable")
     pdf = pdf.iloc[order]
     ids = pdf[id_col].to_numpy()
@@ -229,10 +268,10 @@ def gemm_threshold_pairs(
     out_cols = [f.name for f in fields]
 
     def gen(batches):
-        import os
-
-        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        # BLAS thread pinning happens at session/executor level
+        # (session.py sets OPENBLAS/OMP/MKL_NUM_THREADS before any
+        # worker can load numpy); an env write here would land after
+        # the library already read them (ADVICE r07)
         c_ids, c_mat, c_labels = bc.value
         mat_t = np.ascontiguousarray(c_mat.T)
         step = max(1, _GEMM_SLICE_ELEMS // max(1, len(c_ids)))
@@ -292,10 +331,7 @@ def gemm_nearest_neighbor(
     )
 
     def gen(batches):
-        import os
-
-        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        # BLAS thread pinning: session.py, see gemm_threshold_pairs
         c_ids, c_mat = bc.value
         if len(c_ids) < 2:
             return
@@ -311,6 +347,11 @@ def gemm_nearest_neighbor(
             for s in range(0, len(pdf), step):
                 sl_ids = b_ids[s : s + step]
                 sims = b_mat[s : s + step] @ mat_t
+                # a zero-norm vector normalized upstream is all-NaN and
+                # argmax PREFERS NaN — one degenerate candidate would
+                # become every query's NN; mask non-finite to -inf so
+                # they sort last, matching SQL NULL ordering (ADVICE r07)
+                sims[~np.isfinite(sims)] = -np.inf
                 # mask self-similarity; searchsorted is exact because
                 # c_ids is the sorted id domain and sl_ids ⊆ c_ids
                 self_pos = np.searchsorted(c_ids, sl_ids)
@@ -360,10 +401,7 @@ def grouped_gemm_nearest_neighbor(
     )
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import os
-
-        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-        os.environ.setdefault("OMP_NUM_THREADS", "1")
+        # BLAS thread pinning: session.py, see gemm_threshold_pairs
         if len(pdf) < 2:
             return pd.DataFrame(columns=[f.name for f in out_schema])
         pdf = pdf.sort_values(id_col, kind="stable")
@@ -374,6 +412,7 @@ def grouped_gemm_nearest_neighbor(
         outs = []
         for s in range(0, len(ids), step):
             sims = mat[s : s + step] @ mat_t
+            sims[~np.isfinite(sims)] = -np.inf  # NaN rows sort last, not first
             rows = np.arange(sims.shape[0])
             sims[rows, s + rows] = -np.inf  # mask self
             best = np.argmax(sims, axis=1)

@@ -54,6 +54,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cores
 
+    # Pin BLAS to one thread per Python worker BEFORE any worker can
+    # load numpy: OpenBLAS/MKL read these at library load, and a worker
+    # imports numpy while unpickling an Arrow-UDF closure — i.e. before
+    # any code inside the UDF body runs, so a setdefault there is too
+    # late (ADVICE r07). Spark already runs one task per core; a
+    # multi-threaded BLAS inside each task oversubscribes the machine.
+    # Local mode: workers fork from this process and inherit os.environ.
+    # Cluster mode: spark.executorEnv.* below carries the same pin.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -67,6 +78,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     # local-mode JVM heap (driver == executor here) defaults to 1g,
     # which the 10x scale fixtures overflow; honored only at JVM

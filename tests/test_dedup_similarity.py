@@ -602,3 +602,81 @@ def test_grouped_gemm_nearest_neighbor(spark):
     assert out[11] == (0, 12, 1.0) and out[12] == (0, 11, 1.0)  # dup pair
     assert out[10][1] in (11, 12)  # stays inside cell 0
     assert out[20] == (1, 21, -1.0) and out[21] == (1, 20, -1.0)
+
+
+def test_gemm_kernels_empty_input(spark):
+    """Empty unit table: both broadcast kernels return an empty
+    DataFrame with the declared schema instead of np.stack([]) raising
+    ValueError driver-side (ADVICE r07)."""
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("uv", T.ArrayType(T.DoubleType())),
+        ])
+    )
+    pairs = similarity.gemm_threshold_pairs(empty, threshold=0.0)
+    assert pairs.count() == 0
+    assert pairs.columns == ["vec_id_a", "vec_id_b", "cosine_sim"]
+    nn = similarity.gemm_nearest_neighbor(empty, vec_col="uv")
+    assert nn.count() == 0
+    assert nn.columns == ["query_id", "vec_id", "cosine_sim"]
+
+
+def test_gemm_nearest_neighbor_nan_not_preferred(spark):
+    """A zero-norm vector normalized upstream yields an all-NaN row AND
+    column in the sim matrix; np.argmax prefers NaN, so without masking
+    one degenerate vector becomes EVERY query's NN (ADVICE r07). The
+    kernel masks non-finite sims to -inf (SQL NULL-sorts-last)."""
+    import math
+
+    nan = float("nan")
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.8, 0.6]),
+        (3, [nan, nan]),  # zero-norm vector after upstream x/||x||
+    ]
+    unit = spark.createDataFrame(rows, "vec_id long, nv array<double>")
+    out = {
+        r["query_id"]: r["vec_id"]
+        for r in similarity.gemm_nearest_neighbor(unit, vec_col="nv").collect()
+    }
+    # the finite vectors pick each other, never the NaN vector
+    assert out[1] == 2 and out[2] == 1
+    # the NaN query row degrades to a -inf match, deterministically
+    sims = {
+        r["query_id"]: r["cosine_sim"]
+        for r in similarity.gemm_nearest_neighbor(unit, vec_col="nv").collect()
+    }
+    assert sims[3] == -math.inf and not math.isnan(sims[1])
+
+
+def test_grouped_gemm_nan_not_preferred(spark):
+    """Same NaN-masking contract for the distributed per-cell kernel."""
+    nan = float("nan")
+    rows = [
+        (0, 1, [1.0, 0.0]),
+        (0, 2, [0.8, 0.6]),
+        (0, 3, [nan, nan]),
+    ]
+    df = spark.createDataFrame(rows, "cid int, vec_id long, nv array<double>")
+    out = {
+        r["query_id"]: r["vec_id"]
+        for r in similarity.grouped_gemm_nearest_neighbor(df).collect()
+    }
+    assert out[1] == 2 and out[2] == 1
+
+
+def test_collect_unit_matrix_broadcast_cap(spark, monkeypatch):
+    """The exact-tier broadcast bound is enforced, not just documented:
+    a unit table past _GEMM_MAX_BROADCAST_VECS raises before any
+    driver-side collect happens (round-7 verdict ask #6)."""
+    unit = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)], "vec_id long, uv array<double>"
+    )
+    monkeypatch.setattr(similarity, "_GEMM_MAX_BROADCAST_VECS", 4)
+    with pytest.raises(ValueError, match="broadcast tier is bounded"):
+        similarity.gemm_threshold_pairs(unit, threshold=0.0)
+    monkeypatch.setattr(similarity, "_GEMM_MAX_BROADCAST_VECS", 5)
+    assert similarity.gemm_threshold_pairs(unit, threshold=0.0).count() >= 0
