@@ -374,6 +374,7 @@ def grouped_gemm_nearest_neighbor(
     group_col: str = "cid",
     id_col: str = "vec_id",
     vec_col: str = "nv",
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT within-group single nearest neighbor, one GEMM per group —
     the DISTRIBUTED counterpart of `gemm_nearest_neighbor`: no driver
@@ -384,7 +385,21 @@ def grouped_gemm_nearest_neighbor(
     turns a coarse quantizer into a scalable mutual-NN/bitext-mining
     pass. Tie-break matches ``ORDER BY sim DESC, id``: rows are sorted
     by id before the GEMM and argmax keeps the first maximum. Groups
-    with fewer than 2 members emit nothing (no self-match)."""
+    with fewer than 2 members emit nothing (no self-match).
+
+    MULTIPROBE (``queries`` given): ``df`` stays the candidate side —
+    each point's HOME cell membership — and ``queries`` is the probe
+    membership, where a point may appear under SEVERAL group keys (its
+    own cell plus the probes−1 next-nearest; the caller's quantizer
+    decides). The per-cell stage becomes a cogrouped ``Q @ Cᵀ`` (cost
+    Σ|probe(cell)|·|cell|·d — probes× the single-probe work), and a
+    ``min_by`` hash aggregate reduces each query's per-cell winners
+    under the same ``(sim DESC, id)`` order. A (query, candidate) pair
+    meets at most once — a candidate has exactly one home cell — so
+    the reduce sees no duplicates. This is the recall knob §12d proved
+    on the semdedup twin of this quantizer (65% → 73-80% at probes=3);
+    the measured mutual-NN curve is mutual_nn_ivf_recall / SCALE.md
+    §13b. queries=None keeps the original single-probe contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -428,7 +443,75 @@ def grouped_gemm_nearest_neighbor(
             )
         return pd.concat(outs, ignore_index=True)
 
-    return df.groupBy(group_col).applyInPandas(fn, schema=out_schema)
+    if queries is None:
+        return df.groupBy(group_col).applyInPandas(fn, schema=out_schema)
+
+    empty = pd.DataFrame(columns=[f.name for f in out_schema])
+
+    def fn2(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        # cogrouped probe stage: queries probing this cell × the
+        # cell's home members; a probed cell with no members (or
+        # members but no probes) emits nothing
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        cpdf = cpdf.sort_values(id_col, kind="stable")
+        c_ids = cpdf[id_col].to_numpy()
+        c_mat = np.stack([np.asarray(v, dtype="float64") for v in cpdf[vec_col]])
+        mat_t = np.ascontiguousarray(c_mat.T)
+        grp = cpdf[group_col].iloc[0]
+        q_ids_all = qpdf[id_col].to_numpy()
+        q_mat_all = np.stack(
+            [np.asarray(v, dtype="float64") for v in qpdf[vec_col]]
+        )
+        step = max(1, _GEMM_SLICE_ELEMS // len(c_ids))
+        outs = []
+        for s in range(0, len(q_ids_all), step):
+            q_ids = q_ids_all[s : s + step]
+            sims = q_mat_all[s : s + step] @ mat_t
+            sims[~np.isfinite(sims)] = -np.inf  # NaN sorts last, not first
+            # mask self where the probing point is itself a home
+            # member of this cell (searchsorted may land anywhere when
+            # the id is absent — verify the hit before masking)
+            pos = np.searchsorted(c_ids, q_ids)
+            hit = (pos < len(c_ids)) & (c_ids[np.minimum(pos, len(c_ids) - 1)] == q_ids)
+            rows = np.nonzero(hit)[0]
+            sims[rows, pos[rows]] = -np.inf
+            best = np.argmax(sims, axis=1)
+            bsim = sims[np.arange(len(q_ids)), best]
+            keep = bsim > -np.inf  # drop probes whose only candidate was self
+            outs.append(
+                pd.DataFrame(
+                    {
+                        group_col: grp,
+                        "query_id": q_ids[keep],
+                        "vec_id": c_ids[best[keep]],
+                        "cosine_sim": bsim[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    staged = (
+        queries.groupBy(group_col)
+        .cogroup(df.groupBy(group_col))
+        .applyInPandas(fn2, schema=out_schema)
+    )
+    # min-reduce across the probed cells: the ordering key (-sim, id)
+    # is the SQL ``ORDER BY sim DESC, id`` contract (negating a double
+    # is exact); the carried struct keeps the winning candidate's HOME
+    # cell so the output schema matches the single-probe path
+    key = F.struct(
+        (-F.col("cosine_sim")).alias("k1"), F.col("vec_id").alias("k2")
+    )
+    best = staged.groupBy("query_id").agg(
+        F.min_by(F.struct(group_col, "vec_id", "cosine_sim"), key).alias("b")
+    )
+    return best.select(
+        F.col(f"b.{group_col}").alias(group_col),
+        "query_id",
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.cosine_sim").alias("cosine_sim"),
+    )
 
 
 def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) -> DataFrame:

@@ -2063,9 +2063,15 @@ def ann_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "mutual_nearest_ivf",
-    """
+# --- IVF mutual-NN family: shared SQL template ------------------------
+# The quantizer CTEs (deterministic first-8 centroids, cosine cell
+# assignment) and the per-probes mutual-pair chain are shared between
+# mutual_nearest_ivf's oracle and mutual_nn_ivf_recall's, so the two
+# can never drift. ``pa{tag}`` keeps each point's ``probes`` nearest
+# cells (rn <= probes — the same descent rule as
+# semdedup_two_level_survivors' multiprobe); the candidate side pins
+# rn = 1 (home cell), so a (query, candidate) pair meets at most once.
+_IVF_SQL_HEADER = """
     WITH c AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -2077,52 +2083,58 @@ def ann_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * sqrt(list_dot_product(cent.cv, cent.cv))) AS csim
         FROM c, cent
     ),
-    assign AS (
-        SELECT vec_id, cid FROM (
+    u AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM c
+    )"""
+
+
+def _ivf_mutual_sql(probes: int, tag: str = "") -> str:
+    """CTE chain (suffixed ``tag``) yielding ``ivf{tag}(vec_a, vec_b,
+    sim)`` — the mutual-NN pairs under ``probes``-cell multiprobe.
+    Assumes _IVF_SQL_HEADER's c/cent/csims/u are in scope."""
+    return f"""
+    pa{tag} AS (
+        SELECT vec_id, cid, rn FROM (
             SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY csim DESC, cid) AS rn
             FROM csims
-        ) WHERE rn = 1
+        ) WHERE rn <= {probes}
     ),
-    m AS (
-        SELECT a.vec_id, a.cid,
-               list_transform(c.v,
-                              x -> x / sqrt(list_dot_product(c.v, c.v))) AS nv
-        FROM assign a JOIN c ON a.vec_id = c.vec_id
-    ),
-    s AS (
+    s{tag} AS (
         SELECT x.vec_id AS qa, y.vec_id AS qb,
-               list_dot_product(x.nv, y.nv) AS sim
-        FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+               list_dot_product(xu.nv, yu.nv) AS sim
+        FROM pa{tag} x
+        JOIN pa{tag} y ON x.cid = y.cid AND y.rn = 1
+                      AND x.vec_id <> y.vec_id
+        JOIN u xu ON x.vec_id = xu.vec_id
+        JOIN u yu ON y.vec_id = yu.vec_id
     ),
-    nn AS (
+    nn{tag} AS (
         SELECT qa, qb, sim FROM (
             SELECT qa, qb, sim,
                    row_number() OVER (PARTITION BY qa
                                       ORDER BY sim DESC, qb) AS rn
-            FROM s
+            FROM s{tag}
         ) WHERE rn = 1
-    )
-    SELECT x.qa AS vec_a, x.qb AS vec_b, round(x.sim, 6) AS cosine_sim
-    FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa AND x.qa < x.qb
-    ORDER BY vec_a
-    """,
-    "MUTUAL NEAREST NEIGHBORS, the PRODUCTION-SHAPED swap the exact "
-    "form documents: IVF coarse quantizer (deterministic first-C "
-    "centroids, cosine cell assignment — sim_ivf_topk's quantizer) "
-    "restricts each vector's NN search to its own cell, and the "
-    "within-cell exact NN is ONE GEMM PER CELL "
-    "(similarity.grouped_gemm_nearest_neighbor: applyInPandas keyed "
-    "on the cell id — fully distributed, no driver collect, no "
-    "broadcast; cost Σ|cell|²·d, the §12d cell-balance quantity). "
-    "Candidates found mutual here are mutual within a shared cell — "
-    "the recall loss vs the exact kernel is measured by "
-    "mutual_nn_ivf_recall. At 100 TB the same plan holds with "
-    "k-means-trained centroids (lloyd_iterations) and k ∝ √n cells; "
-    "first-C fixed centroids keep the DuckDB oracle exact",
-)
-def mutual_nearest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ),
+    ivf{tag} AS (
+        SELECT x.qa AS vec_a, x.qb AS vec_b, x.sim
+        FROM nn{tag} x JOIN nn{tag} y
+             ON x.qb = y.qa AND y.qb = x.qa AND x.qa < x.qb
+    )"""
+
+
+def _ivf_mutual_pairs(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
+    """Spark side of the template above: IVF coarse quantizer
+    (first-8 deterministic centroids, cosine assignment), each point's
+    ``probes`` nearest cells as the probe membership, home cell
+    (rn = 1) as the candidate membership, per-cell distributed GEMM
+    (similarity.grouped_gemm_nearest_neighbor — cogrouped Q @ Cᵀ when
+    probes > 1) and the mutual filter. Returns (vec_a, vec_b, sim)
+    with sim unrounded."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     c = emb.select("vec_id", F.col("embedding").alias("v"))
     cent = emb.filter(F.col("vec_id") < 8).select(
@@ -2140,48 +2152,71 @@ def mutual_nearest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
     )
-    members = (
+    # one window pass yields BOTH memberships; the lazy localCheckpoint
+    # keeps the quantizer from computing once per consumer
+    ranked = (
         csims.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("cid", "vec_id", F.transform(e, lambda x: x / norm).alias("nv"))
+        .filter(F.col("rn") <= probes)
+        .select(
+            "cid", "vec_id", F.transform(e, lambda x: x / norm).alias("nv"), "rn"
+        )
+        .localCheckpoint(eager=False)
     )
+    home = ranked.filter(F.col("rn") == 1).select("cid", "vec_id", "nv")
+    probe = ranked.select("cid", "vec_id", "nv") if probes > 1 else None
     nn = similarity.grouped_gemm_nearest_neighbor(
-        members, group_col="cid", vec_col="nv"
+        home, group_col="cid", vec_col="nv", queries=probe
     ).localCheckpoint(eager=False)
     x = nn.select(
         F.col("query_id").alias("qa"), F.col("vec_id").alias("qb"),
         F.col("cosine_sim").alias("sim"),
     )
-    y = nn.select(
-        F.col("query_id").alias("ya"), F.col("vec_id").alias("yb")
+    y = nn.select(F.col("query_id").alias("ya"), F.col("vec_id").alias("yb"))
+    return x.join(
+        y,
+        (F.col("qb") == F.col("ya"))
+        & (F.col("yb") == F.col("qa"))
+        & (F.col("qa") < F.col("qb")),
+    ).select(
+        F.col("qa").alias("vec_a"), F.col("qb").alias("vec_b"), F.col("sim")
     )
+
+
+@_register(
+    "mutual_nearest_ivf",
+    _IVF_SQL_HEADER + "," + _ivf_mutual_sql(3) + """
+    SELECT vec_a, vec_b, round(sim, 6) AS cosine_sim
+    FROM ivf
+    ORDER BY vec_a
+    """,
+    "MUTUAL NEAREST NEIGHBORS, the PRODUCTION-SHAPED swap the exact "
+    "form documents: IVF coarse quantizer (deterministic first-C "
+    "centroids, cosine cell assignment — sim_ivf_topk's quantizer) "
+    "restricts each vector's NN search to its probes=3 nearest cells "
+    "— own cell plus two runner-up pivot groups, the rn <= probes "
+    "descent §12d proved on the semdedup twin of this quantizer — and "
+    "the within-cell exact NN is ONE GEMM PER (probe, cell) "
+    "(similarity.grouped_gemm_nearest_neighbor: cogrouped "
+    "applyInPandas keyed on the cell id — fully distributed, no "
+    "driver collect, no broadcast; cost probes·Σ|cell|²·d, the §12d "
+    "cell-balance quantity) followed by a min_by reduce per query. "
+    "The recall recovered by multiprobe vs single-probe is measured "
+    "by mutual_nn_ivf_recall (p=1/p=3 curve). At 100 TB the same "
+    "plan holds with k-means-trained centroids (lloyd_iterations) and "
+    "k ∝ √n cells; first-C fixed centroids keep the DuckDB oracle "
+    "exact",
+)
+def mutual_nearest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        x.join(
-            y,
-            (F.col("qb") == F.col("ya"))
-            & (F.col("yb") == F.col("qa"))
-            & (F.col("qa") < F.col("qb")),
-        )
-        .select(
-            F.col("qa").alias("vec_a"),
-            F.col("qb").alias("vec_b"),
-            F.round("sim", 6).alias("cosine_sim"),
-        )
+        _ivf_mutual_pairs(spark, sf_dir, probes=3)
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("vec_a")
     )
 
 
 @_register(
     "mutual_nn_ivf_recall",
-    """
-    WITH c AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    u AS (
-        SELECT vec_id,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        FROM c
-    ),
+    _IVF_SQL_HEADER + """,
     es AS (
         SELECT a.vec_id AS qa, b.vec_id AS qb,
                list_dot_product(a.nv, b.nv) AS sim
@@ -2198,92 +2233,78 @@ def mutual_nearest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AS (
         SELECT x.qa AS vec_a, x.qb AS vec_b
         FROM enn x JOIN enn y ON x.qb = y.qa AND y.qb = x.qa AND x.qa < x.qb
-    ),
-    cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8),
-    csims AS (
-        SELECT c.vec_id, cent.cid,
-               list_dot_product(c.v, cent.cv)
-                 / (sqrt(list_dot_product(c.v, c.v))
-                    * sqrt(list_dot_product(cent.cv, cent.cv))) AS csim
-        FROM c, cent
-    ),
-    assign AS (
-        SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-                   row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY csim DESC, cid) AS rn
-            FROM csims
-        ) WHERE rn = 1
-    ),
-    m AS (SELECT a.vec_id, a.cid, u.nv FROM assign a JOIN u ON a.vec_id = u.vec_id),
-    s AS (
-        SELECT x.vec_id AS qa, y.vec_id AS qb,
-               list_dot_product(x.nv, y.nv) AS sim
-        FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id <> y.vec_id
-    ),
-    inn AS (
-        SELECT qa, qb FROM (
-            SELECT qa, qb,
-                   row_number() OVER (PARTITION BY qa
-                                      ORDER BY sim DESC, qb) AS rn
-            FROM s
-        ) WHERE rn = 1
-    ),
-    ivf AS (
-        SELECT x.qa AS vec_a, x.qb AS vec_b
-        FROM inn x JOIN inn y ON x.qb = y.qa AND y.qb = x.qa AND x.qa < x.qb
-    )
-    SELECT (SELECT count(*) FROM exact) AS n_exact_pairs,
-           (SELECT count(*) FROM ivf) AS n_ivf_pairs,
-           (SELECT count(*) FROM exact JOIN ivf USING (vec_a, vec_b))
+    ),""" + _ivf_mutual_sql(1, "1") + "," + _ivf_mutual_sql(3, "3") + """
+    SELECT 1 AS probes,
+           (SELECT count(*) FROM exact) AS n_exact_pairs,
+           (SELECT count(*) FROM ivf1) AS n_ivf_pairs,
+           (SELECT count(*) FROM exact JOIN ivf1 USING (vec_a, vec_b))
                AS n_captured,
-           round((SELECT count(*) FROM exact JOIN ivf USING (vec_a, vec_b))
+           round((SELECT count(*) FROM exact JOIN ivf1 USING (vec_a, vec_b))
                  * 1.0 / nullif((SELECT count(*) FROM exact), 0), 4) + 0.0
                AS recall,
-           round((SELECT count(*) FROM exact JOIN ivf USING (vec_a, vec_b))
-                 * 1.0 / nullif((SELECT count(*) FROM ivf), 0), 4) + 0.0
+           round((SELECT count(*) FROM exact JOIN ivf1 USING (vec_a, vec_b))
+                 * 1.0 / nullif((SELECT count(*) FROM ivf1), 0), 4) + 0.0
                AS precision_
+    UNION ALL
+    SELECT 3 AS probes,
+           (SELECT count(*) FROM exact),
+           (SELECT count(*) FROM ivf3),
+           (SELECT count(*) FROM exact JOIN ivf3 USING (vec_a, vec_b)),
+           round((SELECT count(*) FROM exact JOIN ivf3 USING (vec_a, vec_b))
+                 * 1.0 / nullif((SELECT count(*) FROM exact), 0), 4) + 0.0,
+           round((SELECT count(*) FROM exact JOIN ivf3 USING (vec_a, vec_b))
+                 * 1.0 / nullif((SELECT count(*) FROM ivf3), 0), 4) + 0.0
+    ORDER BY probes
     """,
-    "ANN QUALITY AUDIT for the mutual-NN swap: exact mutual pairs "
-    "(broadcast-GEMM kernel) vs IVF-cell mutual pairs "
-    "(mutual_nearest_ivf's grouped GEMM) — pair recall AND precision "
-    "in one row (a cell-restricted NN can both miss cross-cell mutual "
-    "pairs and mint false mutuals when the true NN lives elsewhere). "
-    "The companion measurement to lsh_banding_recall (text near-dup) "
-    "and ivf_multiprobe_recall (top-k ANN): the number that decides "
-    "whether single-probe IVF is acceptable for bitext mining before "
-    "a 100 TB run commits to it",
+    "ANN QUALITY AUDIT for the mutual-NN swap, now a CURVE: exact "
+    "mutual pairs (broadcast-GEMM kernel) vs IVF-cell mutual pairs at "
+    "probes=1 (pure cell restriction) AND probes=3 (the production "
+    "knob mutual_nearest_ivf ships with) — pair recall AND precision "
+    "per probe setting in one result (a cell-restricted NN can both "
+    "miss cross-cell mutual pairs and mint false mutuals when the "
+    "true NN lives elsewhere). The companion measurement to "
+    "lsh_banding_recall (text near-dup) and ivf_multiprobe_recall "
+    "(top-k ANN): the curve that decides how many probes a 100 TB "
+    "bitext-mining run needs before committing",
 )
 def mutual_nn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = mutual_nearest_embeddings(spark, sf_dir).select("vec_a", "vec_b")
-    ivf = mutual_nearest_ivf(spark, sf_dir).select("vec_a", "vec_b")
-    cap = exact.join(ivf, ["vec_a", "vec_b"]).agg(
-        F.count("*").alias("n_captured")
+    exact = (
+        mutual_nearest_embeddings(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
     )
-    tot = exact.agg(F.count("*").alias("n_exact_pairs"))
-    itot = ivf.agg(F.count("*").alias("n_ivf_pairs"))
-    return (
-        tot.crossJoin(itot)
-        .crossJoin(cap)
-        .select(
-            "n_exact_pairs",
-            "n_ivf_pairs",
-            "n_captured",
-            (
-                F.round(
-                    F.col("n_captured")
-                    / F.nullif(F.col("n_exact_pairs"), F.lit(0)),
-                    4,
-                )
-                + 0.0
-            ).alias("recall"),
-            (
-                F.round(
-                    F.col("n_captured")
-                    / F.nullif(F.col("n_ivf_pairs"), F.lit(0)),
-                    4,
-                )
-                + 0.0
-            ).alias("precision_"),
+    rows = []
+    for p in (1, 3):
+        ivf = _ivf_mutual_pairs(spark, sf_dir, p).select("vec_a", "vec_b")
+        cap = exact.join(ivf, ["vec_a", "vec_b"]).agg(
+            F.count("*").alias("n_captured")
         )
-    )
+        tot = exact.agg(F.count("*").alias("n_exact_pairs"))
+        itot = ivf.agg(F.count("*").alias("n_ivf_pairs"))
+        rows.append(
+            tot.crossJoin(itot)
+            .crossJoin(cap)
+            .select(
+                F.lit(p).alias("probes"),
+                "n_exact_pairs",
+                "n_ivf_pairs",
+                "n_captured",
+                (
+                    F.round(
+                        F.col("n_captured")
+                        / F.nullif(F.col("n_exact_pairs"), F.lit(0)),
+                        4,
+                    )
+                    + 0.0
+                ).alias("recall"),
+                (
+                    F.round(
+                        F.col("n_captured")
+                        / F.nullif(F.col("n_ivf_pairs"), F.lit(0)),
+                        4,
+                    )
+                    + 0.0
+                ).alias("precision_"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("probes")

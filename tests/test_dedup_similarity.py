@@ -680,3 +680,45 @@ def test_collect_unit_matrix_broadcast_cap(spark, monkeypatch):
         similarity.gemm_threshold_pairs(unit, threshold=0.0)
     monkeypatch.setattr(similarity, "_GEMM_MAX_BROADCAST_VECS", 5)
     assert similarity.gemm_threshold_pairs(unit, threshold=0.0).count() >= 0
+
+
+def test_grouped_gemm_multiprobe(spark):
+    """Multiprobe mode: a query probing a second cell reaches a
+    better NN there; queries == home membership degrades exactly to
+    the single-probe result; unprobed queries are unchanged."""
+    home = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0]),
+            (0, 2, [0.8, 0.6]),
+            (0, 3, [0.0, 1.0]),  # home in cell 0, true NN is 10 in cell 1
+            (1, 10, [0.1, 0.995]),
+            (1, 11, [-1.0, 0.0]),
+        ],
+        "cid int, vec_id long, nv array<double>",
+    )
+    single = {
+        r["query_id"]: (r["vec_id"], round(r["cosine_sim"], 6))
+        for r in similarity.grouped_gemm_nearest_neighbor(home).collect()
+    }
+    probe = home.unionByName(
+        spark.createDataFrame(
+            [(1, 3, [0.0, 1.0])], "cid int, vec_id long, nv array<double>"
+        )
+    )
+    multi = {
+        r["query_id"]: (r["cid"], r["vec_id"], round(r["cosine_sim"], 6))
+        for r in similarity.grouped_gemm_nearest_neighbor(
+            home, queries=probe
+        ).collect()
+    }
+    assert single[3][0] in (1, 2)  # single-probe is stuck inside cell 0
+    assert multi[3] == (1, 10, 0.995)  # multiprobe reaches cell 1's true NN
+    assert multi[1] == (0, 2, 0.8) and single[1] == (2, 0.8)
+    # identity: probe membership == home membership -> single-probe result
+    eq = {
+        r["query_id"]: (r["vec_id"], round(r["cosine_sim"], 6))
+        for r in similarity.grouped_gemm_nearest_neighbor(
+            home, queries=home
+        ).collect()
+    }
+    assert eq == single
