@@ -1,20 +1,29 @@
-"""Per-round scale guard (r06 verdict #6): re-measure the §12d
-headline scale win — end-to-end two-level semdedup wall at the k=100
-corpus (200k vectors, k=800, probes=3) — and merge the number into the
-committed SCALE_GUARD.json so the next round can diff it instead of
-re-discovering the measurement.
+"""Per-round scale guard (r06 verdict #6, extended r08): re-measure
+the recorded scale wins and merge the numbers into the committed
+SCALE_GUARD.json so the next round can diff them instead of
+re-discovering the measurements.
 
-The measured quantity is the REAL engine path
-(`semdedup_survivors(assign="two_level", probes=3)` over the sfx100
-embeddings via the raw operator, same sizing as SCALE.md §12c/§12d:
-k=800 ∝ √n per the balanced rule). §12d's recorded band is
-31.7–45.1 s; flat assignment at the same k measured 239 s.
+Guarded metrics:
+
+1. ``semdedup_two_level_wall`` — the §12d headline: end-to-end
+   two-level semdedup wall at the k=100 corpus (200k vectors, k=800,
+   probes=3), via the raw operator
+   (`semdedup_survivors(assign="two_level", probes=3)`; k=800 ∝ √n
+   per the balanced rule). §12d's recorded band is 31.7–45.1 s; flat
+   assignment at the same k measured 239 s.
+2. ``gemm_neardup_pairs_wall`` (r08, verdict ask #5) — the §13
+   broadcast-GEMM kernel: the `embedding_neardup_pairs` registry query
+   at the ×10 fixture (20k × 64f vectors). r07 recorded 25.5 s; a
+   kernel regression (e.g. a chunking change) shows up here as a diff
+   instead of being rediscovered at the next budget kill.
 
 Usage:
   python tools/make_scale_fixtures.py --k 100   # once per machine
-  python tools/scale_guard.py --round 7 [--sf /tmp/spark_graft_sfx100]
+  python tools/make_scale_fixtures.py --k 10    # for the GEMM guard
+  python tools/scale_guard.py --round 8 [--sf /tmp/spark_graft_sfx100]
+                                        [--sf10 /tmp/spark_graft_sfx10]
 
-Merges {"r07": {...}} into SCALE_GUARD.json at the repo root and
+Merges {"r08": {...}} into SCALE_GUARD.json at the repo root and
 prints one JSON line. Run it on an otherwise idle box — the guard is
 a wall-clock number.
 """
@@ -33,6 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", default="/tmp/spark_graft_sfx100")
+    p.add_argument("--sf10", default="/tmp/spark_graft_sfx10",
+                   help="×10 fixture for the GEMM-kernel guard")
     p.add_argument("--k", type=int, default=800)
     p.add_argument("--probes", type=int, default=3)
     p.add_argument("--round", type=int, required=True)
@@ -67,6 +78,18 @@ def main() -> int:
         walls.append(round(time.perf_counter() - t0, 1))
         print(f"# run: {walls[-1]}s", file=sys.stderr)
 
+    # guard 2: the §13 broadcast-GEMM pair kernel at the ×10 fixture
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    gemm_walls = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        REGISTRY["embedding_neardup_pairs"].fn(spark, args.sf10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        gemm_walls.append(round(time.perf_counter() - t0, 1))
+        print(f"# gemm run: {gemm_walls[-1]}s", file=sys.stderr)
+
     rec = {
         "metric": "semdedup_two_level_wall",
         "sf_dir": args.sf,
@@ -74,6 +97,13 @@ def main() -> int:
         "probes": args.probes,
         "wall_sec_min": min(walls),
         "wall_sec_all": walls,
+        "gemm_guard": {
+            "metric": "gemm_neardup_pairs_wall",
+            "query": "embedding_neardup_pairs",
+            "sf_dir": args.sf10,
+            "wall_sec_min": min(gemm_walls),
+            "wall_sec_all": gemm_walls,
+        },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(repo, "SCALE_GUARD.json")

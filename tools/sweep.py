@@ -263,7 +263,15 @@ def main(argv=None) -> int:
         # shard (r07: one shard SIGKILLed, its sibling's JVM torn down
         # with it, 40 queries lost). A memory cap makes DuckDB spill to
         # disk instead — slower, but every query records SOMETHING.
+        # An IN-MEMORY DuckDB has no temp_directory by default, so the
+        # cap alone would turn the overflow into an OutOfMemory ERROR
+        # (better than SIGKILL, still not a verdict) — point it at a
+        # real spill dir so the query completes.
+        import tempfile
+
         con.execute(f"SET memory_limit='{duck_mem}'")
+        spill = tempfile.mkdtemp(prefix="sweep_duck_spill_")
+        con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         path = os.path.join(args.sf, f"{t}.parquet")
         if os.path.isdir(path):
@@ -317,12 +325,19 @@ def main(argv=None) -> int:
                 group, f"sweep per-query budget {args.budget}s", True
             )
 
-            def _trip(group=group):
+            def _trip(group=group, cur=cur, fired=fired, done=done):
                 # a query is many Spark jobs; cancelling once only
                 # kills the job running at fire time, so keep
                 # cancelling THIS query's job group (scoped — a cancel
                 # landing after the query ends cannot hit the next
-                # one) until the main loop signals completion
+                # one) until the main loop signals completion.
+                # EVERY per-query object is bound as a DEFAULT ARG:
+                # the first r08 scale run captured cur/done by NAME,
+                # so a stale trip thread late-bound to the NEXT
+                # query's cursor and — because the next `done` starts
+                # unset — kept interrupting it for that query's whole
+                # life (18 harness_interrupts in one sweep). Early
+                # binding pins the thread to its own query's state.
                 fired.set()
                 while not done.is_set():
                     try:
@@ -421,6 +436,11 @@ def main(argv=None) -> int:
             if guard:
                 done.set()
                 guard.cancel()
+                if fired.is_set():
+                    # the timer thread IS the trip loop once fired —
+                    # wait it out (exits <=1s after done.set()) so no
+                    # stale thread is alive when the next query starts
+                    guard.join(timeout=5.0)
             # close AFTER done.set() so the trip loop stops aiming at
             # it first; a latched interrupt dies with the cursor
             try:
