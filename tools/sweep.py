@@ -128,7 +128,8 @@ def _sharded(args) -> int:
                     str(args.budget),
                     "--max-hash-rows",
                     str(args.max_hash_rows),
-                ],
+                ]
+                + (["--spark-only"] if args.spark_only else []),
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
@@ -180,6 +181,11 @@ def _sharded(args) -> int:
     missing = [n for n in names if n not in results]
     doc = {
         "sf": args.sf,
+        # spark-only mode: "pass" means the Spark plan EXECUTED to
+        # completion (rows counted, wall recorded) — no oracle value
+        # comparison happened; the correctness gates are the sf0.01
+        # hash sweep and the ×10 artifact
+        "mode": "spark_only" if args.spark_only else "oracle_compare",
         "shards": args.shards,
         "wall_sec": round(time.time() - t0, 1),
         "n_queries": len(names),
@@ -243,6 +249,15 @@ def main(argv=None) -> int:
         "scale fixtures; 0 = always hash-compare",
     )
     p.add_argument("--round", type=int, default=0, help="write SWEEP_r{N}.json")
+    p.add_argument(
+        "--spark-only",
+        action="store_true",
+        help="execute only the Spark side (count(), no DuckDB oracle) — "
+        "for fixtures past what the oracle twins can run at ALL (the "
+        "×100 corpus: quadratic SQL forms that exist for small-sf "
+        "correctness). Records spark_rows + wall per query; the "
+        "artifact says explicitly that no value comparison happened.",
+    )
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -356,6 +371,18 @@ def main(argv=None) -> int:
         phase = "spark"  # which side a tripped budget interrupted
         try:
             sdf = spec.fn(spark, args.sf)
+            if args.spark_only:
+                rec["spark_rows"] = sdf.count()
+                rec["spark_only"] = True
+                rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+                rec["sec"] = round(time.time() - t0, 3)
+                results[name] = rec
+                print(
+                    f"[{i + 1}/{len(names)}] {name}: ok "
+                    f"(spark-only, {rec['spark_rows']} rows, {rec['sec']}s)",
+                    flush=True,
+                )
+                continue  # finally releases the budget guard
             if args.max_hash_rows:
                 # scale mode: bound driver memory — count first, and
                 # hash-compare only results small enough to collect
