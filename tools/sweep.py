@@ -19,11 +19,14 @@ Usage:
 
 Exit code 0 iff every query matches. Single-process runs write a JSON
 log to /tmp/sweep_<sfname>.json (or --out). ``--shards N`` runs the
-registry as N parallel subprocesses (each its own local[4] Spark +
+registry as N parallel subprocesses (each its own local[cpus/N] Spark +
 DuckDB — the sweep is embarrassingly parallel per query) and merges
 their logs into ONE recorded artifact; with ``--round R`` that artifact
 is ``SWEEP_r{R}.json`` at the repo root, committed so the next round
 diffs per-query pass/fail and timing instead of re-discovering them.
+Shard children inherit SPARK_GRAFT_CPUS = cpu_count // shards (unless
+the caller pinned it) so N shards share the machine instead of running
+N full-width local[cpu_count] sessions.
 """
 
 from __future__ import annotations
@@ -107,6 +110,18 @@ def _sharded(args) -> int:
         return 2
     shards = [names[i :: args.shards] for i in range(args.shards)]
     shards = [s for s in shards if s]
+    # Split the machine's cores across shards: a child's get_spark()
+    # defaults to local[os.cpu_count()], so N shards silently ran N
+    # full-width sessions (4 shards x local[32] = 128 task slots on 32
+    # CPUs — observed load avg 85, and the likely mechanism behind the
+    # r07 OOM-killed shard and the x10 run's /tmp spill exhaustion:
+    # every shard's shuffle+GEMM memory peaked 8x wider than intended).
+    # Respect an explicit SPARK_GRAFT_CPUS if the caller set one.
+    child_env = dict(os.environ)
+    if "SPARK_GRAFT_CPUS" not in child_env:
+        child_env["SPARK_GRAFT_CPUS"] = str(
+            max(2, (os.cpu_count() or 8) // max(1, len(shards)))
+        )
     t0 = time.time()
     procs, outs = [], []
     for i, shard in enumerate(shards):
@@ -130,6 +145,7 @@ def _sharded(args) -> int:
                     str(args.max_hash_rows),
                 ]
                 + (["--spark-only"] if args.spark_only else []),
+                env=child_env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
                 text=True,
