@@ -512,6 +512,16 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+#: Edge count under which connected_components pins the label side of
+#: every per-round join as an explicit broadcast (labels are node-sized,
+#: bounded by 2·edges — at this bound a worst-case ~4M-node label frame
+#: builds a ~100 MB relation, comfortable on any driver). Above it the
+#: label joins are hinted shuffled-hash instead: nothing builds on the
+#: driver, no sort, and Catalyst's (unusable — see below) estimates for
+#: post-Arrow stages never get to pick the build side.
+_CC_BROADCAST_EDGE_BOUND = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str,
@@ -541,6 +551,23 @@ def connected_components(
     edges_m = iteration_barrier(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     )
+    # Join strategy from the REAL edge count, not Catalyst's estimate:
+    # candidate generators are Arrow/mapInPandas stages whose output
+    # size Catalyst cannot see (measured: a 42.7M-pair GEMM output
+    # estimated at 4 MiB), so at scale the static planner auto-
+    # broadcasts a data-scale frame and the driver dies building it
+    # (x100 sweep: `Not enough memory to build and broadcast`). The
+    # eager barrier above just materialized the blocks, so count() is
+    # one cheap job. Small graphs keep the explicit-broadcast plan
+    # (per-round label frames are node-sized — strictly smaller);
+    # large graphs pin every label-side join to shuffled-hash, which
+    # never builds on the driver and skips SMJ's sort. AQE may still
+    # convert to broadcast from RUNTIME sizes — those are accurate.
+    small_graph = edges_m.count() <= _CC_BROADCAST_EDGE_BOUND
+
+    def _label_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_graph else df.hint("shuffle_hash")
+
     # no distinct on the bidirectional list: candidate generators emit
     # (a < b) pairs already distinct, and reversing cannot create dups;
     # duplicate edges would anyway be absorbed by the min-aggregate, so
@@ -582,7 +609,7 @@ def connected_components(
     # job — no extra action, the cost the fusion trades away from the
     # common case. Labels stay monotone, so the sum probe is unchanged.
     nbr0 = (
-        adj.join(labels0, adj["s"] == labels0["node"])
+        adj.join(_label_side(labels0), adj["s"] == labels0["node"])
         .groupBy(F.col("d").alias("node"))
         .agg(F.min("label").alias("label"))
     )
@@ -590,7 +617,7 @@ def connected_components(
         F.col("node").alias("pnode"), F.col("label").alias("plabel")
     )
     labels = iteration_barrier(
-        nbr0.join(par0, nbr0["label"] == par0["pnode"]).select(
+        nbr0.join(_label_side(par0), nbr0["label"] == par0["pnode"]).select(
             "node", F.least("label", "plabel").alias("label")
         ),
         eager=False,
@@ -598,7 +625,7 @@ def connected_components(
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
-            adj.join(labels, adj["s"] == labels["node"])
+            adj.join(_label_side(labels), adj["s"] == labels["node"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("label").alias("label"))
         )
@@ -618,7 +645,7 @@ def connected_components(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
         labels = iteration_barrier(
-            nbr_min.join(parent, nbr_min["label"] == parent["pnode"])
+            nbr_min.join(_label_side(parent), nbr_min["label"] == parent["pnode"])
             .select("node", F.least("label", "plabel").alias("label")),
             eager=False,
         )

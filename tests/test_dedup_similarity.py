@@ -157,6 +157,33 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_large_graph_join_strategy(spark, monkeypatch):
+    """Above _CC_BROADCAST_EDGE_BOUND the per-round label joins switch
+    from explicit broadcast to shuffled-hash hints (the x100 sweep OOMed
+    building a driver broadcast chosen off Catalyst's garbage size
+    estimate for post-Arrow stages — a 42.7M-pair GEMM output estimated
+    at 4 MiB). Forcing the bound to 0 exercises the large-graph path on
+    a small fixture; labels must be identical to the broadcast path."""
+    from covid19_etl_pipeline_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    base = {
+        r["node"]: r["label"]
+        for r in D.connected_components(edges, "a", "b").collect()
+    }
+    monkeypatch.setattr(D, "_CC_BROADCAST_EDGE_BOUND", 0)
+    hashed = {
+        r["node"]: r["label"]
+        for r in D.connected_components(edges, "a", "b").collect()
+    }
+    assert base == hashed == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     """The CHECKPOINT_DIR_CONF toggle swaps every iteration barrier to
     the storage-backed reliable checkpoint; labels must be identical to

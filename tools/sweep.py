@@ -32,6 +32,7 @@ N full-width local[cpu_count] sessions.
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import math
 import os
@@ -385,6 +386,7 @@ def main(argv=None) -> int:
             guard.daemon = True
             guard.start()
         phase = "spark"  # which side a tripped budget interrupted
+        sdf = None
         try:
             sdf = spec.fn(spark, args.sf)
             if args.spark_only:
@@ -490,9 +492,19 @@ def main(argv=None) -> int:
                 cur.close()
             except Exception:
                 pass
-                # pyspark has no clearJobGroup; clearing the local
-                # property detaches subsequent queries from this group
-                spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            # pyspark has no clearJobGroup; clearing the local
+            # property detaches subsequent queries from this group
+            # (was mis-indented under `except: pass` and never ran)
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+            # Drop the python-side DataFrame ref and force a GC so
+            # ContextCleaner releases this query's localCheckpoint
+            # blocks (same lesson as bench.py's per-query gc): in
+            # local mode those blocks live in THIS JVM's heap, and on
+            # the x100 fixture ~20 heavy queries' worth accumulated
+            # until a tiny broadcast build OOMed (dup_clusters) or the
+            # JVM died outright (the shard-1of4 ConnectionRefused).
+            sdf = None
+            gc.collect()
         rec["sec"] = round(time.time() - t0, 3)
         results[name] = rec
         status = "ok" if ok else "FAIL"
