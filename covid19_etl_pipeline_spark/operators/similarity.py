@@ -17,7 +17,8 @@ neighbor over the ``embeddings`` table.
 All double-precision math is done in declared element order so results
 are reproducible and oracle-comparable — with ONE documented exception:
 the broadcast-GEMM exact kernels (`gemm_threshold_pairs`,
-`gemm_nearest_neighbor`, `grouped_gemm_nearest_neighbor`) hand the dot
+`gemm_nearest_neighbor`, `grouped_gemm_nearest_neighbor`,
+`grouped_gemm_dropped_ids`) hand the dot
 products to BLAS, whose summation order is implementation-defined. The
 per-element products are identical and the result differs from the
 element-order fold by ~1e-15 relative — far inside the registry's
@@ -514,6 +515,70 @@ def grouped_gemm_nearest_neighbor(
     )
 
 
+def grouped_gemm_dropped_ids(
+    df: DataFrame,
+    threshold: float,
+    group_col: str = "cid",
+    id_col: str = "pid",
+    vec_col: str = "uv",
+) -> DataFrame:
+    """Within-group "has a lower-id near-duplicate" scan, one chunked
+    GEMM per group — the kernel behind semdedup's drop rule. Emits the
+    id of every row that is the GREATER id of at least one within-group
+    pair with cosine ≥ threshold (over unit vectors; zero-norm rows are
+    the caller's job to exclude).
+
+    The interpreted form (`a.join(b, group_col)` + per-pair
+    higher-order `aggregate` dot) evaluates Σ|cell|²/2 interpreted
+    expressions — measured >600 s at the ×100 fixture (8 cells × 25k
+    members), where this kernel is BLAS-bound like its siblings.
+    Distributed exactly like `grouped_gemm_nearest_neighbor`: the
+    group key is the shuffle key, no driver collect, no broadcast,
+    per-task transient memory capped by ``_GEMM_SLICE_ELEMS`` slices.
+    The drop SET is order-independent, so BLAS summation order can
+    only matter for a pair sitting exactly on the threshold knife-edge
+    (module-docstring contract, ADVICE r07 accepted).
+
+    Returns a 1-column DataFrame (``id_col``) of dropped ids — at most
+    one row per input row, never pair-shaped.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([T.StructField(id_col, id_type, False)])
+    empty = pd.DataFrame(columns=[id_col])
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # BLAS thread pinning: session.py, see gemm_threshold_pairs
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(id_col, kind="stable")
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        mat_t = np.ascontiguousarray(mat.T)
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        col = np.arange(n)
+        step = max(1, _GEMM_SLICE_ELEMS // n)
+        for s in range(0, n, step):
+            sims = mat[s : s + step] @ mat_t
+            # pair (i = s+r, j > i) with sim >= threshold drops j;
+            # NaN compares False, so non-finite rows never drop anyone
+            mask = sims >= threshold
+            rows = np.arange(mask.shape[0])
+            mask &= col[None, :] > (s + rows)[:, None]
+            dropped |= mask.any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(fn, schema=out_schema)
+    )
+
+
 def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) -> DataFrame:
     """Assign each point to its nearest centroid (squared euclidean,
     expanded as ||v||² − 2·v·c + ||c||² so both engines evaluate the
@@ -830,15 +895,14 @@ def semdedup_survivors(
             "v", lambda x: x / F.sqrt(dot(F.col("v"), F.col("v")))
         ).alias("uv"),
     )
-    a = unit.select(F.col("pid").alias("pa"), "cid", F.col("uv").alias("ua"))
-    b = unit.select(F.col("pid").alias("pb"), "cid", F.col("uv").alias("ub"))
-    # no distinct on the dropped ids: LEFT ANTI against duplicated
-    # rows is identical, and the dedup was a pairs-sized extra shuffle
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("pa") < F.col("pb"))
-        .filter(dot(F.col("ua"), F.col("ub")) >= threshold)
-        .select(F.col("pb").alias("pid"))
+    # within-cell drop scan as one chunked GEMM per cell (r08): the
+    # interpreted self-join + per-pair `aggregate` dot evaluated
+    # Σ|cell|²/2 interpreted expressions — >600 s at the ×100 fixture
+    # where the kernel is BLAS-bound (same swap the exact-pair tier
+    # got in r07). Same shuffle key (cid), same drop rule, and the
+    # output is id-shaped, never pair-shaped.
+    dropped = grouped_gemm_dropped_ids(
+        unit, threshold=threshold, group_col="cid", id_col="pid", vec_col="uv"
     )
     return (
         assigned.join(dropped, "pid", "left_anti")

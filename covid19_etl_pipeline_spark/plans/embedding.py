@@ -1448,14 +1448,12 @@ def embedding_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: x / F.sqrt(similarity.dot(F.col("v"), F.col("v")))
         ).alias("uv"),
     )
-    a = unit.select(F.col("pid").alias("pa"), "cid", F.col("uv").alias("ua"))
-    b = unit.select(F.col("pid").alias("pb"), "cid", F.col("uv").alias("ub"))
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("pa") < F.col("pb"))
-        .filter(similarity.dot(F.col("ua"), F.col("ub")) >= 0.35)
-        .select(F.col("pb").alias("pid"))
-        .distinct()
+    # within-cell drop scan via the per-cell GEMM kernel (r08): the
+    # interpreted self-join evaluated Σ|cell|²/2 `aggregate` dots and
+    # tripped the 600s budget at the ×100 fixture; the kernel emits
+    # unique dropped ids, so the distinct shuffle is gone too
+    dropped = similarity.grouped_gemm_dropped_ids(
+        unit, threshold=0.35, group_col="cid", id_col="pid", vec_col="uv"
     )
     surv = inl.join(dropped, "pid", "left_anti")
     rk = F.row_number().over(

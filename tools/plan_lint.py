@@ -59,6 +59,12 @@ PANDAS_OK = {
     # applyInPandas keyed on the IVF cell — distributed, no broadcast
     "mutual_nearest_ivf",
     "mutual_nn_ivf_recall",
+    # grouped per-cell GEMM drop scan (similarity.grouped_gemm_dropped_ids):
+    # same applyInPandas-on-cid shape; replaces the interpreted
+    # within-cell self-join that tripped the 600s budget at x100
+    "semdedup_survivors",
+    "semdedup_two_level_survivors",
+    "embedding_curation_pipeline",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts
