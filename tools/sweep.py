@@ -288,6 +288,13 @@ def main(argv=None) -> int:
 
     spark = get_spark(app_name="sweep")
     con = duckdb.connect()
+    # Pin DuckDB to this shard's CPU share: it defaults to every core,
+    # so N shards ran N all-core DuckDBs on top of N Spark sessions
+    # during oracle phases — the same oversubscription the Spark side
+    # fixed via the inherited SPARK_GRAFT_CPUS split.
+    duck_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if duck_cpus:
+        con.execute(f"SET threads={max(1, int(duck_cpus))}")
     duck_mem = os.environ.get("SWEEP_DUCK_MEM")
     if duck_mem:
         # scale-fixture mode: the quadratic oracle twins allocate fast
