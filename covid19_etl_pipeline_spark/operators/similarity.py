@@ -307,7 +307,10 @@ def gemm_threshold_pairs(
 
 
 def gemm_nearest_neighbor(
-    unit: DataFrame, id_col: str = "vec_id", vec_col: str = "nv"
+    unit: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "nv",
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT single nearest neighbor for EVERY vector (self excluded),
     via the same broadcast-GEMM shape as `gemm_threshold_pairs` — n
@@ -315,7 +318,15 @@ def gemm_nearest_neighbor(
     window-over-all-pairs form needs. Tie-break matches the SQL
     ``ORDER BY sim DESC, id`` contract: broadcast columns are sorted by
     id ascending and ``argmax`` keeps the first occurrence of the
-    maximum. Returns (query_id, vec_id, cosine_sim)."""
+    maximum. Returns (query_id, vec_id, cosine_sim).
+
+    ``probe`` (optional) separates the query side from the candidate
+    side: ``unit`` stays the broadcast candidate matrix, ``probe`` is
+    the distributed side being answered (eval-vs-corpus leakage scans,
+    held-out retrieval probes). Self-masking applies only to probe ids
+    that actually exist among the candidates, so a disjoint probe set
+    ranks against the full candidate matrix. probe=None keeps the
+    original all-vs-self contract."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -353,10 +364,13 @@ def gemm_nearest_neighbor(
                 # become every query's NN; mask non-finite to -inf so
                 # they sort last, matching SQL NULL ordering (ADVICE r07)
                 sims[~np.isfinite(sims)] = -np.inf
-                # mask self-similarity; searchsorted is exact because
-                # c_ids is the sorted id domain and sl_ids ⊆ c_ids
+                # mask self-similarity — only where the probe id exists
+                # among the candidates (c_ids is sorted; a disjoint
+                # probe set has nothing to mask)
                 self_pos = np.searchsorted(c_ids, sl_ids)
-                sims[np.arange(len(sl_ids)), self_pos] = -np.inf
+                pos = np.minimum(self_pos, len(c_ids) - 1)
+                is_self = c_ids[pos] == sl_ids
+                sims[np.arange(len(sl_ids))[is_self], pos[is_self]] = -np.inf
                 best = np.argmax(sims, axis=1)
                 yield pd.DataFrame(
                     {
@@ -366,8 +380,8 @@ def gemm_nearest_neighbor(
                     }
                 )
 
-    probe = spread(unit, id_col)
-    return probe.mapInPandas(gen, schema=out_schema)
+    probe_df = spread(unit if probe is None else probe, id_col)
+    return probe_df.mapInPandas(gen, schema=out_schema)
 
 
 def grouped_gemm_nearest_neighbor(

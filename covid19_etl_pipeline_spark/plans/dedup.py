@@ -1463,79 +1463,82 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    grp = (
-        part.select(
-            "p_partkey",
-            "p_name",
-            "p_brand",
-            F.element_at(F.split("p_name", " "), 2).alias("noun"),
-        )
-        .groupBy("noun", "p_brand", "p_name")
-        .agg(F.sort_array(F.collect_list("p_partkey")).alias("ids"))
-    )
+    base = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), 2).alias("noun"),
+    ).localCheckpoint(eager=False)
+    # name vocabulary per block — the grain the Levenshtein verify
+    # runs at (vocabulary² per block, ~10³ comparisons)
+    grp = base.select("noun", "p_brand", "p_name").distinct()
     blocks = grp.groupBy("noun", "p_brand").agg(
-        F.sort_array(F.collect_list(F.struct("p_name", "ids"))).alias("ms")
+        F.sort_array(F.collect_list("p_name")).alias("names")
     )
-    n = F.size("ms")
+    n = F.size("names")
     # name-pair expansion INCLUDING the self pair (slice from position
     # i+1 keeps element i): same-name id groups produce the exact-dup
     # id pairs, distinct names the fuzzy ones
     name_pairs = F.flatten(
         F.transform(
-            "ms",
+            "names",
             lambda x, i: F.transform(
-                F.slice("ms", i + F.lit(1), n - i),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                F.slice("names", i + F.lit(1), n - i),
+                lambda y: F.struct(x.alias("na"), y.alias("nb")),
             ),
         )
     )
     np = (
-        blocks.select(F.explode(name_pairs).alias("p"))
-        .withColumn(
-            "edit_dist",
-            F.levenshtein(F.col("p.a.p_name"), F.col("p.b.p_name")).cast("int"),
+        blocks.select("noun", "p_brand", F.explode(name_pairs).alias("p"))
+        .select(
+            "noun",
+            "p_brand",
+            F.col("p.na").alias("na"),
+            F.col("p.nb").alias("nb"),
+            F.levenshtein(F.col("p.na"), F.col("p.nb")).cast("int").alias(
+                "edit_dist"
+            ),
         )
         .filter(F.col("edit_dist") <= 3)
     )
-    ids_a, ids_b = F.col("p.a.ids"), F.col("p.b.ids")
-    na, nb = F.col("p.a.p_name"), F.col("p.b.p_name")
-    sz = F.size(ids_a)
-    # self pair: id pairs within one name group (x < y by sort order)
-    self_pairs = F.flatten(
-        F.transform(
-            ids_a,
-            lambda x, i: F.transform(
-                F.slice(ids_a, i + F.lit(2), sz - i - 1),
-                lambda y: F.struct(
-                    x.alias("part_a"),
-                    y.alias("part_b"),
-                    na.alias("name_a"),
-                    nb.alias("name_b"),
-                ),
-            ),
-        )
+    # id-pair expansion as two distributed joins at id grain (r08):
+    # the old form flattened an O(group²) struct array INSIDE ONE ROW,
+    # which dies when a name group is large — the ×100 fixture copies
+    # every base part with its name intact, so same-name groups reach
+    # 34.7k members = a 6·10⁸-struct single-row array. Joining the
+    # matched name pairs (vocabulary grain, tiny) back to the exploded
+    # id table keeps the inherently output-sized pair set streaming
+    # through shuffle partitions instead of materializing per row.
+    xs = base.select(
+        "noun",
+        "p_brand",
+        F.col("p_name").alias("na"),
+        F.col("p_partkey").alias("x"),
     )
-    # cross pair: full ids_a × ids_b, oriented so part_a is the lesser
-    # id and name_a is ITS name (ids are globally unique per part)
-    cross_pairs = F.flatten(
-        F.transform(
-            ids_a,
-            lambda x: F.transform(
-                ids_b,
-                lambda y: F.struct(
-                    F.least(x, y).alias("part_a"),
-                    F.greatest(x, y).alias("part_b"),
-                    F.when(x < y, na).otherwise(nb).alias("name_a"),
-                    F.when(x < y, nb).otherwise(na).alias("name_b"),
-                ),
-            ),
-        )
+    ys = base.select(
+        "noun",
+        "p_brand",
+        F.col("p_name").alias("nb"),
+        F.col("p_partkey").alias("y"),
     )
-    rows = F.explode(F.when(na == nb, self_pairs).otherwise(cross_pairs))
+    expanded = (
+        np.join(xs, ["noun", "p_brand", "na"])
+        .join(ys, ["noun", "p_brand", "nb"])
+        # a same-name pair row is the group's self pair: keep each
+        # unordered id pair once (x < y); distinct names keep the full
+        # ids_a × ids_b cross, oriented so part_a is the lesser id and
+        # name_a is ITS name (ids are globally unique per part)
+        .filter((F.col("na") != F.col("nb")) | (F.col("x") < F.col("y")))
+    )
+    x, y = F.col("x"), F.col("y")
+    na, nb = F.col("na"), F.col("nb")
     return (
-        np.select("edit_dist", rows.alias("r"))
-        .select(
-            "r.part_a", "r.part_b", "r.name_a", "r.name_b", "edit_dist"
+        expanded.select(
+            F.least(x, y).alias("part_a"),
+            F.greatest(x, y).alias("part_b"),
+            F.when(x < y, na).otherwise(nb).alias("name_a"),
+            F.when(x < y, nb).otherwise(na).alias("name_b"),
+            "edit_dist",
         )
         .orderBy("part_a", "part_b")
     )

@@ -1749,27 +1749,42 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector by cosine and a leak verdict at 0.9 — the SEMANTIC twin "
     "of decontaminate_eval_overlap's n-gram check, catching "
     "paraphrased/reformatted eval contamination that exact shingles "
-    "miss (the Phi/GPT-4 decontamination protocol). Scale: the eval "
-    "side is tiny and BROADCAST (brute_force_topk's dense side); at "
-    "corpus scale swap the corpus-side scan for the IVF/LSH-bucketed "
-    "probe (sim_ivf_topk / sim_lsh_ann_topk) — same output contract, "
-    "which is why the exact form here is the auditable baseline",
+    "miss (the Phi/GPT-4 decontamination protocol). Scale: k=1 over a "
+    "probe subset IS nearest-neighbor, so this rides the broadcast-"
+    "GEMM NN kernel with the corpus as the broadcast matrix and the "
+    "eval sample as the distributed probe side (r08 — the interpreted "
+    "broadcast-NLJ form evaluated |Q|x|C| 64-dim cosines and tripped "
+    "the 600s budget at x100; the kernel runs it BLAS-bound). At "
+    "corpus scale past the broadcast bound swap the corpus side for "
+    "the IVF/LSH-bucketed probe (sim_ivf_topk / sim_lsh_ann_topk) — "
+    "same output contract, which is why the exact form here is the "
+    "auditable baseline",
 )
 def eval_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0)
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    nearest = similarity.brute_force_topk(corpus, queries, k=1)
-    return (
-        nearest.filter(F.col("rank") == 1)
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    unit = (
+        emb.select("vec_id", v.alias("__v"))
         .select(
-            F.col("query_id").alias("eval_id"),
-            F.col("vec_id").alias("nearest_corpus_id"),
-            F.round("cosine_sim", 6).alias("cosine_sim"),
-            (F.col("cosine_sim") >= 0.9).alias("is_leak"),
+            "vec_id",
+            F.transform(
+                "__v",
+                lambda x: x / F.sqrt(similarity.dot(F.col("__v"), F.col("__v"))),
+            ).alias("uv"),
         )
-        .orderBy("eval_id")
+        .localCheckpoint(eager=False)
     )
+    corpus = unit.filter(F.col("vec_id") % 50 != 0)
+    queries = unit.filter(F.col("vec_id") % 50 == 0)
+    nearest = similarity.gemm_nearest_neighbor(
+        corpus, vec_col="uv", probe=queries
+    )
+    return nearest.select(
+        F.col("query_id").alias("eval_id"),
+        F.col("vec_id").alias("nearest_corpus_id"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        (F.col("cosine_sim") >= 0.9).alias("is_leak"),
+    ).orderBy("eval_id")
 
 
 @_register(

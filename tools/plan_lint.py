@@ -55,6 +55,10 @@ PANDAS_OK = {
     "dup_clusters",
     "near_dedup_survivors",
     "dup_cluster_size_distribution",
+    # broadcast-GEMM NN with a disjoint probe side (r08): corpus is
+    # the broadcast matrix, the eval sample the distributed side —
+    # replaces an interpreted |Q|x|C| broadcast-NLJ cosine scan
+    "eval_embedding_leakage",
     # grouped per-cell GEMM NN (similarity.grouped_gemm_nearest_neighbor):
     # applyInPandas keyed on the IVF cell — distributed, no broadcast
     "mutual_nearest_ivf",
