@@ -185,11 +185,19 @@ def _sharded(args) -> int:
         for n, r in results.items()
         if (r.get("err") or "").startswith("harness_interrupt")
     ]
+    # DuckDB resource exhaustion running the oracle twin — same
+    # category as an oracle-side budget trip: the check did not run
+    oracle_oom = [
+        n
+        for n, r in results.items()
+        if (r.get("err") or "").startswith("oracle_oom")
+    ]
     failures = [
         n
         for n, r in results.items()
         if n not in over_budget
         and n not in harness
+        and n not in oracle_oom
         and (
             r.get("err") or r.get("hash_match") is False
             or r.get("rows_match") is False or r.get("schema_match") is False
@@ -206,13 +214,15 @@ def _sharded(args) -> int:
         "shards": args.shards,
         "wall_sec": round(time.time() - t0, 1),
         "n_queries": len(names),
-        "n_pass": len(results) - len(failures) - len(over_budget) - len(harness),
+        "n_pass": len(results) - len(failures) - len(over_budget)
+        - len(harness) - len(oracle_oom),
         "failures": failures,
         # scale-mode bookkeeping: a tripped budget is "this check did
         # not run here", distinct from a correctness failure — the
         # Spark scale path for these is measured by scale_spotcheck /
         # SCALE.md instead
         "over_budget": over_budget,
+        "oracle_oom": oracle_oom,
         "harness_interrupts": harness,
         "rows_only": [
             n for n, r in results.items() if r.get("rows_only")
@@ -479,6 +489,18 @@ def main(argv=None) -> int:
                 # if it ever recurs, record it as what it is instead
                 # of a correctness failure (r07 verdict)
                 rec["err"] = f"harness_interrupt: {e}"[:500]
+                failures.append(name)
+            elif (
+                phase == "oracle"
+                and type(e).__name__ == "OutOfMemoryException"
+            ):
+                # DuckDB ran out of memory running the oracle twin
+                # (recursive-CTE materialization is not spillable, so
+                # the SWEEP_DUCK_MEM cap can't save a CC oracle at 10x)
+                # — same category as an oracle-side budget trip: the
+                # CHECK did not run at this scale; the Spark result is
+                # recorded and the small-sf hash gate stands
+                rec["err"] = f"oracle_oom: {e}"[:200]
                 failures.append(name)
             else:
                 rec["err"] = f"{type(e).__name__}: {e}"[:500]
