@@ -342,10 +342,20 @@ def gemm_nearest_neighbor(
         ]
     )
 
+    # the all-vs-self contract needs >= 2 candidates (self is masked);
+    # a disjoint probe has a well-defined NN against a single candidate
+    # (ADVICE r08) — self-masking still handles a probe id that happens
+    # to equal the lone candidate (its only sim is -inf and the row is
+    # dropped below, matching the SQL join that produces no pair).
+    # all-vs-self keeps the r07-reviewed degenerate contract: a NaN
+    # query row emits its deterministic -inf match.
+    has_probe = probe is not None
+    min_cands = 1 if has_probe else 2
+
     def gen(batches):
         # BLAS thread pinning: session.py, see gemm_threshold_pairs
         c_ids, c_mat = bc.value
-        if len(c_ids) < 2:
+        if len(c_ids) < min_cands:
             return
         mat_t = np.ascontiguousarray(c_mat.T)
         step = max(1, _GEMM_SLICE_ELEMS // max(1, len(c_ids)))
@@ -372,11 +382,20 @@ def gemm_nearest_neighbor(
                 is_self = c_ids[pos] == sl_ids
                 sims[np.arange(len(sl_ids))[is_self], pos[is_self]] = -np.inf
                 best = np.argmax(sims, axis=1)
+                best_sim = sims[np.arange(len(sl_ids)), best]
+                # probe path: a probe whose every candidate is masked
+                # (the lone candidate is itself) has best == -inf —
+                # the SQL twin's join produces NO row there, emit none
+                keep = (
+                    np.isfinite(best_sim)
+                    if has_probe
+                    else np.ones(len(sl_ids), dtype=bool)
+                )
                 yield pd.DataFrame(
                     {
-                        "query_id": sl_ids,
-                        "vec_id": c_ids[best],
-                        "cosine_sim": sims[np.arange(len(sl_ids)), best],
+                        "query_id": sl_ids[keep],
+                        "vec_id": c_ids[best[keep]],
+                        "cosine_sim": best_sim[keep],
                     }
                 )
 

@@ -44,3 +44,25 @@ _D_BLK_W = (
 def adaptive_blk_width(n: int) -> int:
     """Python twin of ``_D_BLK_W`` — see that fragment's comment."""
     return 1 + (n > 20_000) + (n > 320_000)
+
+
+#: fellegi_sunter_part_linkage: catalog size past which the fixed
+#: (p_brand, p_size) block key (25x50 domain — occupancy, and the
+#: per-block quadratic, grow LINEARLY with the catalog) widens with the
+#: name-noun, the Splink-style "add a blocking rule when a block
+#: saturates" response. The SQL fragment and fs_widen_parts MUST stay
+#: in lockstep: the oracle derives the decision from count(part) inside
+#: the query, the Spark plan from DataFrame.count() at build time.
+FS_WIDEN_PARTS = 500_000
+_FS_WIDEN_SQL = (
+    f"((SELECT count(*) FROM part) <= {FS_WIDEN_PARTS}\n"
+    "              OR split_part(a.p_name, ' ', 2)\n"
+    "                 = split_part(b.p_name, ' ', 2))"
+)
+
+
+def fs_widen_parts(n: int) -> bool:
+    """Python twin of ``_FS_WIDEN_SQL``: True = widen the block key
+    with the name-noun (the SQL term then only keeps noun-equal
+    pairs)."""
+    return n > FS_WIDEN_PARTS

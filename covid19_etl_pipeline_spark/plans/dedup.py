@@ -18,7 +18,9 @@ from covid19_etl_pipeline_spark.plans.embedding import embedding_neardup_pairs
 from covid19_etl_pipeline_spark.plans._shared import (
     _D_BLK_W,
     _D_SHINGLES,
+    _FS_WIDEN_SQL,
     adaptive_blk_width,
+    fs_widen_parts,
     _d_minhash,
 )
 
@@ -1467,7 +1469,10 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_name",
         "p_brand",
-        F.element_at(F.split("p_name", " "), 2).alias("noun"),
+        # coalesce('') matches DuckDB split_part on single-token names
+        F.coalesce(F.element_at(F.split("p_name", " "), 2), F.lit("")).alias(
+            "noun"
+        ),
     ).localCheckpoint(eager=False)
     # name vocabulary per block — the grain the Levenshtein verify
     # runs at (vocabulary² per block, ~10³ comparisons)
@@ -1546,7 +1551,7 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "fellegi_sunter_part_linkage",
-    """
+    f"""
     WITH u AS (
         SELECT
             (SELECT sum(n * (n - 1)) * 1.0 FROM
@@ -1569,9 +1574,7 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part a JOIN part b
           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
          AND a.p_partkey < b.p_partkey
-         AND ((SELECT count(*) FROM part) <= 500000
-              OR split_part(a.p_name, ' ', 2)
-                 = split_part(b.p_name, ' ', 2))
+         AND {_FS_WIDEN_SQL}
     )
     SELECT a_partkey, b_partkey, agree_type, agree_price, agree_name,
            round((CASE WHEN agree_type = 1 THEN 0.95 / u_type
@@ -1609,7 +1612,11 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load_table(spark, sf_dir, "part")
-    noun = F.element_at(F.split("p_name", " "), 2)
+    # coalesce to '' so single-token p_name matches DuckDB split_part
+    # semantics ('' vs Spark's NULL element_at) — never fires on TPC-H
+    # 5-word names, but the lockstep rule must be lockstep on every
+    # input class (ADVICE r08)
+    noun = F.coalesce(F.element_at(F.split("p_name", " "), 2), F.lit(""))
 
     def u_of(keycol) -> DataFrame:
         freq = parts.groupBy(keycol.alias("v")).agg(F.count("*").alias("n"))
@@ -1642,14 +1649,14 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         noun.alias("b_noun"),
     )
     # adaptive block widening — the lockstep twin of the oracle's
-    # `count(*) <= 4000000 OR noun = noun` join term (see register
-    # docstring): one count() on the parquet scan decides the key
+    # `count(*) <= FS_WIDEN_PARTS OR noun = noun` join term
+    # (_shared._FS_WIDEN_SQL): one count() on the scan decides the key
     cond = (
         (F.col("a_brand") == F.col("b_brand"))
         & (F.col("a_size") == F.col("b_size"))
         & (F.col("a_partkey") < F.col("b_partkey"))
     )
-    if parts.count() > 500_000:
+    if fs_widen_parts(parts.count()):
         cond = cond & (F.col("a_noun") == F.col("b_noun"))
     pairs = a.join(b, cond).select(
         "a_partkey",
@@ -1832,7 +1839,8 @@ def maximal_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = load_table(spark, sf_dir, "part")
-    noun = F.element_at(F.split("p_name", " "), 2)
+    # coalesce('') matches DuckDB split_part on single-token names
+    noun = F.coalesce(F.element_at(F.split("p_name", " "), 2), F.lit(""))
     fam_w = Window.partitionBy("p_brand", "noun")
     rank_w = fam_w.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").desc())
     fam = parts.withColumn("noun", noun).select(

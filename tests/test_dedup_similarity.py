@@ -582,6 +582,30 @@ def test_gemm_kernels_degenerate_inputs(spark):
     assert similarity.gemm_nearest_neighbor(one, vec_col="uv").count() == 0
 
 
+def test_gemm_nn_probe_single_candidate(spark):
+    """probe= path with ONE candidate (ADVICE r08): a disjoint probe
+    has a well-defined NN against it; a probe id equal to the lone
+    candidate is self-masked and emits NO row (the SQL join produces
+    no pair), never a -inf artifact row."""
+    cand = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, uv array<double>"
+    )
+    disjoint = spark.createDataFrame(
+        [(9, [0.6, 0.8])], "vec_id long, uv array<double>"
+    )
+    out = similarity.gemm_nearest_neighbor(
+        cand, vec_col="uv", probe=disjoint
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["query_id"], out[0]["vec_id"]) == (9, 1)
+    assert abs(out[0]["cosine_sim"] - 0.6) < 1e-12
+    # probe IS the lone candidate -> self-masked, no row
+    assert (
+        similarity.gemm_nearest_neighbor(cand, vec_col="uv", probe=cand).count()
+        == 0
+    )
+
+
 def test_adaptive_blk_width_sql_python_lockstep():
     """The oracle derives the pair-block width from count(documents)
     inside the query; the Spark plan derives it driver-side — the two
@@ -603,6 +627,40 @@ def test_adaptive_blk_width_sql_python_lockstep():
         assert w_sql == adaptive_blk_width(n) == (
             1 + (n > 20000) + (n > 320000)
         ), n
+
+
+def test_fs_widen_parts_sql_python_lockstep():
+    """fellegi_sunter_part_linkage widens its block key with the
+    name-noun past FS_WIDEN_PARTS parts; the oracle derives the flip
+    from count(part) inside the query, the Spark plan from
+    DataFrame.count() driver-side. Both rules must flip at exactly the
+    same catalog size or the engines silently diverge at the scale the
+    knob exists for (VERDICT r08 #5). Evaluates the committed SQL
+    fragment on noun-agreeing and noun-disagreeing pairs at the
+    boundary counts."""
+    import duckdb
+
+    from covid19_etl_pipeline_spark.plans._shared import (
+        _FS_WIDEN_SQL,
+        FS_WIDEN_PARTS,
+        fs_widen_parts,
+    )
+
+    con = duckdb.connect()
+    for n in (1, FS_WIDEN_PARTS - 1, FS_WIDEN_PARTS, FS_WIDEN_PARTS + 1):
+        con.execute(f"CREATE OR REPLACE VIEW part AS SELECT * FROM range({n})")
+        # noun-disagreeing pair survives the SQL term iff NOT widened
+        diff_nouns = con.execute(
+            f"SELECT {_FS_WIDEN_SQL} FROM (SELECT 'a x c' AS p_name) a, "
+            "(SELECT 'a y c' AS p_name) b"
+        ).fetchone()[0]
+        assert diff_nouns == (not fs_widen_parts(n)), n
+        # noun-agreeing pair survives at every catalog size
+        same_nouns = con.execute(
+            f"SELECT {_FS_WIDEN_SQL} FROM (SELECT 'a x c' AS p_name) a, "
+            "(SELECT 'a x d' AS p_name) b"
+        ).fetchone()[0]
+        assert same_nouns is True, n
 
 
 def test_grouped_gemm_nearest_neighbor(spark):
