@@ -419,31 +419,63 @@ def main(argv=None) -> int:
                 )
                 continue  # finally releases the budget guard
             if args.max_hash_rows:
-                # scale mode: bound driver memory — count first, and
-                # hash-compare only results small enough to collect
+                # scale mode: bound driver memory — count first; results
+                # too large to collect get the STREAMED agg-hash compare
+                # (two scalars computed inside each engine, O(1) driver
+                # memory — VERDICT r08 #1); rows-only remains only as
+                # the fallback for types with no canonical form
                 n = sdf.count()
                 rec["spark_rows"] = n
                 if n > args.max_hash_rows:
-                    rec["rows_only"] = True
+                    from tools.agghash import (
+                        UnsupportedType,
+                        duck_agg_hash,
+                        duck_cols,
+                        spark_agg_hash,
+                    )
+
                     if spec.oracle is not None:
-                        phase = "oracle"
-                        rec["oracle_rows"] = cur.execute(
-                            f"SELECT count(*) FROM ({spec.oracle})"
-                        ).fetchone()[0]
-                        rec["rows_match"] = n == rec["oracle_rows"]
-                        rec["schema_match"] = rec["hash_match"] = None
-                        ok = bool(rec["rows_match"])
-                        if not ok:
-                            failures.append(name)
+                        try:
+                            _, s_hash = spark_agg_hash(sdf)
+                            phase = "oracle"
+                            o_n, o_hash = duck_agg_hash(cur, spec.oracle)
+                            rec["agg_hash"] = True
+                            rec["oracle_rows"] = o_n
+                            rec["rows_match"] = n == o_n
+                            rec["schema_match"] = sorted(
+                                sdf.columns
+                            ) == sorted(duck_cols(cur, spec.oracle))
+                            rec["hash_match"] = s_hash == o_hash
+                            ok = (
+                                rec["rows_match"]
+                                and rec["schema_match"]
+                                and rec["hash_match"]
+                            )
+                            if not ok:
+                                failures.append(name)
+                        except UnsupportedType as ut:
+                            phase = "oracle"
+                            rec["rows_only"] = True
+                            rec["rows_only_reason"] = f"agg_hash: {ut}"
+                            rec["oracle_rows"] = cur.execute(
+                                f"SELECT count(*) FROM ({spec.oracle})"
+                            ).fetchone()[0]
+                            rec["rows_match"] = n == rec["oracle_rows"]
+                            rec["schema_match"] = rec["hash_match"] = None
+                            ok = bool(rec["rows_match"])
+                            if not ok:
+                                failures.append(name)
                     else:
+                        rec["rows_only"] = True
                         rec["rows_match"] = rec["schema_match"] = None
                         rec["hash_match"] = None
                         ok = True
                     rec["sec"] = round(time.time() - t0, 3)
                     results[name] = rec
+                    mode = "agg-hash" if rec.get("agg_hash") else "rows-only"
                     print(
                         f"[{i + 1}/{len(names)}] {name}: "
-                        f"{'ok' if ok else 'FAIL'} (rows-only, {rec['sec']}s)",
+                        f"{'ok' if ok else 'FAIL'} ({mode}, {rec['sec']}s)",
                         flush=True,
                     )
                     continue  # finally releases the budget guard
