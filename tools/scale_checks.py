@@ -1,0 +1,1219 @@
+"""Tiered scale oracles (VERDICT r08 #2).
+
+At the ×10 fixtures, 14 registry queries had no verdict: 11 oracle
+twins are legitimately super-linear SQL forms that exist for small-sf
+correctness (quadratic pair joins, full-corpus NN scans) and tripped
+the 450s budget, and 3 connected-components twins exhaust DuckDB's
+non-spillable recursive-CTE materialization. The Spark side of every
+one finished — what was missing is an INDEPENDENT check of the values
+at scale.
+
+This module replaces those monolithic twins with LINEAR (or
+sampled-quadratic) property checks run over the SPARK OUTPUT:
+
+- **CC family** (`dup_clusters`, `near_dedup_survivors`,
+  `dup_cluster_size_distribution`): the edge set
+  (`embedding_neardup_pairs`) is value-verified by its own oracle at
+  ×10, so labels are recomputed EXACTLY by an independent union-find
+  over the exported edges (driver-side, O(E α(E)) — 424k edges at
+  ×10) and compared value-for-value. This is full value-level
+  verification, not an invariant.
+- **Pair queries** (`lsh_candidate_pairs`, `prefix_jaccard_pairs`,
+  `containment_doc_pairs`): SOUNDNESS is verified globally — every
+  emitted pair's predicate/score is recomputed in DuckDB over only
+  the involved docs (linear in output size); COMPLETENESS is
+  verified exactly within seeded content-free md5(doc_id) blocks
+  (the pair predicates are purely pairwise, so oracle-on-subset ==
+  Spark-output ∩ subset²) plus, for prefix-jaccard, containment of
+  the independently-verified blocked `ngram_jaccard_pairs` results.
+- **Composite pipelines** (`training_corpus`, `leakage_safe_split`,
+  `cross_source_dup_flow`, `neardup_threshold_sweep`,
+  `incremental_corpus_dedup`): decomposed — exact-dedup and per-row
+  derived columns recomputed linearly in DuckDB, near-dup clusters
+  via the union-find over exported pair frames, rollups recomputed in
+  DuckDB from the verified pair exports.
+- **Mutual-NN family** (`mutual_nearest_embeddings`,
+  `mutual_nn_ivf_recall`): every output pair's cosine recomputed
+  (linear); mutuality verified for seeded samples by true full-corpus
+  NN scans in DuckDB (k scans of n rows, never n²); recall/precision
+  arithmetic recomputed from exported pair sets.
+- **`lsh_banding_recall`**: the truth side is (source, tblk)-block-
+  local, so both engines recompute truth∩subset and its banding
+  capture on a seeded sub-block exactly; global output checked for
+  arithmetic consistency.
+
+Every check returns {"checks": {name: bool}, "notes": {...}}; the
+sweep records the dict and treats any False as a failure. Checks are
+deterministic (md5-seeded samples, no RNG).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from covid19_etl_pipeline_spark.plans._shared import (
+    _D_SHINGLES,
+    _d_minhash,
+    adaptive_blk_width,
+)
+
+#: registry: query name -> check(ctx) -> {"checks": {...}, "notes": {...}}
+CHECKS: dict = {}
+
+
+def _check(name):
+    def deco(fn):
+        CHECKS[name] = fn
+        return fn
+
+    return deco
+
+
+class CheckCtx:
+    """Everything a tiered check needs: the live SparkSession, a DuckDB
+    cursor with the base-table views already registered (the sweep's),
+    the fixture dir, and the Spark result DataFrame of the query under
+    check. Exported frames become DuckDB views over temp parquet."""
+
+    def __init__(self, spark, cur, sf_dir, sdf):
+        self.spark = spark
+        self.cur = cur
+        self.sf_dir = sf_dir
+        self.sdf = sdf
+        self._tmp = None
+        self._views = []
+
+    def export(self, df, name: str) -> str:
+        """Write a Spark DataFrame to temp parquet and register it as a
+        DuckDB view ``name``. Returns the view name."""
+        if self._tmp is None:
+            self._tmp = tempfile.mkdtemp(prefix="scale_check_")
+        path = os.path.join(self._tmp, name)
+        df.write.mode("overwrite").parquet(path)
+        self.cur.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{path}/*.parquet')"
+        )
+        self._views.append(name)
+        return name
+
+    def cleanup(self):
+        for v in self._views:
+            try:
+                self.cur.execute(f"DROP VIEW IF EXISTS {v}")
+            except Exception:
+                pass
+        if self._tmp:
+            shutil.rmtree(self._tmp, ignore_errors=True)
+
+
+def union_find_labels(edges) -> dict:
+    """Min-label connected components over an iterable of (a, b) id
+    pairs — the independent twin of dedup.connected_components, O(E
+    α(E)) with path compression, no recursion depth, no SQL. Returns
+    {node: min_id_of_component}."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root so the final root is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def _neardup_edges(ctx) -> list:
+    """The CC family's edge set: embedding_neardup_pairs — its OWN
+    oracle (the quadratic pair join) is value-verified at ×10 via the
+    agg-hash sweep, so these edges are trusted input here."""
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    pairs = REGISTRY["embedding_neardup_pairs"].fn(ctx.spark, ctx.sf_dir)
+    return [
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in pairs.select("vec_id_a", "vec_id_b").collect()
+    ]
+
+
+# ---------------------------------------------------------------- CC family
+
+
+@_check("dup_clusters")
+def check_dup_clusters(ctx) -> dict:
+    edges = _neardup_edges(ctx)
+    labels = union_find_labels(edges)
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    expected = {
+        n: (lab, sizes[lab]) for n, lab in labels.items()
+    }
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in ctx.sdf.collect()
+    }
+    return {
+        "checks": {
+            "membership_exact": set(got) == set(expected),
+            "labels_and_sizes_exact": got == expected,
+        },
+        "notes": {"n_edges": len(edges), "n_nodes": len(expected)},
+    }
+
+
+@_check("near_dedup_survivors")
+def check_near_dedup_survivors(ctx) -> dict:
+    labels = union_find_labels(_neardup_edges(ctx))
+    dropped = {n for n, lab in labels.items() if n != lab}
+    all_ids = {
+        r[0]
+        for r in ctx.cur.execute("SELECT vec_id FROM embeddings").fetchall()
+    }
+    expected = all_ids - dropped
+    got = {r["vec_id"] for r in ctx.sdf.select("vec_id").collect()}
+    return {
+        "checks": {"survivor_set_exact": got == expected},
+        "notes": {"n_survivors": len(got), "n_dropped": len(dropped)},
+    }
+
+
+@_check("dup_cluster_size_distribution")
+def check_dup_cluster_size_distribution(ctx) -> dict:
+    from collections import Counter
+
+    labels = union_find_labels(_neardup_edges(ctx))
+    sizes = Counter(Counter(labels.values()).values())  # size -> n_clusters
+    expected = {
+        s: (nc, s * nc, (s - 1) * nc) for s, nc in sizes.items()
+    }
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_members"], r["n_removable"])
+        for r in ctx.sdf.collect()
+    }
+    return {
+        "checks": {"histogram_exact": got == expected},
+        "notes": {"n_size_classes": len(expected)},
+    }
+
+
+# ------------------------------------------------------------- pair queries
+
+
+def _doc_subset_pred(prefixes, col="doc_id") -> str:
+    """Content-free seeded doc subset: md5(id) hex prefix in a fixed
+    set. Deterministic, unbiased w.r.t. content, and identical in both
+    engines."""
+    width = len(prefixes[0])
+    opts = ", ".join(f"'{p}'" for p in prefixes)
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, {width}) IN ({opts})"
+
+
+#: 4 two-hex blocks = ~1/64 of the corpus; brute-force pair joins over
+#: the subset stay in the hundreds of thousands of pairs at ×10.
+_BLOCKS_2HEX = ("0a", "3c", "7e", "b1")
+#: one-hex block = 1/16 — cheap enough when the per-pair predicate is
+#: a signature equality, not a list intersection.
+_BLOCKS_1HEX = ("7",)
+
+
+@_check("lsh_candidate_pairs")
+def check_lsh_candidate_pairs(ctx) -> dict:
+    cur = ctx.cur
+    ctx.export(ctx.sdf, "sc_lsh_pairs")
+    mh = ", ".join(f"{_d_minhash(i)} AS m{i}" for i in range(8))
+    bands = (
+        "SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS sig FROM sigs "
+        "UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs "
+        "UNION ALL SELECT doc_id, 2, concat_ws('|', m4, m5) FROM sigs "
+        "UNION ALL SELECT doc_id, 3, concat_ws('|', m6, m7) FROM sigs"
+    )
+    # SOUNDNESS (global, linear in output): every emitted pair shares
+    # >= 1 non-empty band signature — sigs recomputed for involved
+    # docs only
+    unsound = cur.execute(
+        f"""
+        WITH involved AS (
+            SELECT doc_id_a AS d FROM sc_lsh_pairs
+            UNION SELECT doc_id_b FROM sc_lsh_pairs
+        ),
+        s AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+              WHERE doc_id IN (SELECT d FROM involved)),
+        sigs AS (SELECT doc_id, {mh} FROM s),
+        b AS ({bands}),
+        f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> '')
+        SELECT count(*) FROM sc_lsh_pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM f x JOIN f y
+              ON x.band = y.band AND x.sig = y.sig
+            WHERE x.doc_id = p.doc_id_a AND y.doc_id = p.doc_id_b)
+        """
+    ).fetchone()[0]
+    # COMPLETENESS (exact within a 1/16 seeded subset): the pair
+    # predicate is purely pairwise, so the subset oracle must equal
+    # the Spark output restricted to both-endpoints-in-subset
+    pred = _doc_subset_pred(_BLOCKS_1HEX)
+    sub = set(
+        cur.execute(
+            f"""
+            WITH s AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+                       WHERE {pred}),
+            sigs AS (SELECT doc_id, {mh} FROM s),
+            b AS ({bands}),
+            f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> '')
+            SELECT DISTINCT x.doc_id, y.doc_id FROM f x JOIN f y
+              ON x.band = y.band AND x.sig = y.sig
+             AND x.doc_id < y.doc_id
+            """
+        ).fetchall()
+    )
+    got_sub = set(
+        cur.execute(
+            f"SELECT doc_id_a, doc_id_b FROM sc_lsh_pairs "
+            f"WHERE {_doc_subset_pred(_BLOCKS_1HEX, 'doc_id_a')} "
+            f"AND {_doc_subset_pred(_BLOCKS_1HEX, 'doc_id_b')}"
+        ).fetchall()
+    )
+    dups = cur.execute(
+        "SELECT count(*) - count(DISTINCT (doc_id_a, doc_id_b)) "
+        "FROM sc_lsh_pairs"
+    ).fetchone()[0]
+    ordered = cur.execute(
+        "SELECT count(*) FROM sc_lsh_pairs WHERE doc_id_a >= doc_id_b"
+    ).fetchone()[0]
+    return {
+        "checks": {
+            "pairs_sound": unsound == 0,
+            "subset_complete_exact": sub == got_sub,
+            "no_dup_pairs": dups == 0,
+            "ordered_a_lt_b": ordered == 0,
+        },
+        "notes": {"n_pairs": len(got_sub), "n_subset_oracle": len(sub)},
+    }
+
+
+def _jaccard_pair_checks(
+    ctx,
+    pair_view: str,
+    threshold: float,
+    score_col: str | None,
+    rounded: bool = True,
+) -> dict:
+    """Shared soundness + subset-completeness for exact-Jaccard pair
+    frames (columns doc_id_a, doc_id_b[, jaccard]). ``rounded``: the
+    frame's score column is round(j, 4) (registered query contract)
+    vs the raw double (internal pair exports — both engines divide
+    the same two integers, so the doubles compare exactly)."""
+    cur = ctx.cur
+    score_sql = (
+        "len(list_intersect(a.sh, b.sh)) * 1.0 / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    score_cmp = f"round(j, 4)" if rounded else "j"
+    # soundness: recompute jaccard for every emitted pair (linear)
+    q = f"""
+        WITH involved AS (
+            SELECT doc_id_a AS d FROM {pair_view}
+            UNION SELECT doc_id_b FROM {pair_view}
+        ),
+        s AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
+              FROM documents WHERE doc_id IN (SELECT d FROM involved)),
+        r AS (
+            SELECT p.doc_id_a, p.doc_id_b,
+                   {score_sql} AS j
+                   {', p.' + score_col if score_col else ''}
+            FROM {pair_view} p
+            JOIN s a ON a.doc_id = p.doc_id_a
+            JOIN s b ON b.doc_id = p.doc_id_b
+        )
+        SELECT
+          count(*) FILTER (WHERE j < {threshold}) AS below,
+          count(*) FILTER (
+            WHERE {f'abs({score_cmp} - {score_col}) > 1e-12'
+                   if score_col else 'FALSE'}) AS wrong_score
+        FROM r
+    """
+    below, wrong_score = cur.execute(q).fetchone()
+    # completeness: brute-force within the seeded 2-hex block union
+    pred = _doc_subset_pred(_BLOCKS_2HEX)
+    sub = set(
+        cur.execute(
+            f"""
+            WITH s AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
+                       FROM documents WHERE {pred}),
+            ne AS (SELECT * FROM s WHERE len(sh) > 0)
+            SELECT a.doc_id, b.doc_id
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+            WHERE {score_sql} >= {threshold}
+            """
+        ).fetchall()
+    )
+    got_sub = set(
+        cur.execute(
+            f"SELECT doc_id_a, doc_id_b FROM {pair_view} "
+            f"WHERE {_doc_subset_pred(_BLOCKS_2HEX, 'doc_id_a')} "
+            f"AND {_doc_subset_pred(_BLOCKS_2HEX, 'doc_id_b')}"
+        ).fetchall()
+    )
+    return {
+        "pairs_sound_threshold": below == 0,
+        "scores_exact": wrong_score == 0,
+        "subset_complete_exact": sub == got_sub,
+    }
+
+
+@_check("prefix_jaccard_pairs")
+def check_prefix_jaccard_pairs(ctx) -> dict:
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+
+    ctx.export(ctx.sdf, "sc_pj_pairs")
+    checks = _jaccard_pair_checks(ctx, "sc_pj_pairs", 0.6, "jaccard")
+    # cross-check vs the independently oracle-verified BLOCKED exact
+    # jaccard query: every (source, blk)-cohabiting pair at j >= 0.6
+    # must be in the prefix-filtered output (completeness over the
+    # blocked sample, which is most real duplicates)
+    ngram = REGISTRY["ngram_jaccard_pairs"].fn(ctx.spark, ctx.sf_dir)
+    ctx.export(
+        ngram.filter("jaccard >= 0.6").select("doc_id_a", "doc_id_b"),
+        "sc_ngram_06",
+    )
+    missed = ctx.cur.execute(
+        "SELECT count(*) FROM sc_ngram_06 n WHERE NOT EXISTS ("
+        "SELECT 1 FROM sc_pj_pairs p WHERE p.doc_id_a = n.doc_id_a "
+        "AND p.doc_id_b = n.doc_id_b)"
+    ).fetchone()[0]
+    checks["contains_blocked_exact_pairs"] = missed == 0
+    return {"checks": checks, "notes": {}}
+
+
+@_check("containment_doc_pairs")
+def check_containment_doc_pairs(ctx) -> dict:
+    cur = ctx.cur
+    ctx.export(ctx.sdf, "sc_cont_pairs")
+    score_sql = "len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh)"
+    below, wrong = cur.execute(
+        f"""
+        WITH involved AS (
+            SELECT id_inner AS d FROM sc_cont_pairs
+            UNION SELECT id_outer FROM sc_cont_pairs
+        ),
+        s AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
+              FROM documents WHERE doc_id IN (SELECT d FROM involved)),
+        r AS (
+            SELECT {score_sql} AS c, p.containment
+            FROM sc_cont_pairs p
+            JOIN s a ON a.doc_id = p.id_inner
+            JOIN s b ON b.doc_id = p.id_outer
+        )
+        SELECT count(*) FILTER (WHERE c < 0.8),
+               count(*) FILTER (WHERE abs(round(c, 4) - containment) > 1e-12)
+        FROM r
+        """
+    ).fetchone()
+    pred = _doc_subset_pred(_BLOCKS_2HEX)
+    sub = set(
+        cur.execute(
+            f"""
+            WITH s AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
+                       FROM documents WHERE {pred}),
+            ne AS (SELECT * FROM s WHERE len(sh) > 0)
+            SELECT a.doc_id, b.doc_id
+            FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+            WHERE {score_sql} >= 0.8
+            """
+        ).fetchall()
+    )
+    got_sub = set(
+        cur.execute(
+            f"SELECT id_inner, id_outer FROM sc_cont_pairs "
+            f"WHERE {_doc_subset_pred(_BLOCKS_2HEX, 'id_inner')} "
+            f"AND {_doc_subset_pred(_BLOCKS_2HEX, 'id_outer')}"
+        ).fetchall()
+    )
+    return {
+        "checks": {
+            "pairs_sound_threshold": below == 0,
+            "scores_exact": wrong == 0,
+            "subset_complete_exact": sub == got_sub,
+        },
+        "notes": {"n_subset_oracle": len(sub)},
+    }
+
+
+# ------------------------------------------------------ composite pipelines
+
+
+def _export_prefix_pairs(ctx, threshold: float, view: str) -> str:
+    """Re-run the Spark prefix-filtered jaccard pair op at ``threshold``
+    and export — the composite queries consume this pair stream
+    internally without exposing it."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.operators import dedup
+    from covid19_etl_pipeline_spark.operators.partitioning import spread
+
+    docs = spread(load_table(ctx.spark, ctx.sf_dir, "documents"), "doc_id")
+    pairs = dedup.prefix_filter_jaccard_pairs(
+        docs, "doc_id", text_col="text", threshold=threshold
+    )
+    return ctx.export(
+        pairs.select("doc_id_a", "doc_id_b", "jaccard"), view
+    )
+
+
+@_check("neardup_threshold_sweep")
+def check_neardup_threshold_sweep(ctx) -> dict:
+    cur = ctx.cur
+    _export_prefix_pairs(ctx, 0.3, "sc_sweep_pairs")
+    checks = _jaccard_pair_checks(
+        ctx, "sc_sweep_pairs", 0.3, "jaccard", rounded=False
+    )
+    # the 6-row rollup recomputed in DuckDB from the verified pairs
+    expected = {
+        r[0]: (r[1], r[2])
+        for r in cur.execute(
+            """
+            SELECT thr, count(*), count(DISTINCT doc_id_b)
+            FROM sc_sweep_pairs,
+                 (SELECT CAST(unnest([0.3,0.4,0.5,0.6,0.7,0.8]) AS DOUBLE)
+                     AS thr) t
+            WHERE jaccard >= thr GROUP BY thr
+            """
+        ).fetchall()
+    }
+    got = {
+        r["threshold"]: (r["n_pairs"], r["removable_docs_upper"])
+        for r in ctx.sdf.collect()
+    }
+    checks["rollup_exact_from_pairs"] = got == expected
+    return {"checks": checks, "notes": {"thresholds": len(got)}}
+
+
+@_check("cross_source_dup_flow")
+def check_cross_source_dup_flow(ctx) -> dict:
+    cur = ctx.cur
+    _export_prefix_pairs(ctx, 0.5, "sc_flow_pairs")
+    checks = _jaccard_pair_checks(
+        ctx, "sc_flow_pairs", 0.5, "jaccard", rounded=False
+    )
+    expected = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in cur.execute(
+            """
+            SELECT sa.source, sb.source, count(*), sum(sb.n_chars)
+            FROM sc_flow_pairs p
+            JOIN documents sa ON sa.doc_id = p.doc_id_a
+            JOIN documents sb ON sb.doc_id = p.doc_id_b
+            GROUP BY sa.source, sb.source
+            """
+        ).fetchall()
+    }
+    got = {
+        (r["source_kept"], r["source_dropped"]): (
+            r["n_pairs"],
+            r["dropped_chars"],
+        )
+        for r in ctx.sdf.collect()
+    }
+    checks["rollup_exact_from_pairs"] = got == expected
+    return {"checks": checks, "notes": {"n_cells": len(got)}}
+
+
+#: DuckDB twins of text.normalized_text / token_count — lifted from the
+#: training_corpus oracle so the per-row column recompute stays in
+#: lockstep with the original twin expressions.
+_D_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_D_NTOK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+_D_SPLIT = (
+    "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+    "BETWEEN '0' AND 'b' THEN 'train' "
+    "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+def _lsh_pairs_on(ctx, df, view: str, distinct=True) -> str:
+    from covid19_etl_pipeline_spark.operators import dedup
+
+    pairs = dedup.lsh_candidate_pairs(df, "doc_id", "text", distinct=distinct)
+    return ctx.export(pairs.select("doc_id_a", "doc_id_b"), view)
+
+
+@_check("training_corpus")
+def check_training_corpus(ctx) -> dict:
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.operators import dedup
+    from covid19_etl_pipeline_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    cur = ctx.cur
+    ctx.export(ctx.sdf, "sc_corpus")
+    # per-row derived columns recomputed linearly in DuckDB
+    col_bad = cur.execute(
+        f"""
+        SELECT count(*) FROM sc_corpus c JOIN documents d USING (doc_id)
+        WHERE c.fingerprint <> md5({_D_NORM})
+           OR c.n_tokens <> {_D_NTOK}
+           OR c.split <> {_D_SPLIT}
+           OR c.lang <> d.lang
+           OR {_D_NTOK} < 5
+        """
+    ).fetchone()[0]
+    # exact-dedup stage recomputed exactly (linear): qualifying docs,
+    # min doc_id per normalized-text fingerprint
+    ex_surv = {
+        r[0]
+        for r in cur.execute(
+            f"""
+            SELECT min(doc_id) FROM documents
+            WHERE {_D_NTOK} >= 5 GROUP BY md5({_D_NORM})
+            """
+        ).fetchall()
+    }
+    # near-dup stage: union-find over the SAME pair stream the query
+    # consumes (LSH banding over exact-dedup survivors)
+    qual = load_table(ctx.spark, ctx.sf_dir, "documents").withColumn(
+        "__ntext", text_ops.normalized_text("text")
+    ).filter(text_ops.token_count("text") >= 5)
+    docs1 = dedup.drop_exact_dups(qual, "doc_id", "__ntext").localCheckpoint(
+        eager=False
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        docs1, "doc_id", "text", distinct=False
+    )
+    edges = [
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in pairs.select("doc_id_a", "doc_id_b").distinct().collect()
+    ]
+    labels = union_find_labels(edges)
+    near_dropped = {n for n, lab in labels.items() if n != lab}
+    expected = ex_surv - near_dropped
+    got = {r["doc_id"] for r in ctx.sdf.select("doc_id").collect()}
+    # the LSH pair stream itself: spot soundness via the lsh check's
+    # machinery is covered by lsh_candidate_pairs' own tiered check —
+    # the band predicate here is identical code
+    return {
+        "checks": {
+            "derived_columns_exact": col_bad == 0,
+            "survivor_set_exact": got == expected,
+        },
+        "notes": {
+            "n_exact_survivors": len(ex_surv),
+            "n_near_dropped": len(near_dropped),
+            "n_out": len(got),
+        },
+    }
+
+
+@_check("leakage_safe_split")
+def check_leakage_safe_split(ctx) -> dict:
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    cur = ctx.cur
+    ctx.export(ctx.sdf, "sc_split")
+    docs = load_table(ctx.spark, ctx.sf_dir, "documents")
+    _lsh_pairs_on(ctx, docs, "sc_split_pairs")
+    edges = cur.execute(
+        "SELECT doc_id_a, doc_id_b FROM sc_split_pairs"
+    ).fetchall()
+    labels = union_find_labels(edges)
+    # expected cluster_id: min-label for clustered docs, self otherwise
+    exp_rows = cur.execute("SELECT doc_id FROM documents").fetchall()
+    expected = {d: labels.get(d, d) for (d,) in exp_rows}
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in ctx.sdf.collect()
+    }
+    # THE leakage-safety property: no LSH pair straddles two splits
+    straddle = cur.execute(
+        """
+        SELECT count(*) FROM sc_split_pairs p
+        JOIN sc_split a ON a.doc_id = p.doc_id_a
+        JOIN sc_split b ON b.doc_id = p.doc_id_b
+        WHERE a.split <> b.split OR a.cluster_id <> b.cluster_id
+        """
+    ).fetchone()[0]
+    # split column = hex rule of cluster_id (linear recompute)
+    split_bad = cur.execute(
+        """
+        SELECT count(*) FROM sc_split
+        WHERE split <> CASE
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                 BETWEEN '0' AND 'b' THEN 'train'
+            WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                 IN ('c','d') THEN 'val' ELSE 'test' END
+        """
+    ).fetchone()[0]
+    return {
+        "checks": {
+            "cluster_ids_exact": got == expected,
+            "no_pair_straddles_splits": straddle == 0,
+            "split_rule_exact": split_bad == 0,
+            "row_count_is_corpus": len(got) == len(expected),
+        },
+        "notes": {"n_edges": len(edges)},
+    }
+
+
+@_check("incremental_corpus_dedup")
+def check_incremental_corpus_dedup(ctx) -> dict:
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.operators import dedup
+
+    cur = ctx.cur
+    ctx.export(ctx.sdf, "sc_incr")
+    # exact stage recomputed EXACTLY in DuckDB (linear md5 joins —
+    # the oracle's exdup CTE without the near stage)
+    exact_bad = cur.execute(
+        """
+        WITH newdocs AS (SELECT doc_id, md5(text) AS fp FROM documents
+                         WHERE doc_id % 5 = 0),
+        oldfp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+                  WHERE doc_id % 5 <> 0),
+        exdup AS (
+            SELECT n.doc_id FROM newdocs n JOIN oldfp o ON n.fp = o.fp
+            UNION
+            SELECT n.doc_id FROM newdocs n
+            JOIN newdocs m ON n.fp = m.fp AND m.doc_id < n.doc_id
+        )
+        SELECT count(*) FROM sc_incr s
+        WHERE (s.status = 'exact_dup')
+              <> (s.doc_id IN (SELECT doc_id FROM exdup))
+        """
+    ).fetchone()[0]
+    # near stage: the band table over the full corpus via the SAME
+    # Spark operator the query uses, exported; near statuses follow
+    # from band-sig joins over that export (linear equi-joins in
+    # DuckDB — the piece DuckDB cannot afford is only the minhash
+    # list-fold over 50k+ docs)
+    docs = load_table(ctx.spark, ctx.sf_dir, "documents")
+    bands = dedup.lsh_band_table(docs, "doc_id", "text")
+    ctx.export(bands.select("doc_id", "band", "sig"), "sc_incr_bands")
+    # soundness of the band export on a seeded 1/16 subset: recompute
+    # sigs in DuckDB and compare exactly
+    mh = ", ".join(f"{_d_minhash(i)} AS m{i}" for i in range(8))
+    pred = _doc_subset_pred(_BLOCKS_1HEX)
+    band_diff = cur.execute(
+        f"""
+        WITH s AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+                   WHERE {pred}),
+        sigs AS (SELECT doc_id, {mh} FROM s),
+        b AS (
+            SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS sig FROM sigs
+            UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs
+            UNION ALL SELECT doc_id, 2, concat_ws('|', m4, m5) FROM sigs
+            UNION ALL SELECT doc_id, 3, concat_ws('|', m6, m7) FROM sigs
+        ),
+        f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> ''),
+        x AS (SELECT * FROM sc_incr_bands WHERE {pred})
+        SELECT (SELECT count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM x))
+             + (SELECT count(*) FROM (SELECT * FROM x EXCEPT SELECT * FROM f))
+        """
+    ).fetchone()[0]
+    near_bad = cur.execute(
+        """
+        WITH exsurv AS (
+            SELECT doc_id FROM sc_incr WHERE status <> 'exact_dup'
+        ),
+        near AS (
+            SELECT DISTINCT a.doc_id
+            FROM sc_incr_bands a
+            JOIN exsurv s ON a.doc_id = s.doc_id
+            JOIN sc_incr_bands b ON a.band = b.band AND a.sig = b.sig
+                                AND a.doc_id <> b.doc_id
+            WHERE b.doc_id % 5 <> 0
+               OR (b.doc_id < a.doc_id
+                   AND b.doc_id IN (SELECT doc_id FROM exsurv))
+        )
+        SELECT count(*) FROM sc_incr s
+        WHERE s.status <> 'exact_dup'
+          AND (s.status = 'near_dup')
+              <> (s.doc_id IN (SELECT doc_id FROM near))
+        """
+    ).fetchone()[0]
+    n_new = cur.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 5 = 0"
+    ).fetchone()[0]
+    return {
+        "checks": {
+            "exact_stage_exact": exact_bad == 0,
+            "band_table_subset_exact": band_diff == 0,
+            "near_stage_exact_from_bands": near_bad == 0,
+            "covers_every_new_doc": ctx.sdf.count() == n_new,
+        },
+        "notes": {},
+    }
+
+
+# --------------------------------------------------------- mutual-NN family
+
+_NN_SCAN = """
+    SELECT c.vec_id AS nn, round(
+        list_dot_product(q.v, c.v)
+        / (sqrt(list_dot_product(q.v, q.v))
+           * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+    FROM c JOIN q ON c.vec_id <> q.vec_id
+    ORDER BY list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id
+    LIMIT 1
+"""
+
+
+def _true_nn(cur, vec_id) -> tuple:
+    """(nn_id, sim_rounded6) by a full-corpus scan — linear per call,
+    tie-break (sim DESC, id ASC) mirrors the kernel contract."""
+    row = cur.execute(
+        f"""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id, v FROM c WHERE vec_id = {vec_id})
+        {_NN_SCAN}
+        """
+    ).fetchone()
+    return row
+
+
+@_check("mutual_nearest_embeddings")
+def check_mutual_nearest_embeddings(ctx) -> dict:
+    cur = ctx.cur
+    ctx.export(ctx.sdf, "sc_mutual")
+    # global soundness: every output pair's cosine recomputed (linear)
+    wrong_sim = cur.execute(
+        """
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT count(*) FROM sc_mutual m
+        JOIN c a ON a.vec_id = m.vec_a JOIN c b ON b.vec_id = m.vec_b
+        WHERE abs(round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6)
+              - m.cosine_sim) > 1e-12
+        """
+    ).fetchone()[0]
+    ordered = cur.execute(
+        "SELECT count(*) FROM sc_mutual WHERE vec_a >= vec_b"
+    ).fetchone()[0]
+    # each id participates in at most one mutual pair
+    multi = cur.execute(
+        """
+        SELECT count(*) FROM (
+            SELECT id FROM (
+                SELECT vec_a AS id FROM sc_mutual
+                UNION ALL SELECT vec_b FROM sc_mutual
+            ) GROUP BY id HAVING count(*) > 1)
+        """
+    ).fetchone()[0]
+    # seeded sample: true-NN scans decide mutual membership exactly
+    sample = [
+        r[0]
+        for r in cur.execute(
+            "SELECT vec_id FROM embeddings "
+            "ORDER BY md5('nnseed' || CAST(vec_id AS VARCHAR)) LIMIT 60"
+        ).fetchall()
+    ]
+    out_pairs = {
+        (r[0], r[1])
+        for r in cur.execute("SELECT vec_a, vec_b FROM sc_mutual").fetchall()
+    }
+    sample_bad = 0
+    for q in sample:
+        nn, _ = _true_nn(cur, q)
+        nn2, _ = _true_nn(cur, nn)
+        is_mutual = nn2 == q
+        pair = (min(q, nn), max(q, nn))
+        if is_mutual != (pair in out_pairs):
+            sample_bad += 1
+    return {
+        "checks": {
+            "cosines_exact": wrong_sim == 0,
+            "ordered_a_lt_b": ordered == 0,
+            "one_pair_per_id": multi == 0,
+            "sampled_mutuality_exact": sample_bad == 0,
+        },
+        "notes": {"n_sampled": len(sample), "n_pairs": len(out_pairs)},
+    }
+
+
+@_check("mutual_nn_ivf_recall")
+def check_mutual_nn_ivf_recall(ctx) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from covid19_etl_pipeline_spark.plans.embedding import (
+        _ivf_mutual_pairs,
+        mutual_nearest_embeddings,
+    )
+
+    cur = ctx.cur
+    exact = mutual_nearest_embeddings(ctx.spark, ctx.sf_dir).select(
+        "vec_a", "vec_b"
+    )
+    ctx.export(exact, "sc_rec_exact")
+    got = {r["probes"]: r for r in ctx.sdf.collect()}
+    checks = {}
+    for p in (1, 3):
+        ivf = _ivf_mutual_pairs(ctx.spark, ctx.sf_dir, p).select(
+            "vec_a", "vec_b"
+        )
+        ctx.export(ivf, f"sc_rec_ivf{p}")
+        n_exact, n_ivf, n_cap = cur.execute(
+            f"""
+            SELECT (SELECT count(*) FROM sc_rec_exact),
+                   (SELECT count(*) FROM sc_rec_ivf{p}),
+                   (SELECT count(*) FROM sc_rec_exact e
+                    JOIN sc_rec_ivf{p} i
+                      ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b)
+            """
+        ).fetchone()
+        r = got.get(p)
+
+        def _ratio_ok(val, num, den):
+            # query contract: NULL when the denominator is zero
+            if den == 0:
+                return val is None
+            return val is not None and abs(val - round(num / den, 4)) < 1e-12
+
+        arith_ok = r is not None and (
+            r["n_exact_pairs"] == n_exact
+            and r["n_ivf_pairs"] == n_ivf
+            and r["n_captured"] == n_cap
+            and _ratio_ok(r["recall"], n_cap, n_exact)
+            and _ratio_ok(r["precision_"], n_cap, n_ivf)
+        )
+        checks[f"counts_and_ratios_exact_p{p}"] = bool(arith_ok)
+        checks[f"captured_le_both_p{p}"] = n_cap <= min(n_exact, n_ivf)
+        checks[f"ratios_in_unit_interval_p{p}"] = r is not None and all(
+            v is None or 0 <= v <= 1 for v in (r["recall"], r["precision_"])
+        )
+    # note: the IVF pair sets' cell-restricted NN semantics are
+    # Spark-side re-derivations (centroid pipeline); their cosine
+    # soundness is covered by mutual_nearest_embeddings' check and the
+    # exact set is sample-verified there.
+    return {"checks": checks, "notes": {}}
+
+
+@_check("lsh_banding_recall")
+def check_lsh_banding_recall(ctx) -> dict:
+    """Truth pairs are (source, tblk)-block-local, so truth AND its
+    banding capture are recomputed EXACTLY on a seeded sub-block in
+    both engines; the global 1-row output gets arithmetic invariants.
+    """
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.operators import dedup
+    from covid19_etl_pipeline_spark.operators import text as text_ops
+    from pyspark.sql import functions as F
+
+    cur = ctx.cur
+    docs_n = cur.execute("SELECT count(*) FROM documents").fetchone()[0]
+    tblk_w = adaptive_blk_width(docs_n) - 1
+    # seeded sub-block: tblk prefix '7' plus a 1/4 second-char slice to
+    # keep the brute-force quadratic bounded (~800 docs at ×10)
+    sub_pred = (
+        f"substr(md5(CAST(doc_id AS VARCHAR)), 1, {tblk_w}) = '7' AND "
+        "substr(md5(CAST(doc_id AS VARCHAR)), "
+        f"{tblk_w + 1}, 1) IN ('0','1','2','3')"
+        if tblk_w > 0
+        else "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) IN "
+        "('0a','3c','7e','b1')"
+    )
+    mh = ", ".join(f"{_d_minhash(i)} AS m{i}" for i in range(8))
+    truth_cap = cur.execute(
+        f"""
+        WITH s AS (
+            SELECT doc_id, source, list_distinct({_D_SHINGLES}) AS shd,
+                   {_D_SHINGLES} AS sh
+            FROM documents WHERE {sub_pred}
+        ),
+        sigs AS (SELECT doc_id, {mh} FROM s),
+        b AS (
+            SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS sig FROM sigs
+            UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs
+            UNION ALL SELECT doc_id, 2, concat_ws('|', m4, m5) FROM sigs
+            UNION ALL SELECT doc_id, 3, concat_ws('|', m6, m7) FROM sigs
+        ),
+        f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> ''),
+        truth AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM s a JOIN s b
+              ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_distinct(list_cat(a.shd, b.shd))) > 0
+              AND len(list_intersect(a.shd, b.shd)) * 1.0
+                  / len(list_distinct(list_cat(a.shd, b.shd))) >= 0.5
+        )
+        SELECT count(*),
+               count(*) FILTER (WHERE EXISTS (
+                   SELECT 1 FROM f x JOIN f y
+                     ON x.band = y.band AND x.sig = y.sig
+                   WHERE x.doc_id = truth.da AND y.doc_id = truth.db))
+        FROM truth
+        """
+    ).fetchone()
+    # Spark recomputes the same sub-block slice through the SAME
+    # operators the full query uses
+    docs = load_table(ctx.spark, ctx.sf_dir, "documents").filter(
+        F.expr(
+            sub_pred.replace(
+                "md5(CAST(doc_id AS VARCHAR))",
+                "md5(CAST(doc_id AS STRING))",
+            )
+        )
+    )
+    sets = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            text_ops.shingles(text_ops.tokens("text"))
+        ).alias("shd"),
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_id_a"), "source",
+        F.col("shd").alias("sh_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_id_b"), "source",
+        F.col("shd").alias("sh_b"),
+    )
+    union_sz = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(
+        union_sz > 0, F.size(F.array_intersect("sh_a", "sh_b")) / union_sz
+    )
+    truth_sp = (
+        a.join(b, on=["source"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .filter(jac >= 0.5)
+        .select("doc_id_a", "doc_id_b")
+    )
+    cand_sp = dedup.lsh_candidate_pairs(docs, "doc_id", "text")
+    cap_sp = truth_sp.join(
+        cand_sp, ["doc_id_a", "doc_id_b"], "left_semi"
+    ).count()
+    truth_sp_n = truth_sp.count()
+    out = ctx.sdf.collect()[0]
+    arith = (
+        out["n_captured"] <= out["n_true_pairs"]
+        and (
+            out["recall"] is None
+            if out["n_true_pairs"] == 0
+            else abs(
+                out["recall"]
+                - round(out["n_captured"] / out["n_true_pairs"], 4)
+            )
+            < 1e-12
+        )
+    )
+    return {
+        "checks": {
+            "subblock_truth_exact": truth_sp_n == truth_cap[0],
+            "subblock_capture_exact": cap_sp == truth_cap[1],
+            "global_arithmetic_consistent": bool(arith),
+        },
+        "notes": {
+            "subblock_truth": truth_cap[0],
+            "subblock_captured": truth_cap[1],
+        },
+    }
+
+
+# ------------------------------------------ spark-only invariants (×100)
+
+#: columns whose values must sit in [0, 1] wherever they appear
+_UNIT_COLS = {
+    "recall",
+    "precision_",
+    "jaccard",
+    "containment",
+    "novel_frac",
+    "contamination",
+    "pad_waste_frac",
+    "stopword_ratio",
+    "alpha_ratio",
+    "dup_line_frac",
+    "train_frac",
+    "quality_score",
+}
+#: columns bounded to [-1, 1] (cosines)
+_COSINE_COLS = {"cosine_sim", "sim", "max_cosine", "mean_cosine"}
+#: (a, b) column pairs that must satisfy a < b and contain no
+#: duplicate (a, b) rows
+_PAIR_KEYS = [
+    ("doc_id_a", "doc_id_b"),
+    ("vec_id_a", "vec_id_b"),
+    ("part_a", "part_b"),
+    ("vec_a", "vec_b"),
+]
+
+
+def spark_only_invariants(sdf) -> tuple[int, dict]:
+    """Value invariants for ``--spark-only`` fixtures past every
+    oracle's reach (VERDICT r08 #3): schema-driven self-checks folded
+    into ONE aggregate pass (which also supplies the row count, so
+    this costs no extra action over the plain count), plus — for pair
+    frames — an EXACT duplicate-pair check on one hashed 1/256 bucket
+    (duplicates of a pair always land in the same bucket, so the
+    sampled check has no false negatives within its bucket).
+
+    Returns (row_count, {invariant_name: bool}).
+    """
+    from pyspark.sql import functions as F
+
+    cols = set(sdf.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = []
+
+    def viol(name, cond):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__v{len(names)}")
+        )
+        names.append(name)
+
+    eps = 1e-9
+    for c in cols & _UNIT_COLS:
+        col = F.col(c)
+        viol(f"{c}_in_unit_interval", col.isNotNull() & ((col < -eps) | (col > 1 + eps)))
+    for c in cols & _COSINE_COLS:
+        col = F.col(c)
+        viol(f"{c}_in_cosine_range", col.isNotNull() & ((col < -1 - eps) | (col > 1 + eps)))
+    pair_key = next((p for p in _PAIR_KEYS if set(p) <= cols), None)
+    if pair_key:
+        a, b = pair_key
+        viol("pair_ordered_a_lt_b", F.col(a) >= F.col(b))
+    for c in cols:
+        if c.startswith("n_") or c.endswith(("_count", "_pairs", "_docs")):
+            f = sdf.schema[c].dataType.typeName()
+            if f in ("long", "integer", "short", "double", "float"):
+                viol(f"{c}_nonnegative", F.col(c) < 0)
+
+    row = sdf.agg(*aggs).collect()[0]
+    n = row["__n"]
+    out = {name: row[f"__v{i}"] == 0 for i, name in enumerate(names)}
+
+    if pair_key and n > 0:
+        a, b = pair_key
+        # exact duplicate-pair check on one content-hashed bucket:
+        # xxhash64 % 256 == 17 — a duplicated pair collides into the
+        # same bucket, so zero in-bucket dups proves the sample clean
+        bucket = sdf.select(a, b).filter(
+            F.pmod(F.xxhash64(F.col(a), F.col(b)), F.lit(256)) == 17
+        )
+        dup = (
+            bucket.groupBy(a, b)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        out["no_dup_pairs_sampled_bucket"] = dup == 0
+    return n, out
+
+
+def _subset_of_table(spark, sf_dir, sdf, id_col, table):
+    """True iff every sdf id exists in the base table (anti-join)."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F  # noqa: F401
+
+    base = load_table(spark, sf_dir, table).select(id_col)
+    return sdf.select(id_col).join(base, id_col, "left_anti").limit(1).count() == 0
+
+
+def _extra_survivor_family(id_col, table):
+    def fn(spark, sf_dir, sdf):
+        return {f"survivors_subset_of_{table}": _subset_of_table(
+            spark, sf_dir, sdf, id_col, table
+        )}
+
+    return fn
+
+
+def _extra_dup_clusters(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    row = sdf.agg(
+        F.sum((F.col("cluster_id") > F.col("vec_id")).cast("int")).alias("a"),
+        F.sum((F.col("cluster_size") < 2).cast("int")).alias("b"),
+    ).collect()[0]
+    return {
+        "cluster_id_is_min_le_member": (row["a"] or 0) == 0,
+        "cluster_size_ge_2": (row["b"] or 0) == 0,
+    }
+
+
+def _extra_leakage_split(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    row = sdf.agg(
+        F.sum(
+            (~F.col("split").isin("train", "val", "test")).cast("int")
+        ).alias("a"),
+        F.sum((F.col("cluster_id") > F.col("doc_id")).cast("int")).alias("b"),
+    ).collect()[0]
+    return {
+        "split_values_valid": (row["a"] or 0) == 0,
+        "cluster_id_is_min_le_member": (row["b"] or 0) == 0,
+    }
+
+
+def _extra_incremental(spark, sf_dir, sdf):
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    n_new = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .count()
+    )
+    row = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.col("status").isin("exact_dup", "near_dup", "kept")).cast(
+                "int"
+            )
+        ).alias("bad"),
+    ).collect()[0]
+    return {
+        "status_values_valid": (row["bad"] or 0) == 0,
+        "covers_every_new_doc": row["n"] == n_new,
+    }
+
+
+def _extra_fuzzy_parts(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    bad = sdf.agg(
+        F.sum(
+            (
+                (F.col("edit_dist") < 0) | (F.col("edit_dist") > 5)
+            ).cast("int")
+        ).alias("v")
+    ).collect()[0]["v"]
+    return {"edit_dist_in_contract_range": (bad or 0) == 0}
+
+
+#: bespoke spark-only invariants, keyed by registry query name —
+#: run IN ADDITION to the schema-driven generic pass
+SPARK_ONLY_EXTRA = {
+    "semdedup_survivors": _extra_survivor_family("vec_id", "embeddings"),
+    "semdedup_two_level_survivors": _extra_survivor_family(
+        "vec_id", "embeddings"
+    ),
+    "embedding_curation_pipeline": _extra_survivor_family(
+        "vec_id", "embeddings"
+    ),
+    "near_dedup_survivors": _extra_survivor_family("vec_id", "embeddings"),
+    "training_corpus": _extra_survivor_family("doc_id", "documents"),
+    "dup_clusters": _extra_dup_clusters,
+    "leakage_safe_split": _extra_leakage_split,
+    "incremental_corpus_dedup": _extra_incremental,
+    "fuzzy_part_duplicates": _extra_fuzzy_parts,
+}

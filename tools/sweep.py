@@ -145,7 +145,8 @@ def _sharded(args) -> int:
                     "--max-hash-rows",
                     str(args.max_hash_rows),
                 ]
-                + (["--spark-only"] if args.spark_only else []),
+                + (["--spark-only"] if args.spark_only else [])
+                + (["--tiered"] if args.tiered else []),
                 env=child_env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -227,6 +228,7 @@ def _sharded(args) -> int:
         "rows_only": [
             n for n, r in results.items() if r.get("rows_only")
         ],
+        "tiered": [n for n, r in results.items() if r.get("tiered")],
         "missing": missing,
         "results": results,
     }
@@ -276,6 +278,14 @@ def main(argv=None) -> int:
         "scale fixtures; 0 = always hash-compare",
     )
     p.add_argument("--round", type=int, default=0, help="write SWEEP_r{N}.json")
+    p.add_argument(
+        "--tiered",
+        action="store_true",
+        help="scale-fixture mode: queries with a registered tiered "
+        "check (tools/scale_checks.py) get linear/sampled property "
+        "verification over the Spark output instead of the monolithic "
+        "super-linear oracle twin — any failed sub-check is a failure",
+    )
     p.add_argument(
         "--spark-only",
         action="store_true",
@@ -406,15 +416,67 @@ def main(argv=None) -> int:
         sdf = None
         try:
             sdf = spec.fn(spark, args.sf)
+            if args.tiered and not args.spark_only:
+                from tools.scale_checks import CHECKS as SCALE_CHECKS
+
+                if name in SCALE_CHECKS:
+                    # tiered scale oracle (VERDICT r08 #2): linear /
+                    # sampled property checks over the Spark output in
+                    # place of the monolithic super-linear SQL twin
+                    from tools.scale_checks import CheckCtx
+
+                    rec["spark_rows"] = sdf.count()
+                    cctx = CheckCtx(spark, cur, args.sf, sdf)
+                    try:
+                        phase = "oracle"
+                        res = SCALE_CHECKS[name](cctx)
+                    finally:
+                        cctx.cleanup()
+                    rec["tiered"] = res["checks"]
+                    rec["tiered_notes"] = res.get("notes", {})
+                    rec["rows_match"] = rec["schema_match"] = None
+                    rec["hash_match"] = None
+                    ok = all(res["checks"].values())
+                    if not ok:
+                        failures.append(name)
+                    rec["sec"] = round(time.time() - t0, 3)
+                    results[name] = rec
+                    bad = [k for k, v in res["checks"].items() if not v]
+                    print(
+                        f"[{i + 1}/{len(names)}] {name}: "
+                        f"{'ok' if ok else 'FAIL ' + ','.join(bad)} "
+                        f"(tiered {len(res['checks'])} checks, "
+                        f"{rec['sec']}s)",
+                        flush=True,
+                    )
+                    continue  # finally releases the budget guard
             if args.spark_only:
-                rec["spark_rows"] = sdf.count()
+                # value invariants folded into the counting pass
+                # (VERDICT r08 #3) — "pass" now means "executed AND
+                # self-consistent", not just "executed in budget"
+                from tools.scale_checks import (
+                    SPARK_ONLY_EXTRA,
+                    spark_only_invariants,
+                )
+
+                n, inv = spark_only_invariants(sdf)
+                if name in SPARK_ONLY_EXTRA:
+                    inv.update(SPARK_ONLY_EXTRA[name](spark, args.sf, sdf))
+                rec["spark_rows"] = n
                 rec["spark_only"] = True
+                rec["invariants"] = inv
                 rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+                ok = all(inv.values())
+                if not ok:
+                    failures.append(name)
                 rec["sec"] = round(time.time() - t0, 3)
                 results[name] = rec
+                bad = [k for k, v in inv.items() if not v]
                 print(
-                    f"[{i + 1}/{len(names)}] {name}: ok "
-                    f"(spark-only, {rec['spark_rows']} rows, {rec['sec']}s)",
+                    f"[{i + 1}/{len(names)}] {name}: "
+                    f"{'ok' if ok else 'FAIL ' + ','.join(bad)} "
+                    f"(spark-only, {rec['spark_rows']} rows, "
+                    f"{len(inv)} invariants, {rec['sec']}s)",
                     flush=True,
                 )
                 continue  # finally releases the budget guard
