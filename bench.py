@@ -276,12 +276,22 @@ def _run_pass(
 #: pass; below that steal is noise, above it the artifact would
 #: mis-charge host contention to the engine.
 STEAL_FRAC_LIMIT = 0.02
+#: ... and an ABSOLUTE steal trigger (r08 verdict #4): the r08
+#: end-of-round pass drifted +9.4% under just 7.6 cpu-sec of steal
+#: (0.37% of capacity — far under the fraction trigger) as a uniform
+#: +0.1–0.7s smear across ~40 queries; per-query retries fired for
+#: only 2. Critical-path steal inflates wall far beyond its
+#: cpu-second share, so ANY measurable steal beyond noise re-runs the
+#: pass — min-of-passes keeps whichever pass was clean.
+STEAL_ABS_LIMIT_SEC = 2.0
 #: Re-run the whole headline pass when its wall total exceeds the
 #: baseline reconstruction by this ratio even with low measured steal —
 #: contention concentrated on critical-path threads inflates wall far
 #: more than its cpu-second share suggests (r05: 10.4 cpu-sec of steal,
-#: 0.6% of capacity, inflated the committed total 55→67s).
-WALL_REGRESS_LIMIT = 1.25
+#: 0.6% of capacity, inflated the committed total 55→67s; r08: 7.6
+#: cpu-sec, +9.4% — hence 1.12, tight enough to catch a smear, loose
+#: enough that run-to-run noise inside ±10% doesn't burn passes).
+WALL_REGRESS_LIMIT = 1.12
 MAX_PASSES = 3
 
 
@@ -330,7 +340,9 @@ def main() -> None:
             {"total": wall, "steal": s, "timings": t, "retried": r}
         )
         frac = (s or 0.0) / max(wall * ncpu, 1e-9)
-        steal_hot = s is not None and frac > STEAL_FRAC_LIMIT
+        steal_hot = s is not None and (
+            frac > STEAL_FRAC_LIMIT or s > STEAL_ABS_LIMIT_SEC
+        )
         # wall trigger only when the baseline covers (nearly) the whole
         # headline set, else new queries masquerade as regressions
         wall_hot = (

@@ -243,22 +243,27 @@ def check_lsh_candidate_pairs(ctx) -> dict:
     # SOUNDNESS (global, linear in output): every emitted pair shares
     # >= 1 non-empty band signature — sigs recomputed for involved
     # docs only
+    # set-based (a correlated NOT EXISTS nested-loops per pair here):
+    # all shared-band pairs among involved docs, then one anti-join
     unsound = cur.execute(
         f"""
         WITH involved AS (
             SELECT doc_id_a AS d FROM sc_lsh_pairs
             UNION SELECT doc_id_b FROM sc_lsh_pairs
         ),
-        s AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+        s AS MATERIALIZED (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
               WHERE doc_id IN (SELECT d FROM involved)),
-        sigs AS (SELECT doc_id, {mh} FROM s),
+        sigs AS MATERIALIZED (SELECT doc_id, {mh} FROM s),
         b AS ({bands}),
-        f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> '')
+        f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> ''),
+        shared AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM f x JOIN f y ON x.band = y.band AND x.sig = y.sig
+             AND x.doc_id < y.doc_id
+        )
         SELECT count(*) FROM sc_lsh_pairs p
-        WHERE NOT EXISTS (
-            SELECT 1 FROM f x JOIN f y
-              ON x.band = y.band AND x.sig = y.sig
-            WHERE x.doc_id = p.doc_id_a AND y.doc_id = p.doc_id_b)
+        LEFT JOIN shared s ON s.a = p.doc_id_a AND s.b = p.doc_id_b
+        WHERE s.a IS NULL
         """
     ).fetchone()[0]
     # COMPLETENESS (exact within a 1/16 seeded subset): the pair
@@ -268,9 +273,9 @@ def check_lsh_candidate_pairs(ctx) -> dict:
     sub = set(
         cur.execute(
             f"""
-            WITH s AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+            WITH s AS MATERIALIZED (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
                        WHERE {pred}),
-            sigs AS (SELECT doc_id, {mh} FROM s),
+            sigs AS MATERIALIZED (SELECT doc_id, {mh} FROM s),
             b AS ({bands}),
             f AS (SELECT * FROM b WHERE sig IS NOT NULL AND sig <> '')
             SELECT DISTINCT x.doc_id, y.doc_id FROM f x JOIN f y
@@ -328,7 +333,7 @@ def _jaccard_pair_checks(
             SELECT doc_id_a AS d FROM {pair_view}
             UNION SELECT doc_id_b FROM {pair_view}
         ),
-        s AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
+        s AS MATERIALIZED (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
               FROM documents WHERE doc_id IN (SELECT d FROM involved)),
         r AS (
             SELECT p.doc_id_a, p.doc_id_b,
@@ -409,7 +414,7 @@ def check_containment_doc_pairs(ctx) -> dict:
             SELECT id_inner AS d FROM sc_cont_pairs
             UNION SELECT id_outer FROM sc_cont_pairs
         ),
-        s AS (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
+        s AS MATERIALIZED (SELECT doc_id, list_distinct({_D_SHINGLES}) AS sh
               FROM documents WHERE doc_id IN (SELECT d FROM involved)),
         r AS (
             SELECT {score_sql} AS c, p.containment
@@ -705,9 +710,9 @@ def check_incremental_corpus_dedup(ctx) -> dict:
     pred = _doc_subset_pred(_BLOCKS_1HEX)
     band_diff = cur.execute(
         f"""
-        WITH s AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
+        WITH s AS MATERIALIZED (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents
                    WHERE {pred}),
-        sigs AS (SELECT doc_id, {mh} FROM s),
+        sigs AS MATERIALIZED (SELECT doc_id, {mh} FROM s),
         b AS (
             SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS sig FROM sigs
             UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs
@@ -934,7 +939,7 @@ def check_lsh_banding_recall(ctx) -> dict:
                    {_D_SHINGLES} AS sh
             FROM documents WHERE {sub_pred}
         ),
-        sigs AS (SELECT doc_id, {mh} FROM s),
+        sigs AS MATERIALIZED (SELECT doc_id, {mh} FROM s),
         b AS (
             SELECT doc_id, 0 AS band, concat_ws('|', m0, m1) AS sig FROM sigs
             UNION ALL SELECT doc_id, 1, concat_ws('|', m2, m3) FROM sigs
@@ -949,13 +954,15 @@ def check_lsh_banding_recall(ctx) -> dict:
             WHERE len(list_distinct(list_cat(a.shd, b.shd))) > 0
               AND len(list_intersect(a.shd, b.shd)) * 1.0
                   / len(list_distinct(list_cat(a.shd, b.shd))) >= 0.5
+        ),
+        shared AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM f x JOIN f y ON x.band = y.band AND x.sig = y.sig
+             AND x.doc_id < y.doc_id
         )
-        SELECT count(*),
-               count(*) FILTER (WHERE EXISTS (
-                   SELECT 1 FROM f x JOIN f y
-                     ON x.band = y.band AND x.sig = y.sig
-                   WHERE x.doc_id = truth.da AND y.doc_id = truth.db))
+        SELECT count(*), count(sh.a)
         FROM truth
+        LEFT JOIN shared sh ON sh.a = truth.da AND sh.b = truth.db
         """
     ).fetchone()
     # Spark recomputes the same sub-block slice through the SAME

@@ -78,7 +78,40 @@ def main() -> int:
         walls.append(round(time.perf_counter() - t0, 1))
         print(f"# run: {walls[-1]}s", file=sys.stderr)
 
-    # guard 2: the §13 broadcast-GEMM pair kernel at the ×10 fixture
+    # guard 2: the §13 broadcast-GEMM pair kernel at the ×10 fixture.
+    # COLD first (r08 verdict #6): the §13c claim this guard protects —
+    # session-level BLAS pinning halving the kernel wall — is about a
+    # COLD session's first run; warm in-session repeats stay fast even
+    # if the pinning silently unwinds (threads already spawned, pages
+    # warm). The cold number comes from a SUBPROCESS with its own fresh
+    # session, timing only the query materialization.
+    import subprocess
+
+    cold_script = (
+        "import time, sys; "
+        "sys.path.insert(0, '.'); "
+        "from covid19_etl_pipeline_spark.session import get_spark; "
+        "from covid19_etl_pipeline_spark.plans.queries import REGISTRY; "
+        "spark = get_spark(app_name='scale-guard-cold'); "
+        f"df = REGISTRY['embedding_neardup_pairs'].fn(spark, {args.sf10!r}); "
+        "t0 = time.perf_counter(); "
+        "df.write.format('noop').mode('overwrite').save(); "
+        "print('COLD_WALL', round(time.perf_counter() - t0, 1)); "
+        "spark.stop()"
+    )
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", cold_script],
+        capture_output=True,
+        text=True,
+        cwd=repo_dir,
+    )
+    gemm_cold = None
+    for ln in out.stdout.splitlines():
+        if ln.startswith("COLD_WALL"):
+            gemm_cold = float(ln.split()[1])
+    print(f"# gemm cold run: {gemm_cold}s", file=sys.stderr)
+
     from covid19_etl_pipeline_spark.plans.queries import REGISTRY
 
     gemm_walls = []
@@ -88,7 +121,7 @@ def main() -> int:
             "noop"
         ).mode("overwrite").save()
         gemm_walls.append(round(time.perf_counter() - t0, 1))
-        print(f"# gemm run: {gemm_walls[-1]}s", file=sys.stderr)
+        print(f"# gemm warm run: {gemm_walls[-1]}s", file=sys.stderr)
 
     rec = {
         "metric": "semdedup_two_level_wall",
@@ -101,8 +134,13 @@ def main() -> int:
             "metric": "gemm_neardup_pairs_wall",
             "query": "embedding_neardup_pairs",
             "sf_dir": args.sf10,
-            "wall_sec_min": min(gemm_walls),
-            "wall_sec_all": gemm_walls,
+            # cold = fresh-session subprocess first run (the number a
+            # BLAS-pinning regression actually moves); warm = repeats
+            # in this already-hot session (r08 verdict #6: recording
+            # only warm hid the claim under guard)
+            "wall_sec_cold": gemm_cold,
+            "wall_sec_warm_min": min(gemm_walls),
+            "wall_sec_warm_all": gemm_walls,
         },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
