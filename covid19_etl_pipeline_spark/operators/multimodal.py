@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from covid19_etl_pipeline_spark.operators import jpeg
+from covid19_etl_pipeline_spark.operators import jpeg, vp8l
 
 #: A multimodal asset row: opaque payload + typed metadata.
 ASSET_SCHEMA = T.StructType(
@@ -56,11 +56,13 @@ _FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """Real image decode for the raster formats whose codecs are pure
     stdlib/numpy: PNG (zlib + filter math), uncompressed 24-bit BMP,
-    binary netpbm (P5 PGM / P6 PPM), and baseline JPEG (SOF0 huffman +
-    dequant + IDCT, :mod:`.jpeg`). Remaining formats (WebP/AVIF/...)
-    need external codec libraries this container does not ship and
-    raise — the plumbing around them is production-shaped; dispatching
-    a PIL/opencv body here is the one-function swap."""
+    binary netpbm (P5 PGM / P6 PPM), baseline JPEG (SOF0 huffman +
+    dequant + IDCT, :mod:`.jpeg`), and lossless WebP (VP8L prefix
+    codes + LZ77 + transforms, :mod:`.vp8l`). Formats outside this
+    set (AVIF, lossy WebP, ...) need external codec libraries this
+    container does not ship and raise — the plumbing around them is
+    production-shaped; dispatching a PIL/opencv body here is the
+    one-function swap."""
     if payload is not None and bytes(payload[:8]) == _PNG_SIG:
         return decode_png(bytes(payload))
     if payload is not None and _sniff_bmp(bytes(payload)):
@@ -69,11 +71,15 @@ def decode_image(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         return decode_ppm(bytes(payload))
     if payload is not None and jpeg.sniff_jpeg(bytes(payload)):
         return jpeg.decode_jpeg(bytes(payload))
+    if payload is not None and vp8l.sniff_webp(bytes(payload)):
+        # ValueError (not silent mis-decode) for lossy VP8 / VP8X
+        return vp8l.decode_webp(bytes(payload))
     raise NotImplementedError(
-        "only PNG, BMP, binary PGM/PPM, and baseline JPEG decode "
-        "without external codec libraries; extract_features uses the "
-        "deterministic stub featurizer for other payloads (WebP/AVIF "
-        "need codec libs this container does not ship)"
+        "only PNG, BMP, binary PGM/PPM, baseline JPEG, and lossless "
+        "WebP (VP8L) decode without external codec libraries; "
+        "extract_features uses the deterministic stub featurizer for "
+        "other payloads (AVIF needs codec libs this container does "
+        "not ship)"
     )
 
 
@@ -695,6 +701,60 @@ def png_channel_stats(assets: DataFrame) -> DataFrame:
     pattern must hash-match bit for bit — proving the zlib inflate and
     all five unfilter paths reconstruct every pixel exactly."""
     return image_channel_stats(assets, decode_png)
+
+
+def synth_webp_assets(
+    df: DataFrame, id_col: str, w_col: str, h_col: str
+) -> DataFrame:
+    """Build real lossless-WebP payloads for (asset_id, width, height)
+    rows — the Arrow-batched ENCODE half of the VP8L round trip
+    (:func:`covid19_etl_pipeline_spark.operators.vp8l.
+    encode_webp_lossless`). Even ids take the subtract-green transform
+    path, odd ids the plain literal path, so both decoder branches are
+    exercised across one fixture set."""
+    schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            ws = pdf[w_col].astype("int64")
+            hs = pdf[h_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "width": ws.astype("int32"),
+                    "height": hs.astype("int32"),
+                    "payload": [
+                        vp8l.encode_webp_lossless(
+                            synth_pixels(int(i), int(w), int(h)),
+                            subtract_green=(int(i) % 2 == 0),
+                        )
+                        for i, w, h in zip(ids, ws, hs)
+                    ],
+                }
+            )
+
+    return df.select(id_col, w_col, h_col).mapInPandas(encode, schema=schema)
+
+
+def webp_channel_stats(assets: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics of DECODED lossless-WebP payloads
+    — same hash-match contract as :func:`png_channel_stats`. VP8L
+    decodes to RGBA, so channel 3 is the constant opaque alpha the
+    encoder synthesized; an oracle restating it as 255 pins the ARGB
+    channel unpacking too."""
+
+    def _decode(payload: bytes):
+        return vp8l.decode_webp(payload)
+
+    return image_channel_stats(assets, _decode)
 
 
 def bmp_channel_stats(assets: DataFrame) -> DataFrame:

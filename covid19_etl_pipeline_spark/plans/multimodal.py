@@ -1,7 +1,7 @@
 """Multimodal binary-asset plumbing and the real stdlib codecs (WAV PCM16,
-PNG, BMP).
+PNG, BMP, netpbm, baseline JPEG, lossless WebP).
 
-Registered query family (9 entries); split from the
+Registered query family (10 entries); split from the
 original monolithic plans/queries.py.
 """
 
@@ -394,6 +394,76 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_webp_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, 14 + (doc_id % 5) * 6 AS w, 11 + (doc_id % 4) * 5 AS h
+        FROM documents WHERE doc_id < 150
+    ),
+    ys AS (SELECT doc_id, w, h, unnest(range(0, h)) AS y FROM base),
+    xs AS (SELECT doc_id, w, h, y, unnest(range(0, w)) AS x FROM ys),
+    px AS (
+        SELECT doc_id, w, h,
+               CASE WHEN c < 3
+                    THEN (doc_id * 31 + y * 7 + x * 3 + c * 11) % 256
+                    ELSE 255 END AS v,
+               c
+        FROM (SELECT doc_id, w, h, y, x, unnest(range(0, 4)) AS c FROM xs)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(c AS INT) AS channel,
+           CAST(sum(v) AS BIGINT) AS sum_value,
+           round(sum(v) * 1.0 / (w * h), 4) + 0.0 AS mean_value,
+           CAST(min(v) AS INT) AS min_value,
+           CAST(max(v) AS INT) AS max_value
+    FROM px
+    GROUP BY doc_id, w, h, c
+    ORDER BY asset_id, channel
+    """,
+    "REAL lossless-WebP decode in the multimodal codec slot (closes "
+    "the last NotImplementedError — r08 verdict #8): deterministic "
+    "RGB grids are encoded as genuine VP8L bitstreams (operators."
+    "vp8l.encode_webp_lossless — RIFF container, LSB-first bitstream, "
+    "canonical prefix codes serialized through the DEFLATE-style "
+    "code-length code, simple codes for degenerate alphabets; even "
+    "ids additionally take the subtract-green transform) and DECODED "
+    "back (vp8l.decode_webp: the full VP8L feature set — all four "
+    "transforms, meta prefix groups, color cache, LZ77 with the 2D "
+    "proximity distance map) then reduced to per-channel stats "
+    "through the same featurizer as the PNG/BMP/JPEG paths. VP8L "
+    "decodes to RGBA, so channel 3 restates the synthesized opaque "
+    "alpha as the constant 255 — pinning the ARGB unpacking. The "
+    "oracle recomputes every pixel from the closed form without "
+    "touching bytes; a hash match proves the prefix-code round trip "
+    "reconstructs every pixel exactly. Lossy VP8 / extended VP8X "
+    "raise ValueError, never a silent mis-decode",
+)
+def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    base = spread(docs, "doc_id", partitions=8).select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(14) + (F.col("doc_id") % 5) * 6).cast("int").alias("w"),
+        (F.lit(11) + (F.col("doc_id") % 4) * 5).cast("int").alias("h"),
+    )
+    assets = multimodal.synth_webp_assets(base, "asset_id", "w", "h")
+    stats = multimodal.webp_channel_stats(assets)
+    return stats.select(
+        "asset_id",
+        "width",
+        "height",
+        "channel",
+        "sum_value",
+        (F.round("mean_value", 4) + F.lit(0.0)).alias("mean_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("asset_id", "channel")
+
+
+@_register(
     "multimodal_ppm_stats",
     """
     WITH base AS (
@@ -435,9 +505,9 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PNG/BMP paths. The oracle recomputes every pixel from the closed "
     "form (P5 assets contribute exactly the channel-0 row); a hash "
     "match proves the netpbm round trip is byte-exact. "
-    "NotImplementedError now narrows to WebP/AVIF — formats whose "
-    "codecs genuinely cannot be had from the stdlib (baseline JPEG "
-    "decodes for real since multimodal_jpeg_stats landed)",
+    "NotImplementedError now narrows to AVIF — the one format whose "
+    "codec genuinely cannot be had from the stdlib (baseline JPEG and "
+    "lossless WebP decode for real)",
 )
 def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from covid19_etl_pipeline_spark.operators import multimodal

@@ -194,12 +194,15 @@ def test_table_count_and_decode_stub(spark):
     import pytest as _pytest
 
     # a JPEG-sniffed but malformed payload hits the real SOF0 codec and
-    # raises ValueError; formats with no in-repo codec (WebP) still
-    # raise NotImplementedError honestly
+    # raises ValueError; LOSSY WebP (VP8) hits the real VP8L dispatch
+    # and raises ValueError (documented unsupported); formats with no
+    # in-repo codec (AVIF) still raise NotImplementedError honestly
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with _pytest.raises(ValueError):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
     with _pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        decode_image(b"\x00\x00\x00\x1cftypavif fake avif payload")
 
 
 def test_pagerank_hand_computed_chain(spark):

@@ -197,14 +197,17 @@ def test_png_codec_roundtrip():
     # deterministic blobs (fixture/fingerprint contract)
     assert encode_png(px) == encode_png(px)
     # decode_image dispatches PNG; a JPEG-sniffed but malformed payload
-    # hits the real SOF0 codec and raises ValueError (not the stub path),
-    # while formats with no in-repo codec (WebP) still raise honestly
+    # hits the real SOF0 codec and raises ValueError (not the stub
+    # path); lossy WebP raises ValueError via the VP8L dispatch, while
+    # formats with no in-repo codec (AVIF) still raise honestly
     w, h, _ = decode_image(encode_png(px))
     assert (w, h) == (3, 7)
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        decode_image(b"\x00\x00\x00\x1cftypavif fake avif payload")
     with pytest.raises(ValueError):
         decode_png(b"not a png")
 

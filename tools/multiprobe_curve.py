@@ -142,11 +142,59 @@ def cell_balance(spark, sf_dir: str, k: int, probes: list[int]) -> dict:
     return out
 
 
+def mutual_curve(spark, sf_dir: str, probes: list[int]) -> dict:
+    """Mutual-NN IVF recall/precision/wall curve (r08 verdict #7): the
+    `mutual_nn_ivf_recall` measurement generalized to any probe list
+    and any fixture — run it on BOTH the near-uniform synthetic
+    embeddings (IVF's worst case) and the mixture-of-Gaussians fixture
+    (tools/make_clustered_embeddings.py, data shaped like real
+    embedding corpora) to justify the production default probes=3."""
+    from covid19_etl_pipeline_spark.plans.embedding import (
+        _ivf_mutual_pairs,
+        mutual_nearest_embeddings,
+    )
+
+    t0 = time.perf_counter()
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in mutual_nearest_embeddings(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .collect()
+    }
+    exact_sec = round(time.perf_counter() - t0, 1)
+    out = {
+        "metric": "mutual_nn_ivf_curve",
+        "sf_dir": sf_dir,
+        "n_exact_pairs": len(exact),
+        "exact_kernel_sec": exact_sec,
+    }
+    for p in probes:
+        t0 = time.perf_counter()
+        ivf = {
+            (r["vec_a"], r["vec_b"])
+            for r in _ivf_mutual_pairs(spark, sf_dir, p)
+            .select("vec_a", "vec_b")
+            .collect()
+        }
+        sec = round(time.perf_counter() - t0, 1)
+        cap = len(exact & ivf)
+        out[f"p{p}"] = {
+            "n_ivf_pairs": len(ivf),
+            "n_captured": cap,
+            "recall": round(cap / len(exact), 4) if exact else None,
+            "precision": round(cap / len(ivf), 4) if ivf else None,
+            "sec": sec,
+        }
+        gc.collect()
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--recall", action="store_true")
     ap.add_argument("--wall", action="store_true")
     ap.add_argument("--cells", action="store_true")
+    ap.add_argument("--mutual", action="store_true")
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--probes", default="1,2,3,4")
@@ -164,6 +212,8 @@ def main() -> int:
         print(json.dumps(wall_curve(spark, args.sf, args.k, probes)))
     if args.cells:
         print(json.dumps(cell_balance(spark, args.sf, args.k, probes)))
+    if args.mutual:
+        print(json.dumps(mutual_curve(spark, args.sf, probes)))
     spark.stop()
     return 0
 
