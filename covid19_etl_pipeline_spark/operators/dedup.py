@@ -378,7 +378,15 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     # union-free verify: |A∪B| = |A| + |B| - |A∩B| — one array
-    # intersection per pair, no union allocation.
+    # intersection per pair, no union allocation. Both verify joins are
+    # HINTED shuffled-hash: the set side carries the corpus's shingle
+    # arrays, whose deserialized hash-map footprint is an order of
+    # magnitude past its on-wire size — at the ×100 fixture a
+    # 64MB-estimate auto-broadcast of one side OOMed an 8g driver
+    # ("not enough memory to build and broadcast"), the dup_clusters
+    # r08 lesson again: never let an estimate pick a broadcast for a
+    # corpus-scale frame. Shuffled-hash also skips sorting the
+    # array-carrying rows a sort-merge join would pay for.
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     jac = inter / (F.col("sz_a") + F.col("sz_b") - inter)
     return (
@@ -387,7 +395,7 @@ def prefix_filter_jaccard_pairs(
                 F.col(id_col).alias(f"{id_col}_a"),
                 F.col("sh").alias("sh_a"),
                 F.size("sh").alias("sz_a"),
-            ),
+            ).hint("shuffle_hash"),
             f"{id_col}_a",
         )
         .join(
@@ -395,7 +403,7 @@ def prefix_filter_jaccard_pairs(
                 F.col(id_col).alias(f"{id_col}_b"),
                 F.col("sh").alias("sh_b"),
                 F.size("sh").alias("sz_b"),
-            ),
+            ).hint("shuffle_hash"),
             f"{id_col}_b",
         )
         .withColumn("jaccard", jac)
@@ -458,14 +466,21 @@ def containment_pairs(
         .select("id_inner", "id_outer")
         .distinct()
     )
+    # verify joins hinted shuffled-hash — same rationale as
+    # prefix_filter_jaccard_pairs: the set side's deserialized shingle
+    # arrays must never ride an estimate-picked broadcast at scale
     cont = F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a")
     return (
         candidates.join(
-            sets.select(F.col(id_col).alias("id_inner"), F.col("sh").alias("sh_a")),
+            sets.select(
+                F.col(id_col).alias("id_inner"), F.col("sh").alias("sh_a")
+            ).hint("shuffle_hash"),
             "id_inner",
         )
         .join(
-            sets.select(F.col(id_col).alias("id_outer"), F.col("sh").alias("sh_b")),
+            sets.select(
+                F.col(id_col).alias("id_outer"), F.col("sh").alias("sh_b")
+            ).hint("shuffle_hash"),
             "id_outer",
         )
         .withColumn("containment", cont)

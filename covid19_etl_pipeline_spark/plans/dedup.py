@@ -1977,18 +1977,39 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = dedup.prefix_filter_jaccard_pairs(
         docs, "doc_id", text_col="text", threshold=0.3
-    )
+    ).localCheckpoint(eager=False)  # one pair pass feeds both rollups
     thrs = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
-    sweep = pairs.select(
-        "doc_id_b",
-        "jaccard",
-        F.explode(F.array(*[F.lit(t) for t in thrs])).alias("thr"),
-    ).filter(F.col("jaccard") >= F.col("thr"))
-    return (
-        sweep.groupBy(F.col("thr").alias("threshold"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.countDistinct("doc_id_b").alias("removable_docs_upper"),
+    # Bucket-and-accumulate instead of exploding the pair stream 6×
+    # and running a per-threshold countDistinct (whose Expand doubled
+    # the exploded volume again — the honest cost at the ×100 fixture
+    # once invariants stopped count() from pruning the measures):
+    # n_pairs(t) = Σ pairs in buckets ≥ t, and removable(t) =
+    # |{b : max_j(b) ≥ t}| — "b has SOME pair ≥ t" is exactly
+    # "b's max jaccard ≥ t", so one doc-grain max + two ≤6-row
+    # bucket tables replace the 12× pair-stream blowup. The cumulative
+    # step explodes thresholds over the TINY bucket frames only.
+    bucket = F.lit(thrs[0])
+    for t in thrs[1:]:
+        bucket = F.when(F.col("jaccard") >= t, F.lit(t)).otherwise(bucket)
+    pair_buckets = pairs.groupBy(bucket.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    bmax = pairs.groupBy("doc_id_b").agg(F.max("jaccard").alias("jaccard"))
+    doc_buckets = bmax.groupBy(bucket.alias("b")).agg(
+        F.count("*").alias("c")
+    )
+    thr_lits = F.explode(F.array(*[F.lit(t) for t in thrs]))
+
+    def _cum(buckets, out_col):
+        return (
+            buckets.select(thr_lits.alias("threshold"), "b", "c")
+            .filter(F.col("b") >= F.col("threshold"))
+            .groupBy("threshold")
+            .agg(F.sum("c").alias(out_col))
         )
+
+    return (
+        _cum(pair_buckets, "n_pairs")
+        .join(_cum(doc_buckets, "removable_docs_upper"), "threshold")
         .orderBy("threshold")
     )
