@@ -144,6 +144,8 @@ def _sharded(args) -> int:
                     str(args.budget),
                     "--max-hash-rows",
                     str(args.max_hash_rows),
+                    "--restart-every",
+                    str(args.restart_every),
                 ]
                 + (["--spark-only"] if args.spark_only else [])
                 + (["--tiered"] if args.tiered else []),
@@ -279,6 +281,14 @@ def main(argv=None) -> int:
     )
     p.add_argument("--round", type=int, default=0, help="write SWEEP_r{N}.json")
     p.add_argument(
+        "--restart-every",
+        type=int,
+        default=0,
+        help="restart the Spark session every K queries (0 = never) — "
+        "bounds cross-query JVM heap debris on the scale fixtures, "
+        "where one shard runs ~20 heavy queries in one local-mode JVM",
+    )
+    p.add_argument(
         "--tiered",
         action="store_true",
         help="scale-fixture mode: queries with a registered tiered "
@@ -351,6 +361,20 @@ def main(argv=None) -> int:
     results, failures = {}, []
     t_start = time.time()
     for i, name in enumerate(names):
+        if (
+            args.restart_every
+            and i
+            and i % args.restart_every == 0
+        ):
+            # Scale-fixture hygiene: ~20 heavy ×100 queries in ONE
+            # local-mode JVM accumulate broadcast/localCheckpoint
+            # debris until an unrelated query's task OOMs the heap and
+            # takes the whole shard's remaining queries with it
+            # (r08 shard-1of4; recurred r09 even with per-query gc —
+            # java.lang.OutOfMemoryError mid-stage). A fresh session
+            # every K queries caps the debris window at K.
+            spark.stop()
+            spark = get_spark(app_name="sweep")
         spec = REGISTRY[name]
         t0 = time.time()
         rec = {"err": None}
