@@ -636,10 +636,15 @@ def _write_prefix_code(bw: BitWriter, counts: dict, alphabet: int) -> dict:
     for ln in all_lengths:
         cl_counts[ln] = cl_counts.get(ln, 0) + 1
     cl_lengths = _huffman_lengths(cl_counts, 7)
-    # guard the single-distinct-length case: a lone cl symbol would be
-    # a 0-bit code the reader cannot distinguish — force 1 bit
+    # single-distinct-length case: a lone cl symbol is a 0-bit code on
+    # the decode side (spec / libwebp), so the writer must not spend
+    # bits on it either — pad with a second, never-emitted symbol at
+    # length 1 to make a complete 1-bit code both sides consume
+    # identically (1 bit per length, pad symbol's bit pattern unused)
     if len(cl_lengths) == 1:
-        cl_lengths = {next(iter(cl_lengths)): 1}
+        only = next(iter(cl_lengths))
+        pad = 0 if only != 0 else 1
+        cl_lengths = {only: 1, pad: 1}
     cl_codes = _canonical_codes(cl_lengths)
     bw.write(19 - 4, 4)  # num_code_lengths = 19
     for s in CODE_LENGTH_ORDER:

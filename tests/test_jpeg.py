@@ -149,6 +149,12 @@ def test_sniff_and_decode_image_dispatch():
     assert not sniff_jpeg(None)
     w, h, px = decode_image(blob)
     assert (w, h, px.shape[2]) == (14, 10, 3)
-    # non-JPEG binary still falls through to the honest stub error
-    with pytest.raises(NotImplementedError):
+    # RIFF/WEBP container with no VP8L chunk is MALFORMED input to the
+    # real WebP path, not an unsupported format: ValueError, per
+    # operators/vp8l.py decode_webp
+    with pytest.raises(ValueError):
         decode_image(b"RIFF....WEBP")
+    # AVIF (ISO-BMFF ftyp box) is the remaining honest stub
+    avif = b"\x00\x00\x00\x1cftypavif\x00\x00\x00\x00avifmif1"
+    with pytest.raises(NotImplementedError):
+        decode_image(avif)

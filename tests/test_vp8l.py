@@ -61,6 +61,30 @@ def test_round_trip_shapes_and_transforms():
     assert vp8l.encode_webp_lossless(img) == vp8l.encode_webp_lossless(img)
 
 
+def test_full_alphabet_uniform_channel_round_trips():
+    """A channel using all 256 values equally makes every literal code
+    length 8, collapsing the code-length histogram to ONE symbol. The
+    decoder reads a single-symbol cl code with 0 bits (spec/libwebp),
+    so the writer pads a second unused length-1 symbol to keep both
+    sides consuming exactly 1 bit per length — regression for the
+    encode-side desync ('VP8L: empty prefix code')."""
+    h, w = 16, 32
+    cyc = (np.arange(h * w) % 256).astype(np.uint8).reshape(h, w)
+    # red channel cycles 0..255 (single-cl-symbol on the 256-alphabet)
+    px = np.dstack(
+        [cyc, np.full((h, w), 7, np.uint8), np.zeros((h, w), np.uint8)]
+    )
+    for sg in (True, False):
+        _, _, out = vp8l.decode_webp(
+            vp8l.encode_webp_lossless(px, subtract_green=sg)
+        )
+        assert np.array_equal(out, _rgba(px))
+    # green channel too — the larger 256+24 length-code alphabet side
+    px_g = np.dstack([cyc, cyc, cyc])
+    _, _, out = vp8l.decode_webp(vp8l.encode_webp_lossless(px_g))
+    assert np.array_equal(out, _rgba(px_g))
+
+
 def test_unsupported_variants_raise():
     with pytest.raises(ValueError, match="lossy"):
         vp8l.decode_webp(

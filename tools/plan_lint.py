@@ -45,6 +45,11 @@ PANDAS_OK = {
     # codec-in-Arrow-batch shape; lossy, so the query asserts error
     # bounds instead of byte-exact stats
     "multimodal_jpeg_stats",
+    # real lossless-WebP VP8L encode+decode (pure-Python RFC 9649
+    # bitstream) — reviewed: same codec-in-Arrow-batch shape as the
+    # PNG/JPEG/BMP entries; lossless, so the query hash-matches a
+    # SQL oracle that recomputes every pixel
+    "multimodal_webp_stats",
     # broadcast-GEMM exact-pair / exact-NN kernels
     # (similarity.gemm_threshold_pairs / gemm_nearest_neighbor):
     # reviewed numeric kernel in an Arrow batch — chunked float64
