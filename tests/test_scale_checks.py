@@ -57,7 +57,8 @@ def test_spark_only_invariants_pass_and_fail(spark):
         [(1, 2, 0.5), (3, 4, 1.0)],
         "vec_id_a long, vec_id_b long, cosine_sim double",
     )
-    n, inv = spark_only_invariants(ok_df)
+    n, inv, notes = spark_only_invariants(ok_df)
+    assert notes.get("value_hash", "").isdigit()
     assert n == 2 and all(inv.values())
     assert "pair_ordered_a_lt_b" in inv and "cosine_sim_in_cosine_range" in inv
     # planted violations flip exactly the right invariants
@@ -65,7 +66,7 @@ def test_spark_only_invariants_pass_and_fail(spark):
         [(5, 2, 0.5), (3, 4, 1.5)],
         "vec_id_a long, vec_id_b long, cosine_sim double",
     )
-    _, inv = spark_only_invariants(bad_df)
+    _, inv, _n = spark_only_invariants(bad_df)
     assert inv["pair_ordered_a_lt_b"] is False
     assert inv["cosine_sim_in_cosine_range"] is False
     # a duplicated pair is caught when it lands in the sampled bucket —
@@ -74,10 +75,10 @@ def test_spark_only_invariants_pass_and_fail(spark):
     dup_df = spark.createDataFrame(
         dup_rows, "vec_id_a long, vec_id_b long, cosine_sim double"
     )
-    _, inv = spark_only_invariants(dup_df)
+    _, inv, _n = spark_only_invariants(dup_df)
     assert inv["no_dup_pairs_sampled_bucket"] is False
     # unit-interval columns
-    _, inv = spark_only_invariants(
+    _, inv, _n = spark_only_invariants(
         spark.createDataFrame([(1.2,)], "recall double")
     )
     assert inv["recall_in_unit_interval"] is False

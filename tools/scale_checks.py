@@ -1047,6 +1047,17 @@ _UNIT_COLS = {
     "dup_line_frac",
     "train_frac",
     "quality_score",
+    "dup_fraction",
+    "dup_token_fraction",
+    "exact_dup_frac",
+    "kept_token_fraction",
+    "mrr_at_10",
+    "precision_at_10",
+    "recall_at_10",
+    "source_pct",
+    "source_pctl",
+    "mixture_weight",
+    "transition_p",
 }
 #: columns bounded to [-1, 1] (cosines)
 _COSINE_COLS = {"cosine_sim", "sim", "max_cosine", "mean_cosine"}
@@ -1057,10 +1068,12 @@ _PAIR_KEYS = [
     ("vec_id_a", "vec_id_b"),
     ("part_a", "part_b"),
     ("vec_a", "vec_b"),
+    ("a_partkey", "b_partkey"),
+    ("name_a", "name_b"),
 ]
 
 
-def spark_only_invariants(sdf) -> tuple[int, dict]:
+def spark_only_invariants(sdf) -> tuple[int, dict, dict]:
     """Value invariants for ``--spark-only`` fixtures past every
     oracle's reach (VERDICT r08 #3): schema-driven self-checks folded
     into ONE aggregate pass (which also supplies the row count, so
@@ -1069,11 +1082,43 @@ def spark_only_invariants(sdf) -> tuple[int, dict]:
     (duplicates of a pair always land in the same bucket, so the
     sampled check has no false negatives within its bucket).
 
-    Returns (row_count, {invariant_name: bool}).
+    The same pass folds in the agghash canonical row-hash SUM over
+    EVERY column (VERDICT r09 #6): Catalyst cannot prune a column the
+    hash consumes, so "pass" can never again mean "a count()-pruned
+    skeleton executed" (the r09 ×100 lesson — two queries' budgets
+    were flattered by plans whose expensive measures the optimizer
+    had deleted). The (count, hash_sum) pair is recorded in the
+    artifact so later rounds diff values, not just row counts, on the
+    deterministic fixtures.
+
+    Returns (row_count, {invariant_name: bool}, notes).
     """
     from pyspark.sql import functions as F
 
-    cols = set(sdf.columns)
+    notes = {}
+    hash_col = None
+    try:
+        from tools.agghash import (
+            _SPARK_H64,
+            UnsupportedType,
+            _row_expr,
+            _spark_kind,
+        )
+
+        kinds = [
+            (f.name, _spark_kind(f.dataType)) for f in sdf.schema.fields
+        ]
+        row_sql = _row_expr(kinds, "spark")
+        sdf = sdf.withColumn("__agghash_md5", F.expr(f"md5({row_sql})"))
+        hash_col = F.expr(
+            "coalesce(sum("
+            + _SPARK_H64.replace("__h", "__agghash_md5")
+            + "), CAST(0 AS DECIMAL(20,0)))"
+        ).alias("__hsum")
+    except UnsupportedType as ut:
+        notes["value_hash_unsupported"] = str(ut)
+
+    cols = set(sdf.columns) - {"__agghash_md5"}
     aggs = [F.count(F.lit(1)).alias("__n")]
     names = []
 
@@ -1102,8 +1147,12 @@ def spark_only_invariants(sdf) -> tuple[int, dict]:
             if f in ("long", "integer", "short", "double", "float"):
                 viol(f"{c}_nonnegative", F.col(c) < 0)
 
+    if hash_col is not None:
+        aggs.append(hash_col)
     row = sdf.agg(*aggs).collect()[0]
     n = row["__n"]
+    if hash_col is not None:
+        notes["value_hash"] = str(int(row["__hsum"]))
     out = {name: row[f"__v{i}"] == 0 for i, name in enumerate(names)}
 
     if pair_key and n > 0:
@@ -1122,7 +1171,7 @@ def spark_only_invariants(sdf) -> tuple[int, dict]:
             .count()
         )
         out["no_dup_pairs_sampled_bucket"] = dup == 0
-    return n, out
+    return n, out, notes
 
 
 def _subset_of_table(spark, sf_dir, sdf, id_col, table):
@@ -1207,6 +1256,1000 @@ def _extra_fuzzy_parts(spark, sf_dir, sdf):
     return {"edit_dist_in_contract_range": (bad or 0) == 0}
 
 
+# --- r10 value-bearing invariant battery (VERDICT r09 #6) ----------
+# Every ×100 spark-only entry gets at least one check that the engine
+# can only pass by COMPUTING THE MEASURES — algebra between the
+# result's own columns, conservation against a base table, per-group
+# rank contiguity, or an independent pure-Python recompute of a
+# sampled hash bucket. A count()-pruned or garbage-valued plan fails
+# these; a nonnegative count does not vouch for anything.
+
+
+def _viol(sdf, pairs):
+    """One aggregate pass: {name: True iff its violation count is 0}.
+    ``pairs`` is [(invariant_name, violation_condition_column)]."""
+    from pyspark.sql import functions as F
+
+    row = sdf.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+            ).alias(f"__v{i}")
+            for i, (_n, c) in enumerate(pairs)
+        ]
+    ).collect()[0]
+    return {n: row[f"__v{i}"] == 0 for i, (n, _c) in enumerate(pairs)}
+
+
+def _rank_contig(sdf, part_cols, rank_col, base=1):
+    """True iff ``rank_col`` is exactly base..base+count-1 within every
+    partition — one groupBy pass (min/max/count/countDistinct)."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        sdf.groupBy(*part_cols)
+        .agg(
+            F.min(rank_col).alias("mn"),
+            F.max(rank_col).alias("mx"),
+            F.count("*").alias("n"),
+            F.countDistinct(rank_col).alias("nd"),
+        )
+        .filter(
+            (F.col("mn") != base)
+            | (F.col("mx") != F.col("n") + (base - 1))
+            | (F.col("nd") != F.col("n"))
+        )
+        .limit(1)
+        .count()
+    )
+    return bad == 0
+
+
+def _base_count(spark, sf_dir, table, where=None):
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    t = load_table(spark, sf_dir, table)
+    if where is not None:
+        t = t.filter(where)
+    return t.count()
+
+
+def _scalar(sdf, expr_col, alias="x"):
+    return sdf.agg(expr_col.alias(alias)).collect()[0][alias]
+
+
+# -- pure-Python reference implementations (engine-independent:
+#    hashlib.md5 + explicit Java-\s tokenization; catches row mixing,
+#    shuffle corruption, and codegen bugs the Spark-vs-Spark compare
+#    cannot) --
+
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def _py_tokens(t):
+    import re
+
+    return re.split(_JAVA_WS, t.strip())
+
+
+def _py_shingles(toks, k=3):
+    if len(toks) < k:
+        return []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _py_md5(s):
+    import hashlib
+
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _py_minhash4(text):
+    """mh0..mh3 exactly as operators/dedup.minhash_signatures with
+    num_hashes=4: one md5 per shingle prefixed '0|', four 8-hex-char
+    words, lexicographic min per word."""
+    sh = _py_shingles(_py_tokens(text))
+    if not sh:
+        return (None, None, None, None)
+    digs = [_py_md5("0|" + s) for s in sh]
+    return tuple(min(d[8 * i : 8 * i + 8] for d in digs) for i in range(4))
+
+
+def _py_simhash32(text):
+    """operators/dedup.simhash bits=32: distinct tokens of normalized
+    text, low-60-bit md5 int, per-bit majority vote."""
+    import re
+
+    norm = re.sub(_JAVA_WS, " ", text.strip().lower())
+    toks = sorted(set(re.split(_JAVA_WS, norm)))
+    votes = [0] * 32
+    for tok in toks:
+        h = int(_py_md5(tok)[:15], 16)
+        for b in range(32):
+            votes[b] += ((h >> b) & 1) * 2 - 1
+    return sum(1 << b for b in range(32) if votes[b] > 0)
+
+
+def _py_fingerprint(text):
+    import re
+
+    return _py_md5(re.sub(_JAVA_WS, " ", text.strip().lower()))
+
+
+def _py_winnow(text, w=4):
+    hv = [_py_md5(s) for s in _py_shingles(_py_tokens(text))]
+    if len(hv) < w:
+        return (0, None, None)
+    fps = []
+    for i in range(len(hv) - w + 1):
+        m = min(hv[i : i + w])
+        if m not in fps:
+            fps.append(m)
+    return (len(fps), min(fps), max(fps))
+
+
+def _sample_doc_rows(spark, sf_dir, mod=512, residue=17, cap=48):
+    """(doc_id, text) of a deterministic content-hash bucket of the
+    documents table, capped to the lowest ids — the shared sample for
+    every per-row Python recompute."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(mod)) == residue)
+        .orderBy("doc_id")
+        .limit(cap)
+        .collect()
+    )
+
+
+def _extra_py_recompute(expected_fn, out_cols, inv_name):
+    """Compare the query output for a sampled doc bucket against a
+    pure-Python recompute: ``expected_fn(text) -> tuple`` must equal
+    the row's ``out_cols`` exactly."""
+
+    def fn(spark, sf_dir, sdf):
+        from pyspark.sql import functions as F
+
+        docs = _sample_doc_rows(spark, sf_dir)
+        ids = [r["doc_id"] for r in docs]
+        got = {
+            r["doc_id"]: tuple(r[c] for c in out_cols)
+            for r in sdf.filter(F.col("doc_id").isin(ids)).collect()
+        }
+        if set(got) != set(ids):
+            return {inv_name: False}
+        ok = all(
+            got[r["doc_id"]] == expected_fn(r["text"]) for r in docs
+        )
+        return {inv_name: ok}
+
+    return fn
+
+
+def _extra_corpus_dup_ngrams(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    inv = _viol(
+        sdf,
+        [
+            (
+                "dup_le_total_shingles",
+                F.col("dup_shingles") > F.col("n_shingles"),
+            ),
+            (
+                "dup_fraction_recomputed",
+                F.abs(
+                    F.col("dup_fraction")
+                    - F.round(F.col("dup_shingles") / F.col("n_shingles"), 4)
+                )
+                > 1e-9,
+            ),
+            ("dup_shingles_ge_1", F.col("dup_shingles") < 1),
+        ],
+    )
+    inv["doc_ids_subset_of_documents"] = _subset_of_table(
+        spark, sf_dir, sdf, "doc_id", "documents"
+    )
+    return inv
+
+
+def _extra_dup_flow(spark, sf_dir, sdf):
+    """dropped_chars is a SUM of real per-doc n_chars — bound it per
+    cell by n_pairs × the dropped source's min/max n_chars, and check
+    the source labels come from the documents domain."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rng = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("source_dropped"))
+        .agg(
+            F.min("n_chars").alias("__minc"), F.max("n_chars").alias("__maxc")
+        )
+    )
+    j = sdf.join(F.broadcast(rng), "source_dropped", "left")
+    return _viol(
+        j,
+        [
+            ("source_dropped_in_domain", F.col("__minc").isNull()),
+            ("n_pairs_ge_1", F.col("n_pairs") < 1),
+            (
+                "dropped_chars_within_source_bounds",
+                (F.col("dropped_chars") < F.col("n_pairs") * F.col("__minc"))
+                | (F.col("dropped_chars") > F.col("n_pairs") * F.col("__maxc")),
+            ),
+        ],
+    )
+
+
+def _extra_cluster_size_dist(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            (
+                "members_eq_size_times_clusters",
+                F.col("n_members") != F.col("cluster_size") * F.col("n_clusters"),
+            ),
+            (
+                "removable_eq_members_minus_clusters",
+                F.col("n_removable") != F.col("n_members") - F.col("n_clusters"),
+            ),
+            ("cluster_size_ge_2", F.col("cluster_size") < 2),
+        ],
+    )
+
+
+def _extra_threshold_sweep(spark, sf_dir, sdf):
+    rows = sorted(
+        sdf.collect(), key=lambda r: r["threshold"]
+    )
+    thrs = [round(r["threshold"], 6) for r in rows]
+    mono_pairs = all(
+        rows[i]["n_pairs"] >= rows[i + 1]["n_pairs"] for i in range(len(rows) - 1)
+    )
+    mono_rm = all(
+        rows[i]["removable_docs_upper"] >= rows[i + 1]["removable_docs_upper"]
+        for i in range(len(rows) - 1)
+    )
+    rm_le_pairs = all(
+        r["removable_docs_upper"] <= r["n_pairs"] for r in rows
+    )
+    return {
+        "thresholds_are_contract_grid": thrs == [0.3, 0.4, 0.5, 0.6, 0.7, 0.8],
+        "n_pairs_monotone_nonincreasing": mono_pairs,
+        "removable_monotone_nonincreasing": mono_rm,
+        "removable_le_n_pairs": rm_le_pairs,
+    }
+
+
+def _extra_fellegi_sunter(spark, sf_dir, sdf):
+    """match_odds is a function of the agreement pattern alone — it
+    must be CONSTANT per (agree_type, agree_price, agree_name)."""
+    from pyspark.sql import functions as F
+
+    inv = _viol(
+        sdf,
+        [
+            (
+                "agreement_fields_binary",
+                ~F.col("agree_type").isin(0, 1)
+                | ~F.col("agree_price").isin(0, 1)
+                | ~F.col("agree_name").isin(0, 1),
+            ),
+            ("match_odds_positive", F.col("match_odds") <= 0),
+        ],
+    )
+    bad = (
+        sdf.groupBy("agree_type", "agree_price", "agree_name")
+        .agg(F.countDistinct("match_odds").alias("nd"))
+        .filter(F.col("nd") != 1)
+        .limit(1)
+        .count()
+    )
+    inv["odds_constant_per_agreement_pattern"] = bad == 0
+    return inv
+
+
+def _extra_minhash_accuracy(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            ("avg_err_le_max_err", F.col("avg_abs_err") > F.col("max_abs_err")),
+            (
+                "max_err_in_unit",
+                (F.col("max_abs_err") < 0) | (F.col("max_abs_err") > 1),
+            ),
+            (
+                "corr_in_range",
+                (F.col("est_exact_corr") < -1 - 1e-9)
+                | (F.col("est_exact_corr") > 1 + 1e-9),
+            ),
+        ],
+    )
+
+
+def _extra_topk_group(part_cols, rank_col, order_col, descending=False):
+    """Per-group rank contiguity + the order column monotone in rank —
+    the top-k contract (pq_adc_topk, hybrid_retrieval_rrf)."""
+
+    def fn(spark, sf_dir, sdf):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*part_cols).orderBy(rank_col)
+        prev = F.lag(order_col).over(w)
+        cond = (
+            (prev.isNotNull()) & (F.col(order_col) < prev - 1e-9)
+            if not descending
+            else (prev.isNotNull()) & (F.col(order_col) > prev + 1e-9)
+        )
+        mono = sdf.withColumn("__bad", cond).filter("__bad").limit(1).count() == 0
+        return {
+            "rank_contiguous_per_group": _rank_contig(sdf, part_cols, rank_col),
+            "order_col_monotone_in_rank": mono,
+        }
+
+    return fn
+
+
+def _extra_pca_component(spark, sf_dir, sdf):
+    """Exact recompute of the query's advertised algorithm (three
+    power-iteration matvecs from all-ones, pivot-normalized per round)
+    through a DIFFERENT plan: instead of materializing the 4096-cell
+    gram, each matvec is one scan computing
+    (C·v)_i = E[x_i (x·v)] - m_i (m·v) per dimension. The query rounds
+    its covariance cells to 6dp, so the recompute agrees to ~1e-3 —
+    far inside the gap to any wrong/pruned result."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {r["dim"]: r["loading"] for r in sdf.collect()}
+    d = len(got)
+    if d == 0:
+        return {"loading_recomputed_3_iterations": False}
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x")
+    )
+
+    def matvec(vec):
+        dot = F.aggregate(
+            F.zip_with(
+                "x", F.array(*[F.lit(c) for c in vec]), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        rows = (
+            emb.withColumn("__dot", dot)
+            .select(F.posexplode("x").alias("pos", "val"), "__dot")
+            .groupBy("pos")
+            .agg(
+                F.avg("val").alias("m"),
+                F.avg(F.col("val") * F.col("__dot")).alias("exd"),
+                F.avg("__dot").alias("md"),
+            )
+            .collect()
+        )
+        w = [0.0] * d
+        for r in rows:
+            w[r["pos"]] = r["exd"] - r["m"] * r["md"]
+        return w
+
+    v = [1.0] * d
+    for _ in range(3):
+        w = matvec(v)
+        # pivot normalization: divide by the signed largest-|.|
+        # element, ties to lowest dim; 8dp per-round rounding
+        piv = max(w, key=lambda x: abs(x))
+        for cand in w:
+            if abs(cand) == abs(piv):
+                piv = cand
+                break
+        v = [round(x / piv, 8) for x in w]
+    ok = all(abs(v[i] - got[i + 1]) < 5e-3 for i in range(d))
+    return {"loading_recomputed_3_iterations": ok}
+
+
+def _extra_dsir(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    inv = _viol(
+        sdf,
+        [
+            (
+                "li_per_token_recomputed",
+                F.abs(
+                    F.col("li_per_token")
+                    - F.round(
+                        F.round(F.col("log_importance") * 1e6)
+                        / F.col("n_tokens")
+                    )
+                    / 1e6
+                )
+                > 1e-9,
+            ),
+            ("n_tokens_ge_1", F.col("n_tokens") < 1),
+        ],
+    )
+    # threshold selection on log_importance: every selected li clears
+    # every unselected li (6dp-rounding slack at the quantile boundary)
+    row = sdf.agg(
+        F.min(F.when(F.col("selected"), F.col("log_importance"))).alias("lo"),
+        F.max(F.when(~F.col("selected"), F.col("log_importance"))).alias("hi"),
+    ).collect()[0]
+    inv["selected_is_threshold_set"] = (
+        row["lo"] is None
+        or row["hi"] is None
+        or row["lo"] >= row["hi"] - 2e-6
+    )
+    return inv
+
+
+def _extra_recsys_negatives(spark, sf_dir, sdf):
+    """Negatives must not be interactions: recompute the interacted
+    (custkey, partkey) set for ONE custkey hash bucket and intersect."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    inv = {"neg_rank_contiguous_per_customer": _rank_contig(sdf, ["c_custkey"], "neg_rank")}
+    bucket = F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(64)) == 7
+    neg = sdf.filter(bucket).select("c_custkey", "p_partkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.pmod(F.xxhash64(F.col("o_custkey")), F.lit(64)) == 7)
+        .select("o_orderkey", "o_custkey")
+    )
+    inter = (
+        orders.join(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+    )
+    hit = neg.join(inter, ["c_custkey", "p_partkey"]).limit(1).count()
+    inv["negatives_never_interacted_sampled_bucket"] = hit == 0
+    return inv
+
+
+def _extra_repeated_substrings(spark, sf_dir, sdf):
+    """Runs are >=12 tokens by contract and DISJOINT per document
+    (islands merge overlapping/adjacent 8-gram hits)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    inv = _viol(
+        sdf,
+        [
+            ("run_len_ge_contract_12", F.col("run_token_len") < 12),
+            ("start_pos_ge_1", F.col("start_pos") < 1),
+        ],
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_pos")
+    prev_end = F.lag(F.col("start_pos") + F.col("run_token_len")).over(w)
+    overlap = (
+        sdf.withColumn(
+            "__bad", prev_end.isNotNull() & (F.col("start_pos") < prev_end)
+        )
+        .filter("__bad")
+        .limit(1)
+        .count()
+    )
+    inv["runs_disjoint_per_doc"] = overlap == 0
+    return inv
+
+
+def _extra_ann_label_mrr(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    r = sdf.collect()[0]
+    n, hits = r["n_queries"], r["queries_with_hit"]
+    lo = hits / (10.0 * n) - 1e-9 if n else 0
+    hi = hits / float(n) + 1e-9 if n else 0
+    return {
+        "hits_le_queries": hits <= n,
+        "mrr_bounded_by_hit_count": (lo <= r["mrr_at_10"] <= hi),
+    }
+
+
+def _extra_chunk_ratio(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            ("dup_chunks_le_chunks", F.col("n_dup_chunks") > F.col("n_chunks")),
+            (
+                "zero_dups_zero_fraction",
+                (F.col("n_dup_chunks") == 0) & (F.col("dup_token_fraction") != 0),
+            ),
+        ],
+    )
+
+
+def _extra_datacard(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    inv = _viol(
+        sdf,
+        [
+            ("p50_le_p90", F.col("p50_tokens") > F.col("p90_tokens")),
+            (
+                "avg_tokens_recomputed",
+                F.abs(
+                    F.col("avg_tokens")
+                    - F.col("total_tokens") / F.col("n_docs")
+                )
+                > 0.001,
+            ),
+        ],
+    )
+    n_docs = _base_count(spark, sf_dir, "documents")
+    # per-source rows partition the corpus; the __all__ row restates it
+    inv["docs_conserved"] = (
+        _scalar(
+            sdf.filter(F.col("source") != "__all__"), F.sum("n_docs")
+        )
+        == n_docs
+    )
+    inv["all_row_is_corpus_total"] = (
+        _scalar(
+            sdf.filter(F.col("source") == "__all__"), F.sum("n_docs")
+        )
+        == n_docs
+    )
+    return inv
+
+
+def _extra_conserved(sum_col, table, where_sql=None):
+    """sum(result.sum_col) == count of the base table — conservation."""
+
+    def fn(spark, sf_dir, sdf):
+        from pyspark.sql import functions as F
+
+        got = _scalar(sdf, F.sum(sum_col))
+        want = _base_count(
+            spark, sf_dir, table, F.expr(where_sql) if where_sql else None
+        )
+        return {f"{sum_col}_conserves_{table}": got == want}
+
+    return fn
+
+
+def _extra_weight_sums(cols, tol=1e-3):
+    """Normalized weight columns sum to 1."""
+
+    def fn(spark, sf_dir, sdf):
+        from pyspark.sql import functions as F
+
+        row = sdf.agg(
+            *[F.sum(c).alias(c) for c in cols]
+        ).collect()[0]
+        return {
+            f"{c}_sums_to_1": row[c] is not None and abs(row[c] - 1.0) < tol
+            for c in cols
+        }
+
+    return fn
+
+
+def _extra_next_event(spark, sf_dir, sdf):
+    """Per from_type, transition probabilities sum to 1."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        sdf.groupBy("from_type")
+        .agg(F.sum("transition_p").alias("s"))
+        .filter(F.abs(F.col("s") - 1.0) > 1e-3)
+        .limit(1)
+        .count()
+    )
+    return {"transition_p_sums_to_1_per_from_type": bad == 0}
+
+
+def _extra_loo_encoding(spark, sf_dir, sdf):
+    """Leave-one-out mean recomputed from the RESULT's own rows:
+    loo = (segment_sum - own_acctbal) / (segment_n - 1)."""
+    from pyspark.sql import functions as F
+
+    seg = sdf.groupBy("c_mktsegment").agg(
+        F.sum("c_acctbal").alias("__s"), F.count("*").alias("__n")
+    )
+    j = sdf.join(F.broadcast(seg), "c_mktsegment")
+    expect = (F.col("__s") - F.col("c_acctbal")) / (F.col("__n") - 1)
+    return _viol(
+        j,
+        [
+            (
+                "loo_mean_recomputed",
+                F.abs(F.col("segment_loo_mean") - expect) > 1e-4,
+            )
+        ],
+    )
+
+
+def _extra_epoch_upsample(spark, sf_dir, sdf):
+    """repeat_idx is 1..n per doc (the LATERAL range contract)."""
+    return {
+        "repeat_idx_contiguous_per_doc": _rank_contig(
+            sdf, ["doc_id"], "repeat_idx"
+        )
+    }
+
+
+def _extra_quantize(spark, sf_dir, sdf):
+    """Reconstruction error bound of round-to-nearest int8: max_abs_err
+    <= scale/254 (the docstring's own contract)."""
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            (
+                "reconstruction_error_bound",
+                F.col("max_abs_err") > F.col("scale") / 254.0 + 1e-6,
+            ),
+            ("scale_positive", F.col("scale") <= 0),
+        ],
+    )
+
+
+def _extra_outlier_docs(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [("outliers_exceed_p95", F.col("d2") < F.col("p95_d2"))],
+    )
+
+
+def _extra_whitening(spark, sf_dir, sdf):
+    """The output slice is vec_id<10 but mu/sigma come from the FULL
+    table — recompute them via the algebraically different
+    sqrt(E[v²]-E[v]²) form and verify every emitted z."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    flat = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "valf"))
+        .select(
+            (F.col("pos") + 1).alias("dim"),
+            F.col("valf").cast("double").alias("val"),
+        )
+    )
+    stats = flat.groupBy("dim").agg(
+        F.avg("val").alias("__mu"),
+        F.sqrt(F.avg(F.col("val") * F.col("val")) - F.avg("val") ** 2).alias(
+            "__sigma"
+        ),
+    )
+    vals = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "valf"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("valf").cast("double").alias("__val"),
+        )
+    )
+    j = (
+        sdf.join(vals, ["vec_id", "dim"])
+        .join(F.broadcast(stats), "dim")
+    )
+    bad = (
+        j.filter(
+            F.abs(
+                F.col("z")
+                - (F.col("__val") - F.col("__mu")) / F.col("__sigma")
+            )
+            > 1e-3
+        )
+        .limit(1)
+        .count()
+    )
+    return {"z_recomputed_from_corpus_stats": bad == 0}
+
+
+def _extra_component_stats(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            (
+                "min_le_mean_le_max",
+                (F.col("min_comp") > F.col("mean_comp") + 1e-9)
+                | (F.col("mean_comp") > F.col("max_comp") + 1e-9),
+            ),
+            ("n_positive_le_dim", F.col("n_positive") > F.col("dim")),
+        ],
+    )
+
+
+def _extra_mutual_nn_recall(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    rows = {r["probes"]: r for r in sdf.collect()}
+    ok_alg = all(
+        r["n_captured"] <= min(r["n_exact_pairs"], r["n_ivf_pairs"])
+        and (
+            r["n_exact_pairs"] == 0
+            or abs(r["recall"] - round(r["n_captured"] / r["n_exact_pairs"], 4))
+            < 1e-9
+        )
+        and (
+            r["n_ivf_pairs"] == 0
+            or abs(
+                r["precision_"] - round(r["n_captured"] / r["n_ivf_pairs"], 4)
+            )
+            < 1e-9
+        )
+        for r in rows.values()
+    )
+    mono = (
+        1 not in rows
+        or 3 not in rows
+        or rows[3]["recall"] >= rows[1]["recall"] - 1e-9
+    )
+    return {
+        "recall_precision_recomputed": ok_alg,
+        "recall_monotone_in_probes": mono,
+    }
+
+
+def _extra_ivf_recall(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            ("hits_le_10", F.col("ivf_hits") > 10),
+            (
+                "recall_eq_hits_over_10",
+                F.abs(F.col("recall_at_10") - F.col("ivf_hits") / 10.0) > 1e-9,
+            ),
+        ],
+    )
+
+
+def _extra_doc_meta_match(cols):
+    """Result rows carry (doc_id, meta...) copied from documents — a
+    sampled-bucket join must agree on every meta column exactly."""
+
+    def fn(spark, sf_dir, sdf):
+        from covid19_etl_pipeline_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)) == 7
+        res = sdf.filter(bucket).select("doc_id", *cols)
+        base = (
+            load_table(spark, sf_dir, "documents")
+            .filter(bucket)
+            .select(
+                "doc_id", *[F.col(c).alias(f"__b_{c}") for c in cols]
+            )
+        )
+        j = res.join(base, "doc_id", "left")
+        cond = F.col(f"__b_{cols[0]}").isNull()
+        for c in cols:
+            cond = cond | (F.col(c) != F.col(f"__b_{c}"))
+        bad = j.filter(cond).limit(1).count()
+        return {"doc_meta_matches_documents_sampled_bucket": bad == 0}
+
+    return fn
+
+
+def _extra_quantile_norm(spark, sf_dir, sdf):
+    """The pooled quantile map is monotone: sorting by source_pct can
+    never decrease normalized_score (one global-ordered window over
+    the check only, not the query)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy("source_pct")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bad = (
+        sdf.select("source_pct", "normalized_score")
+        .withColumn("__mx", F.max("normalized_score").over(w))
+        .filter(
+            F.col("__mx").isNotNull()
+            & (F.col("normalized_score") < F.col("__mx"))
+        )
+        .limit(1)
+        .count()
+    )
+    return {"quantile_map_monotone": bad == 0}
+
+
+def _extra_pack_sequences(spark, sf_dir, sdf):
+    """Token conservation: the packed bins hold exactly the corpus's
+    whitespace tokens (recomputed in one scan)."""
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = _scalar(sdf, F.sum("total_tokens"))
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    return {
+        "tokens_conserved": got == want,
+        "bins_nonempty": _scalar(
+            sdf, F.sum(F.when(F.col("n_docs") < 1, 1).otherwise(0))
+        )
+        == 0,
+    }
+
+
+def _extra_curriculum(spark, sf_dir, sdf):
+    """curriculum_rank is a global permutation 1..n."""
+    from pyspark.sql import functions as F
+
+    row = sdf.agg(
+        F.min("curriculum_rank").alias("mn"),
+        F.max("curriculum_rank").alias("mx"),
+        F.count("*").alias("n"),
+        F.countDistinct("curriculum_rank").alias("nd"),
+    ).collect()[0]
+    return {
+        "rank_is_global_permutation": row["mn"] == 1
+        and row["mx"] == row["n"]
+        and row["nd"] == row["n"]
+    }
+
+
+def _extra_kmeans(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    inv = _viol(
+        sdf,
+        [
+            ("inertia_nonneg", F.col("inertia") < 0),
+            (
+                "centroid_norm_le_1",
+                F.col("centroid_norm") > 1 + 1e-6,
+            ),
+        ],
+    )
+    inv["members_conserve_embeddings"] = _scalar(
+        sdf, F.sum("n_members")
+    ) == _base_count(spark, sf_dir, "embeddings")
+    return inv
+
+
+def _extra_cluster_separation(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return {
+        "vecs_conserve_embeddings": _scalar(sdf, F.sum("n_vecs"))
+        == _base_count(spark, sf_dir, "embeddings")
+    }
+
+
+def _extra_rank_only(part_cols, rank_col):
+    def fn(spark, sf_dir, sdf):
+        return {
+            f"{rank_col}_contiguous": _rank_contig(sdf, part_cols, rank_col)
+        }
+
+    return fn
+
+
+def _extra_exact_dedup_conserve(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    inv = {"copies_conserve_documents": _scalar(
+        sdf, F.sum("n_copies")
+    ) == _base_count(spark, sf_dir, "documents")}
+    inv.update(_viol(sdf, [("n_copies_ge_1", F.col("n_copies") < 1)]))
+    return inv
+
+
+def _extra_cdc_chunks(spark, sf_dir, sdf):
+    return {
+        "chunk_id_contiguous_per_doc": _rank_contig(
+            sdf, ["doc_id"], "chunk_id", base=0
+        )
+    }
+
+
+def _extra_splits(count_col, table, domain=None, split_col="split"):
+    def fn(spark, sf_dir, sdf):
+        from pyspark.sql import functions as F
+
+        inv = {
+            f"{count_col}_conserves_{table}": _scalar(sdf, F.sum(count_col))
+            == _base_count(spark, sf_dir, table)
+        }
+        if domain:
+            inv["split_domain_valid"] = (
+                sdf.filter(~F.col(split_col).isin(*domain)).limit(1).count()
+                == 0
+            )
+        return inv
+
+    return fn
+
+
+def _extra_random_projection(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    row = sdf.agg(
+        F.countDistinct(F.size("projection")).alias("nd"),
+        F.avg("norm_ratio").alias("avg_r"),
+        F.sum(
+            F.when(
+                (F.col("norm_ratio") <= 0) | (F.col("norm_ratio") > 10), 1
+            ).otherwise(0)
+        ).alias("v"),
+    ).collect()[0]
+    return {
+        "projection_width_constant": row["nd"] == 1,
+        # per-vector JL variance is huge at small k; the MEAN ratio is
+        # the isometry-in-expectation contract
+        "mean_norm_ratio_near_1": row["avg_r"] is not None
+        and abs(row["avg_r"] - 1.0) < 0.15,
+        "norm_ratio_positive_bounded": (row["v"] or 0) == 0,
+    }
+
+
+def _extra_truncation(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    inv = _viol(
+        sdf,
+        [("over_limit_le_docs", F.col("n_over_limit") > F.col("n_docs"))],
+    )
+    inv["docs_conserved"] = _scalar(sdf, F.sum("n_docs")) == _base_count(
+        spark, sf_dir, "documents"
+    )
+    return inv
+
+
+def _extra_incremental_embedding(spark, sf_dir, sdf):
+    from pyspark.sql import functions as F
+
+    return _viol(
+        sdf,
+        [
+            ("only_new_vectors_scored", F.col("vec_id") % 5 != 0),
+            (
+                "status_domain",
+                ~F.col("status").isin("kept", "dropped", "dup", "near_dup"),
+            ),
+        ],
+    )
+
+
+def _merge_extras(*fns):
+    def fn(spark, sf_dir, sdf):
+        out = {}
+        for f in fns:
+            out.update(f(spark, sf_dir, sdf))
+        return out
+
+    return fn
+
+
 #: bespoke spark-only invariants, keyed by registry query name —
 #: run IN ADDITION to the schema-driven generic pass
 SPARK_ONLY_EXTRA = {
@@ -1223,4 +2266,81 @@ SPARK_ONLY_EXTRA = {
     "leakage_safe_split": _extra_leakage_split,
     "incremental_corpus_dedup": _extra_incremental,
     "fuzzy_part_duplicates": _extra_fuzzy_parts,
+    # --- r10 battery: algebra / conservation / contiguity /
+    #     pure-Python sampled recompute per entry ---
+    "corpus_duplicate_ngrams": _extra_corpus_dup_ngrams,
+    "cross_source_dup_flow": _extra_dup_flow,
+    "dup_cluster_size_distribution": _extra_cluster_size_dist,
+    "neardup_threshold_sweep": _extra_threshold_sweep,
+    "fellegi_sunter_part_linkage": _extra_fellegi_sunter,
+    "minhash_estimate_accuracy": _extra_minhash_accuracy,
+    "pq_adc_topk": _extra_topk_group(
+        ["query_id"], "rank", "adc_dist2", descending=False
+    ),
+    "hybrid_retrieval_rrf": _extra_topk_group(
+        ["query_id"], "rank", "rrf_score", descending=True
+    ),
+    "embedding_pca_top_component": _extra_pca_component,
+    "dsir_importance_weights": _extra_dsir,
+    "recsys_negative_samples": _extra_recsys_negatives,
+    "maximal_repeated_substrings": _extra_repeated_substrings,
+    "ann_label_mrr": _extra_ann_label_mrr,
+    "chunk_dedup_ratio": _extra_chunk_ratio,
+    "corpus_datacard": _extra_datacard,
+    "source_mixture_weights": _merge_extras(
+        _extra_weight_sums(["mixture_weight"], tol=1e-4),
+        _extra_conserved("n_docs", "documents"),
+    ),
+    "doremi_domain_weights": _extra_weight_sums(
+        ["base_weight", "updated_weight"], tol=1e-3
+    ),
+    "next_event_training_pairs": _extra_next_event,
+    "loo_target_encoding": _extra_loo_encoding,
+    "epoch_upsample_documents": _extra_epoch_upsample,
+    "quantize_embeddings_int8": _extra_quantize,
+    "embedding_outlier_docs": _extra_outlier_docs,
+    "embedding_dimension_whitening": _extra_whitening,
+    "embedding_component_stats": _extra_component_stats,
+    "mutual_nn_ivf_recall": _extra_mutual_nn_recall,
+    "ivf_multiprobe_recall": _extra_ivf_recall,
+    "quantile_normalize_scores": _extra_quantile_norm,
+    "pack_training_sequences": _extra_pack_sequences,
+    "curriculum_order_documents": _extra_curriculum,
+    "kmeans_refined_centroids": _extra_kmeans,
+    "embedding_cluster_separation": _extra_cluster_separation,
+    "exact_dedup": _extra_exact_dedup_conserve,
+    "cdc_chunk_documents": _extra_cdc_chunks,
+    "hash_split_documents": _extra_splits(
+        "n_docs", "documents", domain=("train", "val", "test")
+    ),
+    "temporal_split_events": _extra_splits(
+        "n_events", "events", domain=("train", "val", "test")
+    ),
+    "truncation_audit": _extra_truncation,
+    "random_projection_embeddings": _extra_random_projection,
+    "incremental_embedding_dedup": _extra_incremental_embedding,
+    "sample_k_per_group": _extra_rank_only(["lang"], "rk"),
+    "cluster_balanced_sample": _extra_rank_only(["cluster_id"], "rk"),
+    "weighted_sample_documents": _extra_rank_only([], "rk"),
+    "stratified_sample_documents": _extra_doc_meta_match(
+        ["lang", "source"]
+    ),
+    "temperature_mix_sources": _extra_doc_meta_match(["source"]),
+    "source_calibrated_quality": _extra_doc_meta_match(
+        ["source", "n_chars"]
+    ),
+    "minhash_signatures": _extra_py_recompute(
+        _py_minhash4, ["mh0", "mh1", "mh2", "mh3"], "python_recompute_sampled"
+    ),
+    "simhash_signatures": _extra_py_recompute(
+        lambda t: (_py_simhash32(t),), ["simhash"], "python_recompute_sampled"
+    ),
+    "doc_fingerprint": _extra_py_recompute(
+        lambda t: (_py_fingerprint(t),), ["fp"], "python_recompute_sampled"
+    ),
+    "winnowing_fingerprints": _extra_py_recompute(
+        _py_winnow,
+        ["n_fingerprints", "min_fp", "max_fp"],
+        "python_recompute_sampled",
+    ),
 }

@@ -176,6 +176,81 @@ def _sharded(args) -> int:
                 pass
     # registry order, not shard order, so artifact diffs are stable
     results = {n: results[n] for n in names if n in results}
+
+    # Contention retry (VERDICT r09 #3): a budget trip under N-shard
+    # contention measures the SHARD's 1/N CPU share, not the query —
+    # r08/r09 recorded those as over_budget and needed a companion
+    # "solo" artifact to read as green. Fold the retry in: re-run the
+    # tripped queries sequentially in ONE full-width child (the
+    # original environment, no SPARK_GRAFT_CPUS split) under the same
+    # budget, and record both attempts — the artifact is then
+    # self-contained: over_budget means over budget WITH the whole
+    # machine, not under a 4-way split.
+    if args.retry_solo:
+        tripped = [
+            n
+            for n, r in results.items()
+            if (r.get("err") or "").startswith(
+                ("budget_exceeded", "harness_interrupt", "oracle_oom")
+            )
+        ]
+        if tripped:
+            print(
+                f"\nretrying {len(tripped)} budget/harness casualties "
+                f"solo (full CPU width): {', '.join(tripped)}",
+                flush=True,
+            )
+            fd, solo_out = tempfile.mkstemp(
+                prefix="sweep_solo_", suffix=".json"
+            )
+            os.close(fd)
+            solo = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--sf",
+                    args.sf,
+                    "--only",
+                    ",".join(tripped),
+                    "--out",
+                    solo_out,
+                    "--budget",
+                    str(args.budget),
+                    "--max-hash-rows",
+                    str(args.max_hash_rows),
+                    "--restart-every",
+                    str(args.restart_every),
+                ]
+                + (["--spark-only"] if args.spark_only else [])
+                + (["--tiered"] if args.tiered else []),
+                env=dict(os.environ),  # full width: no shard CPU split
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            tail = (
+                solo.stdout.strip().splitlines()[-1]
+                if solo.stdout.strip()
+                else ""
+            )
+            print(f"[solo-retry] rc={solo.returncode}: {tail}")
+            try:
+                with open(solo_out) as fh:
+                    solo_results = json.load(fh)
+            except (FileNotFoundError, json.JSONDecodeError):
+                solo_results = {}
+            finally:
+                try:
+                    os.unlink(solo_out)
+                except OSError:
+                    pass
+            for n, rec in solo_results.items():
+                rec["contention_retry"] = True
+                rec["sharded_attempt"] = {
+                    "err": results[n].get("err"),
+                    "sec": results[n].get("sec"),
+                }
+                results[n] = rec
     over_budget = [
         n
         for n, r in results.items()
@@ -231,6 +306,9 @@ def _sharded(args) -> int:
             n for n, r in results.items() if r.get("rows_only")
         ],
         "tiered": [n for n, r in results.items() if r.get("tiered")],
+        "contention_retry": [
+            n for n, r in results.items() if r.get("contention_retry")
+        ],
         "missing": missing,
         "results": results,
     }
@@ -304,6 +382,15 @@ def main(argv=None) -> int:
         "×100 corpus: quadratic SQL forms that exist for small-sf "
         "correctness). Records spark_rows + wall per query; the "
         "artifact says explicitly that no value comparison happened.",
+    )
+    p.add_argument(
+        "--retry-solo",
+        action="store_true",
+        help="sharded runs only: re-run budget-tripped queries "
+        "sequentially at full CPU width and fold both attempts into "
+        "the ONE artifact (contention_retry per entry) — over_budget "
+        "then means over budget with the whole machine, and the "
+        "artifact reads green standalone",
     )
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -483,12 +570,16 @@ def main(argv=None) -> int:
                     spark_only_invariants,
                 )
 
-                n, inv = spark_only_invariants(sdf)
+                n, inv, inv_notes = spark_only_invariants(sdf)
                 if name in SPARK_ONLY_EXTRA:
                     inv.update(SPARK_ONLY_EXTRA[name](spark, args.sf, sdf))
                 rec["spark_rows"] = n
                 rec["spark_only"] = True
                 rec["invariants"] = inv
+                if inv_notes:
+                    # the full-width canonical hash (forces every
+                    # column to materialize — no count-pruned plans)
+                    rec.update(inv_notes)
                 rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
                 ok = all(inv.values())
                 if not ok:
