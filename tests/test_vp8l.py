@@ -190,6 +190,115 @@ def test_color_cache_stream():
     assert list(out[0, 0]) == [7, 200, 3, 255]
 
 
+def test_composite_stream_all_features():
+    """One hand-built 8x2 stream combining EVERY decoder feature the
+    per-feature tests exercise separately: subtract-green transform,
+    a 16-slot color cache SHARED across meta prefix groups, a 2-group
+    meta entropy image (4-pixel tiles), and LZ77 copies in both
+    groups. No reference encoder ships in this container, so the
+    fixture is assembled from the module's serialization primitives
+    with the expected pixels derived by hand from the spec semantics
+    — the composition coverage a single-feature stream can't give."""
+    CB = 4  # cache bits
+
+    def argb(a, r, g, b):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    # stored (entropy-level) pixels; final r/b get +g (subtract green)
+    p0, p1, p2 = (255, 10, 20, 30), (255, 40, 50, 60), (255, 5, 6, 7)
+    p4, p5, p6 = (255, 1, 2, 3), (255, 70, 80, 90), (255, 9, 8, 7)
+    idx = {
+        k: vp8l._cache_index(argb(*v), CB)
+        for k, v in dict(p0=p0, p1=p1, p2=p2, p4=p4, p5=p5, p6=p6).items()
+    }
+    # fixture preconditions: the two cache hits must still hold their
+    # pixel when consumed (nothing with the same slot inserted since)
+    assert idx["p1"] not in (idx["p0"], idx["p2"], idx["p5"], idx["p4"])
+    assert idx["p5"] not in (idx["p4"],)
+    cs = lambda p: 256 + vp8l.NUM_LENGTH_CODES + idx[p]  # noqa: E731
+
+    bw = vp8l.BitWriter()
+    _header(bw, 8, 2)
+    bw.write(1, 1)
+    bw.write(2, 2)  # subtract-green transform
+    bw.write(0, 1)  # no more transforms
+    bw.write(1, 1)
+    bw.write(CB, 4)  # color cache
+    bw.write(1, 1)
+    bw.write(0, 3)  # meta prefix, sb=2 -> 2x1 tile grid
+    # meta entropy sub-image (2x1): group index in red<<8 | green
+    bw.write(0, 1)  # meta image: no cache
+    mg = vp8l._write_prefix_code(bw, {0: 1, 1: 1}, 256 + vp8l.NUM_LENGTH_CODES)
+    for _ in range(3):
+        vp8l._write_prefix_code(bw, {0: 1}, 256)
+    vp8l._write_prefix_code(bw, {}, vp8l.NUM_DISTANCE_CODES)
+    for tile_group in (0, 1):  # tile x<4 -> group 0, x>=4 -> group 1
+        code, ln = mg[tile_group]
+        vp8l._write_code_msb(bw, code, ln)
+    # two prefix-code groups over green_alpha = 256 + 24 + 16
+    galpha = 256 + vp8l.NUM_LENGTH_CODES + (1 << CB)
+    g0 = [
+        vp8l._write_prefix_code(
+            bw, {20: 1, 50: 1, 6: 1, 2: 1, cs("p0"): 1, cs("p1"): 1, 257: 1}, galpha
+        ),
+        vp8l._write_prefix_code(bw, {10: 1, 40: 1, 5: 1, 1: 1}, 256),
+        vp8l._write_prefix_code(bw, {30: 1, 60: 1, 7: 1, 3: 1}, 256),
+        vp8l._write_prefix_code(bw, {255: 1}, 256),
+        vp8l._write_prefix_code(bw, {1: 1}, vp8l.NUM_DISTANCE_CODES),
+    ]
+    g1 = [
+        vp8l._write_prefix_code(
+            bw, {80: 1, 8: 1, cs("p5"): 1, 257: 1, 258: 1}, galpha
+        ),
+        vp8l._write_prefix_code(bw, {70: 1, 9: 1}, 256),
+        vp8l._write_prefix_code(bw, {90: 1, 7: 1}, 256),
+        vp8l._write_prefix_code(bw, {255: 1}, 256),
+        vp8l._write_prefix_code(bw, {1: 1}, vp8l.NUM_DISTANCE_CODES),
+    ]
+
+    def lit(g, p):
+        a, r, gg, b = p
+        for codes, sym in ((g[0], gg), (g[1], r), (g[2], b), (g[3], a)):
+            code, ln = codes[sym]
+            vp8l._write_code_msb(bw, code, ln)
+
+    def sym(codes, s):
+        code, ln = codes[s]
+        vp8l._write_code_msb(bw, code, ln)
+
+    # raster emission; pos 0..15 (y*8 + x); group by x>>2
+    lit(g0, p0)  # 0
+    lit(g0, p1)  # 1
+    sym(g0[0], cs("p0"))  # 2: cache hit -> p0
+    lit(g0, p2)  # 3
+    lit(g1, p5)  # 4
+    sym(g1[0], 258)  # 5-7: length 3 ...
+    sym(g1[4], 1)  # ... distance 1 -> p5, p5, p5
+    sym(g0[0], cs("p1"))  # 8: cache hit -> p1
+    lit(g0, p4)  # 9
+    sym(g0[0], 257)  # 10-11: length 2 ...
+    sym(g0[4], 1)  # ... distance 1 -> p4, p4
+    sym(g1[0], cs("p5"))  # 12: cache hit -> p5
+    lit(g1, p6)  # 13
+    sym(g1[0], 257)  # 14-15: length 2 ...
+    sym(g1[4], 1)  # ... distance 1 -> p6, p6
+
+    w, h, out = vp8l.decode_webp(_riff(bw.getvalue()))
+    assert (w, h) == (8, 2)
+    stored = [
+        p0, p1, p0, p2, p5, p5, p5, p5,
+        p1, p4, p4, p4, p5, p6, p6, p6,
+    ]
+    expect = np.array(
+        [
+            [(r + g) & 255, g, (b + g) & 255, a]
+            for (a, r, g, b) in stored
+        ],
+        dtype=np.uint8,
+    ).reshape(2, 8, 4)
+    assert np.array_equal(out, expect)
+
+
 def _reference_predict(mode, L, T, TL, TR):
     """Straightforward per-spec reference, independent arithmetic."""
     import math  # noqa: F401
