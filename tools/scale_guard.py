@@ -54,6 +54,59 @@ def main() -> int:
     )
     args = p.parse_args()
 
+    import subprocess
+
+    # guard 2 FIRST, before the parent session exists: the §13
+    # broadcast-GEMM pair kernel at the ×10 fixture. COLD first (r08
+    # verdict #6): the §13c claim this guard protects — session-level
+    # BLAS pinning halving the kernel wall — is about a COLD session's
+    # first run; warm in-session repeats stay fast even if the pinning
+    # silently unwinds (threads already spawned, pages warm).
+    # Cold AND warm both come from the fresh subprocess: measuring the
+    # warm repeats in THIS session (after two 200k-vector semdedup
+    # passes) inflated them 3-10x from accumulated JVM heap debris —
+    # the same cross-query contamination the sweep's --restart-every
+    # exists for. In a clean session the warm wall is stable (r10:
+    # 2.0-3.5 s over five repeats); measured here it ranged 5.9-21.7 s
+    # run to run. A guard that smears its own metric with another
+    # workload's garbage can only cry wolf.
+    cold_script = (
+        "import time, sys; "
+        "sys.path.insert(0, '.'); "
+        "from covid19_etl_pipeline_spark.session import get_spark; "
+        "from covid19_etl_pipeline_spark.plans.queries import REGISTRY; "
+        "spark = get_spark(app_name='scale-guard-cold'); "
+        f"df = REGISTRY['embedding_neardup_pairs'].fn(spark, {args.sf10!r}); "
+        "t0 = time.perf_counter(); "
+        "df.write.format('noop').mode('overwrite').save(); "
+        "print('COLD_WALL', round(time.perf_counter() - t0, 1)); "
+        f"walls = []\n"
+        f"for _ in range({args.runs + 1}):\n"
+        f"    df = REGISTRY['embedding_neardup_pairs'].fn(spark, {args.sf10!r})\n"
+        f"    t0 = time.perf_counter()\n"
+        f"    df.write.format('noop').mode('overwrite').save()\n"
+        f"    walls.append(round(time.perf_counter() - t0, 1))\n"
+        f"    print('WARM_WALL', walls[-1])\n"
+        "spark.stop()"
+    )
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", cold_script],
+        capture_output=True,
+        text=True,
+        cwd=repo_dir,
+    )
+    gemm_cold = None
+    gemm_walls = []
+    for ln in out.stdout.splitlines():
+        if ln.startswith("COLD_WALL"):
+            gemm_cold = float(ln.split()[1])
+        elif ln.startswith("WARM_WALL"):
+            gemm_walls.append(float(ln.split()[1]))
+    print(
+        f"# gemm cold run: {gemm_cold}s, warm: {gemm_walls}", file=sys.stderr
+    )
+
     from covid19_etl_pipeline_spark.operators.similarity import (
         semdedup_survivors,
     )
@@ -78,51 +131,6 @@ def main() -> int:
         walls.append(round(time.perf_counter() - t0, 1))
         print(f"# run: {walls[-1]}s", file=sys.stderr)
 
-    # guard 2: the §13 broadcast-GEMM pair kernel at the ×10 fixture.
-    # COLD first (r08 verdict #6): the §13c claim this guard protects —
-    # session-level BLAS pinning halving the kernel wall — is about a
-    # COLD session's first run; warm in-session repeats stay fast even
-    # if the pinning silently unwinds (threads already spawned, pages
-    # warm). The cold number comes from a SUBPROCESS with its own fresh
-    # session, timing only the query materialization.
-    import subprocess
-
-    cold_script = (
-        "import time, sys; "
-        "sys.path.insert(0, '.'); "
-        "from covid19_etl_pipeline_spark.session import get_spark; "
-        "from covid19_etl_pipeline_spark.plans.queries import REGISTRY; "
-        "spark = get_spark(app_name='scale-guard-cold'); "
-        f"df = REGISTRY['embedding_neardup_pairs'].fn(spark, {args.sf10!r}); "
-        "t0 = time.perf_counter(); "
-        "df.write.format('noop').mode('overwrite').save(); "
-        "print('COLD_WALL', round(time.perf_counter() - t0, 1)); "
-        "spark.stop()"
-    )
-    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
-        [sys.executable, "-c", cold_script],
-        capture_output=True,
-        text=True,
-        cwd=repo_dir,
-    )
-    gemm_cold = None
-    for ln in out.stdout.splitlines():
-        if ln.startswith("COLD_WALL"):
-            gemm_cold = float(ln.split()[1])
-    print(f"# gemm cold run: {gemm_cold}s", file=sys.stderr)
-
-    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
-
-    gemm_walls = []
-    for _ in range(args.runs):
-        t0 = time.perf_counter()
-        REGISTRY["embedding_neardup_pairs"].fn(spark, args.sf10).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        gemm_walls.append(round(time.perf_counter() - t0, 1))
-        print(f"# gemm warm run: {gemm_walls[-1]}s", file=sys.stderr)
-
     rec = {
         "metric": "semdedup_two_level_wall",
         "sf_dir": args.sf,
@@ -139,7 +147,7 @@ def main() -> int:
             # in this already-hot session (r08 verdict #6: recording
             # only warm hid the claim under guard)
             "wall_sec_cold": gemm_cold,
-            "wall_sec_warm_min": min(gemm_walls),
+            "wall_sec_warm_min": min(gemm_walls) if gemm_walls else None,
             "wall_sec_warm_all": gemm_walls,
         },
     }
