@@ -147,3 +147,77 @@ def test_tiered_pair_check_catches_planted_pair(spark, duck_small, sf_dir):
         assert res["checks"]["pairs_sound"] is False
     finally:
         ctx.cleanup()
+
+
+def test_python_recompute_extras_match_engine(spark, sf_dir):
+    """The pure-Python md5/tokenization twins (minhash, simhash,
+    winnowing, fingerprint) agree with the Spark operators on the
+    sampled bucket — and a planted wrong row flips the verdict."""
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+    from tools.scale_checks import SPARK_ONLY_EXTRA
+
+    for name in (
+        "minhash_signatures",
+        "simhash_signatures",
+        "doc_fingerprint",
+        "winnowing_fingerprints",
+    ):
+        sdf = REGISTRY[name].fn(spark, sf_dir)
+        inv = SPARK_ONLY_EXTRA[name](spark, sf_dir, sdf)
+        assert inv == {"python_recompute_sampled": True}, name
+    # planted defect: shift every fingerprint -> recompute must fail
+    bad = (
+        REGISTRY["doc_fingerprint"]
+        .fn(spark, sf_dir)
+        .withColumn("fp", F.concat(F.lit("x"), F.col("fp")))
+    )
+    inv = SPARK_ONLY_EXTRA["doc_fingerprint"](spark, sf_dir, bad)
+    assert inv == {"python_recompute_sampled": False}
+
+
+def test_algebra_extras_catch_planted_defects(spark, sf_dir):
+    """Value-bearing extras must FAIL on doctored results — a checker
+    that cannot fail is not a check."""
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+    from tools.scale_checks import SPARK_ONLY_EXTRA
+
+    # dup_cluster_size_distribution: break the members identity
+    good = REGISTRY["dup_cluster_size_distribution"].fn(spark, sf_dir)
+    assert all(
+        SPARK_ONLY_EXTRA["dup_cluster_size_distribution"](
+            spark, sf_dir, good
+        ).values()
+    )
+    bad = good.withColumn("n_members", F.col("n_members") + 1)
+    res = SPARK_ONLY_EXTRA["dup_cluster_size_distribution"](
+        spark, sf_dir, bad
+    )
+    assert res["members_eq_size_times_clusters"] is False
+    # neardup_threshold_sweep: break monotonicity
+    good = REGISTRY["neardup_threshold_sweep"].fn(spark, sf_dir)
+    assert all(
+        SPARK_ONLY_EXTRA["neardup_threshold_sweep"](
+            spark, sf_dir, good
+        ).values()
+    )
+    bad = good.withColumn(
+        "n_pairs",
+        F.when(F.col("threshold") > 0.7, F.lit(10**12)).otherwise(
+            F.col("n_pairs")
+        ),
+    )
+    res = SPARK_ONLY_EXTRA["neardup_threshold_sweep"](spark, sf_dir, bad)
+    assert res["n_pairs_monotone_nonincreasing"] is False
+    # PCA: a wrong loading vector must fail the 3-iteration recompute
+    good = REGISTRY["embedding_pca_top_component"].fn(spark, sf_dir)
+    assert SPARK_ONLY_EXTRA["embedding_pca_top_component"](
+        spark, sf_dir, good
+    ) == {"loading_recomputed_3_iterations": True}
+    bad = good.withColumn("loading", F.col("loading") * -0.5 + 0.1)
+    assert SPARK_ONLY_EXTRA["embedding_pca_top_component"](
+        spark, sf_dir, bad
+    ) == {"loading_recomputed_3_iterations": False}
