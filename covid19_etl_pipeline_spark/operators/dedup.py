@@ -342,7 +342,14 @@ def prefix_filter_jaccard_pairs(
     )
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = (
-        ex.join(freq, "s")
+        # shuffle-hash hint: ex is the corpus-scale exploded shingle
+        # stream and freq its distinct-shingle rollup — both sit on a
+        # localCheckpoint lineage whose size Catalyst cannot estimate,
+        # and at the x100 fixture the static planner broadcast the
+        # 99M-row ex side into an 8g driver ("not enough memory to
+        # build and broadcast", racy under AQE re-plan timing). Same
+        # estimate-picked-broadcast class as the verify joins below.
+        ex.join(freq.hint("shuffle_hash"), "s")
         .select(F.col(id_col), "s", "sz", rk.alias("rk"), prefix_len.alias("plen"))
         .filter(F.col("rk") <= F.col("plen"))
         .select(id_col, "s", "sz", "rk")
@@ -360,7 +367,9 @@ def prefix_filter_jaccard_pairs(
     # distinct and the array-carrying verify join.
     alpha = F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
     candidates = (
-        a.join(b, on="s")
+        # shuffle-hash for the same reason: the b-side prefix stream is
+        # corpus-scale and estimate-blind post-window
+        a.join(b.hint("shuffle_hash"), on="s")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         # size filter (PPJoin length bound): t·|B| <= |A| <= |B|/t
         .filter(
@@ -453,14 +462,16 @@ def containment_pairs(
     rk = F.row_number().over(Window.partitionBy(id_col).orderBy("df_cnt", "s"))
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = (
-        ex.join(freq, "s")
+        # shuffle-hash: both sides corpus-scale and estimate-blind —
+        # same rationale as prefix_filter_jaccard_pairs' freq join
+        ex.join(freq.hint("shuffle_hash"), "s")
         .select(F.col(id_col), "s", "sz", rk.alias("rk"), plen.alias("plen"))
         .filter(F.col("rk") <= F.col("plen"))
         .select(F.col(id_col).alias("id_inner"), "s", F.col("sz").alias("sz_inner"))
     )
     full = ex.select(F.col(id_col).alias("id_outer"), "s", F.col("sz").alias("sz_outer"))
     candidates = (
-        prefix.join(full, on="s")
+        prefix.join(full.hint("shuffle_hash"), on="s")
         .filter(F.col("id_inner") != F.col("id_outer"))
         .filter(F.col("sz_outer") >= threshold * F.col("sz_inner"))
         .select("id_inner", "id_outer")

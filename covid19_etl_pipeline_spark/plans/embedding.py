@@ -1551,23 +1551,32 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: x / F.sqrt(similarity.dot(F.col("v"), F.col("v")))
         ).alias("uv"),
     )
-    new_u = unit.filter(F.col("pid") % 5 == 0)
-    old_u = unit.filter(F.col("pid") % 5 != 0)
-    vs_old = (
-        new_u.select(F.col("pid").alias("np"), "cid", F.col("uv").alias("nu"))
-        .join(old_u.select("cid", F.col("uv").alias("ou")), "cid")
-        .filter(similarity.dot(F.col("nu"), F.col("ou")) >= 0.35)
-        .select(F.col("np").alias("pid"))
+    # Both verdict scans (new-vs-old: ANY old neighbor drops; new-vs-
+    # new: only a LOWER-pid neighbor drops) are ONE min-id drop rule
+    # once old rows sort below every new row: map old pids to
+    # themselves and new pids to pid + OFFSET, and semdedup's grouped
+    # GEMM kernel computes exactly vs_old ∪ vs_new. The interpreted
+    # two-join form evaluated Σ|cell|² higher-order `aggregate` dots —
+    # fine at sf0.01, but at the ×100 fixture (8 cells × 25k members)
+    # it blew a 900 s budget the moment the r10 value-hash invariant
+    # stopped count() from pruning the dot products (the r08 semdedup
+    # lesson, §13d item 4, resurfacing here the same way).
+    _OFF = 1_000_000_000
+    scan = unit.select(
+        "cid",
+        F.when(F.col("pid") % 5 == 0, F.col("pid") + F.lit(_OFF))
+        .otherwise(F.col("pid"))
+        .alias("sid"),
+        "uv",
     )
-    n_a = new_u.select(F.col("pid").alias("np"), "cid", F.col("uv").alias("nu"))
-    n_b = new_u.select(F.col("pid").alias("mp"), "cid", F.col("uv").alias("mu"))
-    vs_new = (
-        n_a.join(n_b, "cid")
-        .filter(F.col("mp") < F.col("np"))
-        .filter(similarity.dot(F.col("nu"), F.col("mu")) >= 0.35)
-        .select(F.col("np").alias("pid"))
+    dropped = (
+        similarity.grouped_gemm_dropped_ids(
+            scan, 0.35, group_col="cid", id_col="sid", vec_col="uv"
+        )
+        .filter(F.col("sid") >= _OFF)
+        .select((F.col("sid") - _OFF).alias("pid"))
+        .distinct()
     )
-    dropped = vs_old.union(vs_new).distinct()
     return (
         assigned.filter(F.col("pid") % 5 == 0)
         .join(dropped.withColumn("__d", F.lit(1)), "pid", "left")

@@ -74,6 +74,11 @@ PANDAS_OK = {
     "semdedup_survivors",
     "semdedup_two_level_survivors",
     "embedding_curation_pipeline",
+    # same grouped-GEMM drop kernel, min-id rule over (old ∪ new) with
+    # old rows keyed below every new row — replaces the interpreted
+    # two-join verdict scan that blew the r10 ×100 budget once the
+    # value-hash invariant stopped count() from pruning it
+    "incremental_embedding_dedup",
 }
 
 #: BroadcastNestedLoopJoin accepted: 1-row scalar broadcasts

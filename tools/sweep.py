@@ -187,13 +187,16 @@ def _sharded(args) -> int:
     # self-contained: over_budget means over budget WITH the whole
     # machine, not under a 4-way split.
     if args.retry_solo:
+        # three retryable classes: budget/harness/oracle trips (the
+        # check did not complete), HARD errors (a shard-local OOM or
+        # broadcast build failure may be heap debris, not the query —
+        # a solo run disambiguates; if it fails alone it stays a
+        # failure), and MISSING entries (a dead shard JVM takes its
+        # remaining queries' records with it — r10 shard-4of4
+        # ConnectionRefused lost 39 entries)
         tripped = [
-            n
-            for n, r in results.items()
-            if (r.get("err") or "").startswith(
-                ("budget_exceeded", "harness_interrupt", "oracle_oom")
-            )
-        ]
+            n for n, r in results.items() if r.get("err")
+        ] + [n for n in names if n not in results]
         if tripped:
             print(
                 f"\nretrying {len(tripped)} budget/harness casualties "
@@ -246,11 +249,15 @@ def _sharded(args) -> int:
                     pass
             for n, rec in solo_results.items():
                 rec["contention_retry"] = True
-                rec["sharded_attempt"] = {
-                    "err": results[n].get("err"),
-                    "sec": results[n].get("sec"),
-                }
+                prev = results.get(n)
+                rec["sharded_attempt"] = (
+                    {"err": prev.get("err"), "sec": prev.get("sec")}
+                    if prev
+                    else {"err": "missing (shard died)", "sec": None}
+                )
                 results[n] = rec
+            # recovered-missing entries appended out of order
+            results = {n: results[n] for n in names if n in results}
     over_budget = [
         n
         for n, r in results.items()
