@@ -1514,18 +1514,27 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matched name pairs (vocabulary grain, tiny) back to the exploded
     # id table keeps the inherently output-sized pair set streaming
     # through shuffle partitions instead of materializing per row.
+    # Explicit-width keyed repartitions on the expansion inputs: the
+    # join INPUTS are id-grain (small bytes), so AQE coalesced the
+    # exchanges to ~3 partitions — and the EXPLOSION happens inside
+    # the join, leaving 4.5B output rows on 3 tasks (at ×100 the
+    # invariant hash pass measured it: near-serial). A user
+    # REPARTITION_BY_NUM on the join keys is reused as the join's own
+    # exchange (zero added shuffle) and AQE never shrinks it, so the
+    # fan-out streams through full width here AND on a real cluster.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions")) * 4
     xs = base.select(
         "noun",
         "p_brand",
         F.col("p_name").alias("na"),
         F.col("p_partkey").alias("x"),
-    )
+    ).repartition(width, "noun", "p_brand", "na")
     ys = base.select(
         "noun",
         "p_brand",
         F.col("p_name").alias("nb"),
         F.col("p_partkey").alias("y"),
-    )
+    ).repartition(width, "noun", "p_brand", "nb")
     expanded = (
         np.join(xs, ["noun", "p_brand", "na"])
         .join(ys, ["noun", "p_brand", "nb"])

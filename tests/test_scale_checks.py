@@ -58,7 +58,7 @@ def test_spark_only_invariants_pass_and_fail(spark):
         "vec_id_a long, vec_id_b long, cosine_sim double",
     )
     n, inv, notes = spark_only_invariants(ok_df)
-    assert notes.get("value_hash", "").isdigit()
+    assert notes.get("value_hash", "").lstrip("-").isdigit()
     assert n == 2 and all(inv.values())
     assert "pair_ordered_a_lt_b" in inv and "cosine_sim_in_cosine_range" in inv
     # planted violations flip exactly the right invariants

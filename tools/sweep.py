@@ -577,7 +577,7 @@ def main(argv=None) -> int:
                     spark_only_invariants,
                 )
 
-                n, inv, inv_notes = spark_only_invariants(sdf)
+                n, inv, inv_notes = spark_only_invariants(sdf, name=name)
                 if name in SPARK_ONLY_EXTRA:
                     inv.update(SPARK_ONLY_EXTRA[name](spark, args.sf, sdf))
                 rec["spark_rows"] = n
