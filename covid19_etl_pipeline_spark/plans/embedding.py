@@ -1562,9 +1562,25 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stopped count() from pruning the dot products (the r08 semdedup
     # lesson, §13d item 4, resurfacing here the same way).
     _OFF = 1_000_000_000
+    # the remap is only collision-free (and only keeps old-sorts-
+    # below-new) while every pid < _OFF — enforce it at execution
+    # time, folded into the sid expression so it costs one comparison
+    # per row instead of an extra pass, and can't be pruned because
+    # the output depends on it
+    _pid_ok = F.assert_true(
+        F.col("pid") < F.lit(_OFF),
+        F.concat(
+            F.lit(f"pid >= {_OFF} would collide with the new-row "),
+            F.lit("sid offset: pid="),
+            F.col("pid").cast("string"),
+        ),
+    )
     scan = unit.select(
         "cid",
-        F.when(F.col("pid") % 5 == 0, F.col("pid") + F.lit(_OFF))
+        F.when(
+            _pid_ok.isNull() & (F.col("pid") % 5 == 0),
+            F.col("pid") + F.lit(_OFF),
+        )
         .otherwise(F.col("pid"))
         .alias("sid"),
         "uv",

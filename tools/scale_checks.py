@@ -1103,9 +1103,31 @@ def spark_only_invariants(sdf, name=None) -> tuple[int, dict, dict]:
     # ~10x cheaper than concat-canonicalize-md5-conv: on the 4.52B-row
     # fuzzy pair frame the md5 form cost 1025s for the whole pass, the
     # xxhash64 form fits the same pass in the budget.
+    #
+    # Float columns are rounded to 9dp BEFORE hashing (the sweep's own
+    # _canon convention): a raw-double hash flips on 1-ulp
+    # partition-order summation jitter in unrounded columns, which
+    # would false-alarm a cross-round value diff (r10 ADVICE). Hashes
+    # recorded from r11 on are the comparison baseline; r10's raw
+    # hashes are not comparable for float-bearing queries.
+    from pyspark.sql import types as T
+
+    def _hashable(field, col):
+        if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
+            return F.round(col, 9)
+        if isinstance(field.dataType, T.ArrayType) and isinstance(
+            field.dataType.elementType, (T.DoubleType, T.FloatType)
+        ):
+            return F.transform(col, lambda x: F.round(x, 9))
+        return col
+
     hash_col = (
         F.coalesce(
-            F.sum(F.xxhash64(*sdf.columns).cast("decimal(20,0)")),
+            F.sum(
+                F.xxhash64(
+                    *[_hashable(f, F.col(f.name)) for f in sdf.schema.fields]
+                ).cast("decimal(20,0)")
+            ),
             F.lit(0).cast("decimal(20,0)"),
         ).alias("__hsum")
     )
@@ -1619,7 +1641,9 @@ def _extra_pca_component(spark, sf_dir, sdf):
 
     got = {r["dim"]: r["loading"] for r in sdf.collect()}
     d = len(got)
-    if d == 0:
+    # dims must be exactly 1..d (the query's contract) — a renumbered
+    # or gapped result is a FAILED invariant, not a KeyError
+    if d == 0 or set(got) != set(range(1, d + 1)):
         return {"loading_recomputed_3_iterations": False}
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("x")
@@ -1761,7 +1785,11 @@ def _extra_repeated_substrings(spark, sf_dir, sdf):
 def _extra_ann_label_mrr(spark, sf_dir, sdf):
     from pyspark.sql import functions as F
 
-    r = sdf.collect()[0]
+    rows = sdf.collect()
+    if not rows:
+        # degenerate shape is a FAILED invariant, not a harness error
+        return {"hits_le_queries": False, "mrr_bounded_by_hit_count": False}
+    r = rows[0]
     n, hits = r["n_queries"], r["queries_with_hit"]
     lo = hits / (10.0 * n) - 1e-9 if n else 0
     hi = hits / float(n) + 1e-9 if n else 0

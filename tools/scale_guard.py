@@ -81,7 +81,7 @@ def main() -> int:
         "df.write.format('noop').mode('overwrite').save(); "
         "print('COLD_WALL', round(time.perf_counter() - t0, 1)); "
         f"walls = []\n"
-        f"for _ in range({args.runs + 1}):\n"
+        f"for _ in range({args.runs}):\n"
         f"    df = REGISTRY['embedding_neardup_pairs'].fn(spark, {args.sf10!r})\n"
         f"    t0 = time.perf_counter()\n"
         f"    df.write.format('noop').mode('overwrite').save()\n"

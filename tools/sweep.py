@@ -296,6 +296,11 @@ def _sharded(args) -> int:
         # comparison happened; the correctness gates are the sf0.01
         # hash sweep and the ×10 artifact
         "mode": "spark_only" if args.spark_only else "oracle_compare",
+        # value_hash convention (spark-only entries): xxhash64 over
+        # every output column with float columns rounded to 9dp first
+        # — stable across partition-order summation jitter; r11+ hashes
+        # are the cross-round diff baseline (r10 hashed raw doubles)
+        "value_hash_convention": "xxhash64, floats rounded 9dp (r11+)",
         "shards": args.shards,
         "wall_sec": round(time.time() - t0, 1),
         "n_queries": len(names),
