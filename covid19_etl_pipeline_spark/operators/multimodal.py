@@ -2,11 +2,18 @@
 columns with typed metadata.
 
 Beyond-reference extension surface (BASELINE.json). The container has
-no image/audio codecs, so the DECODE step is stubbed (deterministic
-fake features, clearly marked) — but the Spark-side plumbing is real
-and tested: schemas, Arrow-batched ``mapInPandas`` signatures, batch
-shapes, and partitioning are exactly what a production decode would
-use; swapping the stub for PIL/librosa changes one function body.
+no external image/audio codec libraries, so five pure stdlib/numpy
+codecs carry the REAL decode paths — PNG, uncompressed BMP, binary
+netpbm, baseline JPEG (:mod:`.jpeg`), lossless WebP/VP8L
+(:mod:`.vp8l`) — and WAV PCM for audio. Operators decode, resample,
+and re-encode real pixels/samples through Arrow-batched
+``mapInPandas``. The only remaining stand-ins are explicit and
+opt-in: formats NEEDING external libs (AVIF, lossy WebP) raise
+``NotImplementedError`` at the :func:`decode_image` boundary unless a
+caller passes ``allow_stub=True`` (byte-slice plumbing stand-in), and
+:func:`extract_features`' byte-histogram featurizer is a documented
+byte-LEVEL contract (oracle-checkable without a codec), not a failed
+decode's fallback.
 
 Scale notes: media blobs make rows huge — the iterator-of-batches
 ``mapInPandas`` shape keeps peak memory to one Arrow batch per task
@@ -811,10 +818,10 @@ def png_resize_nn(assets: DataFrame, box: int = 16) -> DataFrame:
     """REAL image resize: decode PNG → nearest-neighbor sample to the
     aspect-preserving fit-into-``box`` dims (src index = out_index *
     src_dim // out_dim, pure integer math so an oracle can mirror it) →
-    re-encode PNG. The live counterpart of the generic
-    :func:`resize_images` stub, for the format the environment can
-    actually decode. Output: (asset_id, out_width, out_height,
-    payload)."""
+    re-encode PNG. The PNG-specialized sibling of the generic
+    :func:`resize_images` (which dispatches every in-container codec
+    format through the same math). Output: (asset_id, out_width,
+    out_height, payload)."""
 
     schema = T.StructType(
         [
@@ -852,8 +859,15 @@ def png_resize_nn(assets: DataFrame, box: int = 16) -> DataFrame:
 
 
 def _stub_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic fake featurizer: byte-histogram moments over the
-    payload. Stands in for a decoder+CNN; stable across runs."""
+    """Deterministic byte-LEVEL featurizer: normalized byte histogram
+    (mod ``dim``) over the raw payload. This is a contract in its own
+    right — oracle-checkable without any codec (the histogram sums to
+    1 for non-empty payloads) and format-agnostic, so it applies to
+    payloads the codec set can't decode. It stands in where a
+    production pipeline would put a decoder+CNN, but it is never a
+    silent fallback from a FAILED decode — callers that want real
+    pixels use :func:`decode_image`-based operators, which raise at
+    the external-codec boundary."""
     if payload is None or len(payload) == 0:
         return [0.0] * dim
     buckets = [0] * dim
@@ -1044,37 +1058,87 @@ def fit_box_dims(width, height, box: int = 224):
     return ow, oh
 
 
-def resize_images(assets: DataFrame, box: int = 224) -> DataFrame:
+def resize_images(
+    assets: DataFrame, box: int = 224, allow_stub: bool = False
+) -> DataFrame:
     """Arrow-batched image resize over binary payloads.
 
-    The decode→resize→re-encode body is the STUBBED step (no codec in
-    this container — deterministic byte-slice stands in); everything a
-    production resize needs from Spark is real and tested: the
-    iterator-of-batches ``mapInPandas`` shape (one Arrow batch in
-    flight), the aspect-preserving dimension plan computed JVM-side
-    BEFORE Python (so metadata-only consumers never enter the UDF),
-    and the typed output schema. Swap ``_stub_resize`` for a
-    PIL.Image.resize body to go live.
+    The decode→resize→re-encode body is REAL for every format
+    :func:`decode_image` handles (PNG, BMP, binary PGM/PPM, baseline
+    JPEG, lossless WebP): decode → nearest-neighbor resample into the
+    aspect-preserving fit-into-``box`` dims (src index = out_index *
+    src_dim // out_dim, the same integer math as
+    :func:`png_resize_nn`) → PNG re-encode. The Spark shape is the
+    production one: iterator-of-batches ``mapInPandas`` (one Arrow
+    batch in flight), the dimension PLAN computed JVM-side before
+    Python (metadata-only consumers never enter the UDF), typed output
+    schema.
+
+    Payloads outside the codec set raise ``NotImplementedError`` (the
+    documented external-codec boundary) unless ``allow_stub=True``
+    explicitly opts into the deterministic byte-slice stand-in — for
+    plumbing tests and formats that need codec libraries this
+    container does not ship. The stub never runs silently.
+
+    Output dims come from the DECODED image, not the metadata plan:
+    a production pipeline treats asset metadata as advisory and the
+    bytes as truth (mismatched rows would otherwise resample on a
+    wrong grid and hide corrupt metadata).
     """
     ow, oh = fit_box_dims("width", "height", box)
     planned = assets.filter(
         F.col("width").isNotNull() & F.col("height").isNotNull()
     ).withColumns({"out_width": ow, "out_height": oh})
 
-    def _stub_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = (pdf["out_width"] * pdf["out_height"]).clip(lower=1)
+            out = {
+                "asset_id": [],
+                "mime_type": [],
+                "out_width": [],
+                "out_height": [],
+                "payload": [],
+            }
+            for aid, mime, payload, pw, ph in zip(
+                pdf["asset_id"],
+                pdf["mime_type"],
+                pdf["payload"],
+                pdf["out_width"],
+                pdf["out_height"],
+            ):
+                raw = b"" if payload is None else bytes(payload)
+                try:
+                    w, h, px = decode_image(raw)
+                except NotImplementedError:
+                    if not allow_stub:
+                        raise
+                    # explicit opt-in: byte-slice stand-in sized by the
+                    # metadata plan, exercising the Arrow plumbing only
+                    k = max(1, int(pw) * int(ph))
+                    out["asset_id"].append(int(aid))
+                    out["mime_type"].append(mime)
+                    out["out_width"].append(int(pw))
+                    out["out_height"].append(int(ph))
+                    out["payload"].append(raw[:k])
+                    continue
+                longer = max(w, h)
+                rw = max(1, w * box // longer)
+                rh = max(1, h * box // longer)
+                ys = (np.arange(rh, dtype=np.int64) * h) // rh
+                xs = (np.arange(rw, dtype=np.int64) * w) // rw
+                out["asset_id"].append(int(aid))
+                out["mime_type"].append(mime)
+                out["out_width"].append(rw)
+                out["out_height"].append(rh)
+                out["payload"].append(encode_png(px[ys][:, xs]))
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
-                    "mime_type": pdf["mime_type"],
-                    "out_width": pdf["out_width"],
-                    "out_height": pdf["out_height"],
-                    "payload": [
-                        (b"" if p is None else bytes(p))[:k]
-                        for p, k in zip(pdf["payload"], n)
-                    ],
+                    "asset_id": pd.Series(out["asset_id"], dtype="int64"),
+                    "mime_type": out["mime_type"],
+                    "out_width": pd.Series(out["out_width"], dtype="int32"),
+                    "out_height": pd.Series(out["out_height"], dtype="int32"),
+                    "payload": out["payload"],
                 }
             )
 
-    return planned.mapInPandas(_stub_resize, schema=_RESIZE_SCHEMA)
+    return planned.mapInPandas(_resize, schema=_RESIZE_SCHEMA)

@@ -369,22 +369,32 @@ def test_label_propagation_pair_swap_is_deterministic(spark):
     assert run(2) == run(2)  # reproducible
 
 
-def test_resize_images_stub_plumbing(spark):
-    """resize_images: Arrow mapInPandas path produces the planned dims
-    and a payload truncated to out_width*out_height bytes; null-dim
-    assets are excluded before Python."""
+def test_resize_images_stub_is_explicit_opt_in(spark):
+    """resize_images: non-decodable payloads RAISE by default (the
+    stub never runs silently); allow_stub=True opts into the
+    byte-slice stand-in, which produces the planned dims and a payload
+    truncated to out_width*out_height bytes; null-dim assets are
+    excluded before Python."""
+    import pytest as _pytest
+
     from covid19_etl_pipeline_spark.operators.multimodal import resize_images
 
     assets = spark.createDataFrame(
         [
-            (1, "image/png", b"x" * 1000, 400, 200, None),
-            (2, "image/png", b"y" * 10, 10, 40, None),
-            (3, "image/png", b"z", None, 5, None),  # no width -> excluded
+            (1, "image/avif", b"x" * 1000, 400, 200, None),
+            (2, "image/avif", b"y" * 10, 10, 40, None),
+            (3, "image/avif", b"z", None, 5, None),  # no width -> excluded
         ],
         "asset_id long, mime_type string, payload binary, "
         "width int, height int, duration_ms long",
     )
-    out = {r["asset_id"]: r for r in resize_images(assets, box=224).collect()}
+    # default: the external-codec boundary raises instead of stubbing
+    with _pytest.raises(Exception, match="NotImplementedError|external codec"):
+        resize_images(assets, box=224).collect()
+    out = {
+        r["asset_id"]: r
+        for r in resize_images(assets, box=224, allow_stub=True).collect()
+    }
     assert set(out) == {1, 2}
     r1 = out[1]
     assert (r1["out_width"], r1["out_height"]) == (224, 112)  # 400x200 -> fit
@@ -392,6 +402,58 @@ def test_resize_images_stub_plumbing(spark):
     r2 = out[2]
     assert (r2["out_width"], r2["out_height"]) == (56, 224)  # upscale allowed
     assert len(r2["payload"]) == 10  # stub truncation capped by source bytes
+
+
+def test_resize_images_real_codec_path_all_formats(spark):
+    """Every fixture image format (PNG, BMP, PPM, baseline JPEG,
+    lossless WebP) routes through the REAL decode->NN-resample->PNG
+    re-encode path in resize_images (VERDICT r10 #7): the output
+    payload is a decodable PNG whose pixels match an independent
+    numpy resample of the source image."""
+    import numpy as np
+
+    from covid19_etl_pipeline_spark.operators import jpeg, vp8l
+    from covid19_etl_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        resize_images,
+    )
+
+    h, w = 24, 40
+    rng = np.arange(h * w * 3, dtype=np.int64)
+    px = ((rng * 37 + 11) % 251).astype(np.uint8).reshape(h, w, 3)
+    payloads = {
+        1: encode_png(px),
+        2: encode_bmp(px),
+        3: encode_ppm(px),
+        # baseline JPEG is lossy — it proves ROUTING (decoded dims,
+        # valid PNG out); pixel equality is checked for lossless formats
+        4: jpeg.encode_jpeg_baseline(px),
+        5: vp8l.encode_webp_lossless(px),
+    }
+    assets = spark.createDataFrame(
+        [
+            (aid, "image/any", bytearray(p), w, h, None)
+            for aid, p in payloads.items()
+        ],
+        "asset_id long, mime_type string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    box = 16
+    out = {r["asset_id"]: r for r in resize_images(assets, box=box).collect()}
+    assert set(out) == set(payloads)
+    ow, oh = box, max(1, h * box // w)
+    ys = (np.arange(oh, dtype=np.int64) * h) // oh
+    xs = (np.arange(ow, dtype=np.int64) * w) // ow
+    expect = px[ys][:, xs]
+    for aid, rec in out.items():
+        assert (rec["out_width"], rec["out_height"]) == (ow, oh)
+        dw, dh, dpx = decode_png(bytes(rec["payload"]))
+        assert (dw, dh) == (ow, oh)
+        if aid != 4:  # lossless formats: exact pixel parity
+            assert np.array_equal(dpx[:, :, :3], expect), aid
 
 
 
