@@ -1464,6 +1464,32 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "F.levenshtein, semantics identical in DuckDB",
 )
 def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expanded = fuzzy_part_expansion(spark, sf_dir)
+    x, y = F.col("x"), F.col("y")
+    na, nb = F.col("na"), F.col("nb")
+    return (
+        expanded.select(
+            F.least(x, y).alias("part_a"),
+            F.greatest(x, y).alias("part_b"),
+            F.when(x < y, na).otherwise(nb).alias("name_a"),
+            F.when(x < y, nb).otherwise(na).alias("name_b"),
+            "edit_dist",
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+def fuzzy_part_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocking + vocabulary-grain verify + id-pair expansion
+    sub-plan of :func:`fuzzy_part_duplicates`, pre-orientation — the
+    frame whose executed width the r10 AQE-starvation fix pins
+    (explicit keyed REPARTITION_BY_NUM on both expansion inputs).
+    Exposed so the scale guard (tools/scale_guard.py,
+    ``fuzzy_dup_expansion_wall``) can measure its wall AND its
+    executed partition count at the ×100 fixture: a future AQE/conf
+    change that re-coalesces the 4.5B-row fan-out onto ~3 tasks shows
+    up as partitions << configured width, not as a mystery budget
+    trip."""
     part = load_table(spark, sf_dir, "part")
     base = part.select(
         "p_partkey",
@@ -1544,18 +1570,7 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # name_a is ITS name (ids are globally unique per part)
         .filter((F.col("na") != F.col("nb")) | (F.col("x") < F.col("y")))
     )
-    x, y = F.col("x"), F.col("y")
-    na, nb = F.col("na"), F.col("nb")
-    return (
-        expanded.select(
-            F.least(x, y).alias("part_a"),
-            F.greatest(x, y).alias("part_b"),
-            F.when(x < y, na).otherwise(nb).alias("name_a"),
-            F.when(x < y, nb).otherwise(na).alias("name_b"),
-            "edit_dist",
-        )
-        .orderBy("part_a", "part_b")
-    )
+    return expanded
 
 
 @_register(

@@ -16,6 +16,15 @@ Guarded metrics:
    at the ×10 fixture (20k × 64f vectors). r07 recorded 25.5 s; a
    kernel regression (e.g. a chunking change) shows up here as a diff
    instead of being rediscovered at the next budget kill.
+3. ``fuzzy_dup_expansion_wall`` (r11, verdict ask #5) — the
+   fuzzy_part_duplicates id-expansion join at the ×100 fixture
+   (4.5B output pairs), measured in its own fresh subprocess. Records
+   wall AND the executed partition count of the expansion frame vs
+   the configured REPARTITION_BY_NUM width: the r10 fix pinned the
+   width because AQE's input-byte heuristic coalesced the explosion
+   onto ~3 tasks (the shape that idles 997 of 1000 executors); a
+   future AQE/conf change that re-starves it shows up here as
+   partitions << width, not as a mystery budget trip.
 
 Usage:
   python tools/make_scale_fixtures.py --k 100   # once per machine
@@ -107,6 +116,51 @@ def main() -> int:
         f"# gemm cold run: {gemm_cold}s, warm: {gemm_walls}", file=sys.stderr
     )
 
+    # guard 3, also in its own fresh subprocess (same contamination
+    # rule as the GEMM guard): the fuzzy-dup id-expansion join at ×100.
+    # One noop-write execution for the wall, then the executed
+    # partition count of the expansion frame (a second execution — the
+    # .rdd conversion finalizes the AQE plan) checked against the
+    # configured REPARTITION_BY_NUM width.
+    fuzzy_script = (
+        "import time, sys\n"
+        "sys.path.insert(0, '.')\n"
+        "from covid19_etl_pipeline_spark.session import get_spark\n"
+        "from covid19_etl_pipeline_spark.plans.dedup import fuzzy_part_expansion\n"
+        "spark = get_spark(app_name='scale-guard-fuzzy')\n"
+        f"df = fuzzy_part_expansion(spark, {args.sf!r})\n"
+        "t0 = time.perf_counter()\n"
+        "df.write.format('noop').mode('overwrite').save()\n"
+        "print('FUZZY_WALL', round(time.perf_counter() - t0, 1))\n"
+        f"df = fuzzy_part_expansion(spark, {args.sf!r})\n"
+        "print('FUZZY_PARTS', df.rdd.getNumPartitions())\n"
+        "print('FUZZY_WIDTH', "
+        "int(spark.conf.get('spark.sql.shuffle.partitions')) * 4)\n"
+        "spark.stop()\n"
+    )
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    fz = subprocess.run(
+        [sys.executable, "-c", fuzzy_script],
+        capture_output=True,
+        text=True,
+        cwd=repo_dir,
+        env=env,
+    )
+    fuzzy_wall = fuzzy_parts = fuzzy_width = None
+    for ln in fz.stdout.splitlines():
+        if ln.startswith("FUZZY_WALL"):
+            fuzzy_wall = float(ln.split()[1])
+        elif ln.startswith("FUZZY_PARTS"):
+            fuzzy_parts = int(ln.split()[1])
+        elif ln.startswith("FUZZY_WIDTH"):
+            fuzzy_width = int(ln.split()[1])
+    print(
+        f"# fuzzy expansion: wall {fuzzy_wall}s, partitions "
+        f"{fuzzy_parts} (configured width {fuzzy_width})",
+        file=sys.stderr,
+    )
+
     from covid19_etl_pipeline_spark.operators.similarity import (
         semdedup_survivors,
     )
@@ -149,6 +203,22 @@ def main() -> int:
             "wall_sec_cold": gemm_cold,
             "wall_sec_warm_min": min(gemm_walls) if gemm_walls else None,
             "wall_sec_warm_all": gemm_walls,
+        },
+        "fuzzy_expansion_guard": {
+            "metric": "fuzzy_dup_expansion_wall",
+            "query": "fuzzy_part_duplicates (expansion sub-plan)",
+            "sf_dir": args.sf,
+            "wall_sec": fuzzy_wall,
+            # the tripwire: executed partitions must be >= the
+            # configured REPARTITION_BY_NUM width (AQE re-starvation
+            # shows up as partitions << width)
+            "expansion_partitions": fuzzy_parts,
+            "configured_width": fuzzy_width,
+            "width_ok": (
+                fuzzy_parts is not None
+                and fuzzy_width is not None
+                and fuzzy_parts >= fuzzy_width
+            ),
         },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
