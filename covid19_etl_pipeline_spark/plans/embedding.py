@@ -1561,12 +1561,22 @@ def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it blew a 900 s budget the moment the r10 value-hash invariant
     # stopped count() from pruning the dot products (the r08 semdedup
     # lesson, §13d item 4, resurfacing here the same way).
-    _OFF = 1_000_000_000
+    # Derive the new-row sid offset from the corpus itself (r10
+    # ADVICE, proven necessary the same round it landed: the old
+    # fixed 1e9 offset actually COLLIDED at the ×100 fixture, whose
+    # vec_ids reach ~9.9e9 — old and new identities mixed, the
+    # old-sorts-below-new precondition of the min-id drop rule broke,
+    # and the r11 execution-time assert caught it where three rounds
+    # of ×100 "pass" had not). One single-column agg on the raw
+    # id column — a stats-level scan, before any heavy stage.
+    _OFF = int(
+        emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    ) + 1
     # the remap is only collision-free (and only keeps old-sorts-
-    # below-new) while every pid < _OFF — enforce it at execution
-    # time, folded into the sid expression so it costs one comparison
-    # per row instead of an extra pass, and can't be pruned because
-    # the output depends on it
+    # below-new) while every pid < _OFF — keep the execution-time
+    # tripwire (folded into the sid expression: one comparison per
+    # row, no extra pass, unprunable) in case the table changes
+    # between the offset scan and this one
     _pid_ok = F.assert_true(
         F.col("pid") < F.lit(_OFF),
         F.concat(
