@@ -381,26 +381,54 @@ def _jaccard_pair_checks(
 
 @_check("prefix_jaccard_pairs")
 def check_prefix_jaccard_pairs(ctx) -> dict:
-    from covid19_etl_pipeline_spark.plans.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    from covid19_etl_pipeline_spark.catalog import load_table
+    from covid19_etl_pipeline_spark.operators import dedup as _dedup
+    from covid19_etl_pipeline_spark.plans._shared import adaptive_blk_width
 
     ctx.export(ctx.sdf, "sc_pj_pairs")
     checks = _jaccard_pair_checks(ctx, "sc_pj_pairs", 0.6, "jaccard")
     # cross-check vs the independently oracle-verified BLOCKED exact
-    # jaccard query: every (source, blk)-cohabiting pair at j >= 0.6
-    # must be in the prefix-filtered output (completeness over the
-    # blocked sample, which is most real duplicates)
-    ngram = REGISTRY["ngram_jaccard_pairs"].fn(ctx.spark, ctx.sf_dir)
-    ctx.export(
-        ngram.filter("jaccard >= 0.6").select("doc_id_a", "doc_id_b"),
-        "sc_ngram_06",
+    # jaccard construction: every (source, blk)-cohabiting pair at
+    # j >= 0.6 must be in the prefix-filtered output. Restricted to
+    # the deterministic 1/16 of blocks whose id starts with '7' —
+    # exact within the sample, and an INDEPENDENT sample from the
+    # _BLOCKS_2HEX universe the DuckDB completeness leg brute-forces.
+    # The unrestricted form re-ran the full ngram_jaccard_pairs query
+    # (~80 s of this check's 92 s solo wall at ×10, dominating the
+    # sweep entry); the sampled form keeps the cross-engine
+    # completeness claim at ~1/16 the pair volume.
+    docs = load_table(ctx.spark, ctx.sf_dir, "documents")
+    blk_w = adaptive_blk_width(docs.count())
+    a = docs.select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, blk_w
+        ).alias("blk"),
+    ).filter(F.col("blk").startswith("7"))
+    cand = (
+        a.alias("a")
+        .join(a.alias("b"), on=["source", "blk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
     )
-    missed = ctx.cur.execute(
-        "SELECT count(*) FROM sc_ngram_06 n WHERE NOT EXISTS ("
+    ngram = _dedup.jaccard_pairs(docs, "doc_id", candidates=cand)
+    sample = ngram.filter(
+        F.col("jaccard").isNotNull() & (F.col("jaccard") >= 0.6)
+    ).select("doc_id_a", "doc_id_b")
+    ctx.export(sample, "sc_ngram_06")
+    missed, n_sample = ctx.cur.execute(
+        "SELECT count(*) FILTER (WHERE NOT EXISTS ("
         "SELECT 1 FROM sc_pj_pairs p WHERE p.doc_id_a = n.doc_id_a "
-        "AND p.doc_id_b = n.doc_id_b)"
-    ).fetchone()[0]
+        "AND p.doc_id_b = n.doc_id_b)), count(*) FROM sc_ngram_06 n"
+    ).fetchone()
     checks["contains_blocked_exact_pairs"] = missed == 0
-    return {"checks": checks, "notes": {}}
+    return {"checks": checks, "notes": {"n_blocked_sample_pairs": n_sample}}
 
 
 @_check("containment_doc_pairs")
