@@ -2291,7 +2291,9 @@ def _extra_truncation(spark, sf_dir, sdf):
 def _extra_incremental_embedding(spark, sf_dir, sdf):
     from pyspark.sql import functions as F
 
-    return _viol(
+    from covid19_etl_pipeline_spark.catalog import load_table
+
+    inv = _viol(
         sdf,
         [
             ("only_new_vectors_scored", F.col("vec_id") % 5 != 0),
@@ -2301,6 +2303,21 @@ def _extra_incremental_embedding(spark, sf_dir, sdf):
             ),
         ],
     )
+    # every new vector gets exactly ONE verdict (§16a hardening: the
+    # sid collision changed VALUES, not shapes — conservation pins the
+    # row axis, the in-plan offset assert pins the identity axis).
+    # count + countDistinct in one agg = one plan execution.
+    n_new = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .count()
+    )
+    row = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("d"),
+    ).collect()[0]
+    inv["one_verdict_per_new_vector"] = row["n"] == n_new == row["d"]
+    return inv
 
 
 def _merge_extras(*fns):
