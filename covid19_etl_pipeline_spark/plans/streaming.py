@@ -1,6 +1,6 @@
 """Live Structured Streaming executions.
 
-Registered query family (6 entries); split from the original monolithic
+Registered query family (7 entries); split from the original monolithic
 plans/queries.py.
 
 Every entry here EXECUTES the stream (readStream -> stateful operators
@@ -22,6 +22,7 @@ from covid19_etl_pipeline_spark.catalog import TABLES, load_table
 from covid19_etl_pipeline_spark.operators import text
 
 from covid19_etl_pipeline_spark.plans._registry import _register
+from covid19_etl_pipeline_spark.plans._shared import _D_SHINGLES, _d_minhash
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage a stream-readable copy of ``events`` (micros timestamps,
@@ -402,4 +403,128 @@ def streaming_enrich_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .orderBy("channel", "event_type")
+    )
+
+
+@_register(
+    "streaming_neardup_probe_live",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {_d_minhash(0)} AS mh0, {_d_minhash(1)} AS mh1,
+               {_d_minhash(2)} AS mh2, {_d_minhash(3)} AS mh3,
+               {_d_minhash(4)} AS mh4, {_d_minhash(5)} AS mh5,
+               {_d_minhash(6)} AS mh6, {_d_minhash(7)} AS mh7
+        FROM (SELECT doc_id, {_D_SHINGLES} AS sh FROM documents)
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, concat_ws('|', mh0, mh1) AS sig FROM sigs
+        UNION ALL SELECT doc_id, 1, concat_ws('|', mh2, mh3) FROM sigs
+        UNION ALL SELECT doc_id, 2, concat_ws('|', mh4, mh5) FROM sigs
+        UNION ALL SELECT doc_id, 3, concat_ws('|', mh6, mh7) FROM sigs
+    ),
+    oldb AS (
+        SELECT DISTINCT band, sig FROM bands
+        WHERE doc_id % 5 <> 0 AND sig <> ''
+    ),
+    newb AS (SELECT doc_id, band, sig FROM bands WHERE doc_id % 5 = 0),
+    hits AS (
+        SELECT n.doc_id,
+               CAST(count(o.band) AS INT) AS n_band_hits
+        FROM newb n
+        LEFT JOIN oldb o ON n.band = o.band AND n.sig = o.sig
+        GROUP BY n.doc_id
+    )
+    SELECT doc_id, n_band_hits,
+           CASE WHEN n_band_hits > 0 THEN 'candidate' ELSE 'novel' END
+               AS status
+    FROM hits
+    ORDER BY doc_id
+    """,
+    "LIVE streaming near-dup PROBE — the arrival-time half of "
+    "incremental_corpus_dedup run as a real stream: new documents "
+    "(doc_id %% 5 = 0) file-stream in, each micro-batch computes "
+    "MinHash band signatures ROW-LEVEL (dedup.minhash_value inside "
+    "the projection — no streaming aggregation, so the query stays in "
+    "append mode) and LEFT-joins the static persisted band index of "
+    "the old corpus (distinct (band, sig) of dedup.lsh_band_table — "
+    "all a membership probe needs, and the stream-static join ships "
+    "it once per micro-batch plan). Verdict per new doc after drain: "
+    "n_band_hits in 0..4 and candidate/novel — the cheap "
+    "arrival-time gate a 100 TB ingest runs on every crawl batch "
+    "BEFORE the expensive verify stage (the batch twin carries the "
+    "full exact+near pipeline; this is its probe front-end, state "
+    "ZERO on the stream side). Oracle: identical md5 minhash/banding "
+    "in DuckDB over the same corpus split — a fully-drained finite "
+    "stream equals the batch probe exactly because the join is "
+    "stateless",
+)
+def streaming_neardup_probe_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from covid19_etl_pipeline_spark.operators import dedup
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        run_to_memory_sink,
+    )
+
+    staging = _staged_docs_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # static persisted index: the old corpus's band table, deduped to
+    # its distinct (band, sig) probe keys (lsh_band_table already
+    # drops empty signatures, so an empty-sig stream row can't match)
+    old_idx = (
+        dedup.lsh_band_table(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        )
+        .select("band", "sig")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(staging)
+    )
+    sh = text.shingles(text.tokens("text"), k=3)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    dedup.minhash_value(sh, 2 * b),
+                    dedup.minhash_value(sh, 2 * b + 1),
+                ).alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    probes = (
+        stream.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id"), F.explode(band_structs).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
+        )
+        .join(F.broadcast(old_idx), ["band", "sig"], "left")
+    )
+    run_to_memory_sink(
+        probes, "streaming_neardup_probe_live", output_mode="append"
+    )
+    return (
+        spark.table("streaming_neardup_probe_live")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_band_hits")
+        )
+        .select(
+            "doc_id",
+            "n_band_hits",
+            F.when(F.col("n_band_hits") > 0, "candidate")
+            .otherwise("novel")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
     )

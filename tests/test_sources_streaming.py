@@ -752,3 +752,79 @@ def test_reliable_checkpoint_truncates_lineage(spark, sf_dir, tmp_path):
     assert ck.count() == joined.count()
     plan = ck._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan and "Join" not in plan
+
+
+def test_streaming_neardup_probe_matches_batch_multibatch(spark, sf_dir, tmp_path):
+    """The stateless stream-static band probe must equal its batch
+    twin under MULTI-batch arrival: stage documents as 4 files with
+    maxFilesPerTrigger=1 so the stream drains in 4 micro-batches, and
+    compare per-doc (n_band_hits, status) to the same probe computed
+    as one batch join."""
+    from covid19_etl_pipeline_spark.operators import dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    old_idx = (
+        dedup.lsh_band_table(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        )
+        .select("band", "sig")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    sh = text.shingles(text.tokens("text"), k=3)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    dedup.minhash_value(sh, 2 * b),
+                    dedup.minhash_value(sh, 2 * b + 1),
+                ).alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+
+    def probe(frame):
+        return (
+            frame.filter(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id"), F.explode(band_structs).alias("bs"))
+            .select(
+                "doc_id",
+                F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"),
+            )
+            .join(F.broadcast(old_idx), ["band", "sig"], "left")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from covid19_etl_pipeline_spark.streaming.daily_rollup import (
+        run_to_memory_sink,
+    )
+
+    run_to_memory_sink(probe(stream), "t_neardup_probe", output_mode="append")
+
+    def verdicts(df):
+        return {
+            r["doc_id"]: r["n"]
+            for r in df.groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+                ).alias("n")
+            )
+            .collect()
+        }
+
+    got = verdicts(spark.table("t_neardup_probe"))
+    expected = verdicts(probe(docs))
+    assert got == expected
+    assert got, "probe produced no verdicts"
