@@ -353,6 +353,16 @@ def prefix_filter_jaccard_pairs(
         .select(F.col(id_col), "s", "sz", rk.alias("rk"), prefix_len.alias("plen"))
         .filter(F.col("rk") <= F.col("plen"))
         .select(id_col, "s", "sz", "rk")
+        # the self-join below references this subtree TWICE (a and b
+        # aliases) and Catalyst does not dedupe common subplans — without
+        # a barrier the explode + freq join + rank window runs twice per
+        # action. EAGER: with a lazy barrier the self-join's two map
+        # stages race and each recomputes the partitions before the
+        # cache fills (measured: lazy 2.38s ≈ no barrier 2.5s, eager
+        # 2.03s at sf0.1). At 100 TB the prefix table is the
+        # corpus-scale candidate index — one materialization vs two
+        # full passes is the same trade `sets` already makes.
+        .localCheckpoint(eager=True)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: Jaccard >= t forces an overlap of at

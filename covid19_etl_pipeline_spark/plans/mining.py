@@ -127,6 +127,14 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # items feeds BOTH the support rollup (freq) and the basket build,
+    # so the scan + distinct subtree appears twice in the static plan.
+    # Measured at sf0.1: an eager barrier here is a wash (2.16s both
+    # ways) — the block write of the ~600K-row distinct costs what the
+    # second columnar scan+distinct saves. Left unbarriered: recompute
+    # of a cheap scan beats materializing a corpus-grain intermediate
+    # (the 100 TB answer is the same — stage `items` to storage only
+    # when it feeds MORE than these two consumers).
     items = li.select("l_orderkey", "l_partkey").distinct()
     freq = (
         items.groupBy("l_partkey")
@@ -134,18 +142,39 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 3)
         .select("l_partkey")
     )
-    fitems = items.join(freq, "l_partkey").localCheckpoint(eager=False)
-    a = fitems.alias("a")
-    b = fitems.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # In-basket pair generation (the PCY twin's array expansion, minus
+    # the bucket pass): one orderkey-keyed aggregation collects each
+    # order's sorted item set, pairs expand in-JVM from the array.
+    # The previous shape self-joined fitems on l_orderkey — TWO
+    # corpus-scale exchanges (one per alias; the lazy checkpoint's
+    # sibling map stages race and each recomputes) plus the join
+    # itself, all to produce the same per-order pairs the basket array
+    # yields map-side. Baskets are tiny (TPC-H orders hold ≤7 items;
+    # any basket-mining deployment caps basket width), so the fan-out
+    # is C(|basket|,2) per row, bounded. Identical result: items is
+    # distinct per (order, part), so each order contributes each
+    # unordered pair exactly once either way.
+    baskets = (
+        items.join(freq, "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("arr"))
+        .filter(F.size("arr") >= 2)
+    )
+    n = F.size("arr")
+    pair_structs = F.flatten(
+        F.transform(
+            "arr",
+            lambda x, i: F.transform(
+                F.slice("arr", i + F.lit(2), n - i - 1),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
         )
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
