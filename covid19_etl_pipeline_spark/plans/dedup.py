@@ -1479,6 +1479,21 @@ def fuzzy_part_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_expansion_width(n_base: int, cores: int) -> int:
+    """Pinned REPARTITION_BY_NUM width for the id-expansion join —
+    derived from the REAL base-table row count (the CC/pagerank
+    join-strategy convention), not a constant: one partition per ~5k
+    base ids, floored at the session's shuffle parallelism and capped
+    at 4× it. At sf0.1 (20k parts) this resolves to `cores` — the r10
+    fixed `cores*4` forced 128-partition exchanges on a 20k-row frame,
+    a measured 1.51s -> 1.08s recovery — while the ×100 fixture
+    (~2M parts) still resolves to the full `cores*4` the r10
+    AQE-starvation fix pinned (SCALE_GUARD's fuzzy_dup_expansion_wall
+    checks executed partitions against THIS function, so guard and
+    plan cannot drift)."""
+    return max(cores, min(cores * 4, n_base // 5000))
+
+
 def fuzzy_part_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The blocking + vocabulary-grain verify + id-pair expansion
     sub-plan of :func:`fuzzy_part_duplicates`, pre-orientation — the
@@ -1548,7 +1563,12 @@ def fuzzy_part_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REPARTITION_BY_NUM on the join keys is reused as the join's own
     # exchange (zero added shuffle) and AQE never shrinks it, so the
     # fan-out streams through full width here AND on a real cluster.
-    width = int(spark.conf.get("spark.sql.shuffle.partitions")) * 4
+    # Width from the real base count (fuzzy_expansion_width) — the
+    # count() doubles as the barrier's materializing action, so the
+    # scan + blocking-key projection it would pay anyway is reused by
+    # every consumer below.
+    cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = fuzzy_expansion_width(base.count(), cores)
     xs = base.select(
         "noun",
         "p_brand",

@@ -996,11 +996,17 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc0 = subs.join(F.broadcast(cb), subs["s"] == cb["cb_s"]).select(
         "vec_id", "s", "j", d2.alias("d2")
     )
-    rk_enc = F.row_number().over(
-        Window.partitionBy("vec_id", "s").orderBy("d2", "j")
-    )
+    # argmin via struct-min (the _nearest_centroid trick): min over
+    # struct(d2, j) compares d2 then j — exactly the row_number-over-
+    # (orderBy d2, j)==1 selection, but as a hash aggregate with
+    # map-side partial min instead of a full sort window (the window
+    # shuffled + sorted every (vec, subspace, centroid) scoring row;
+    # the agg ships one row per (vec, subspace)). Wall-neutral at
+    # sf0.1; at scale it removes the sort of the n·m·k scoring stream.
     codes = (
-        enc0.withColumn("rk", rk_enc).filter(F.col("rk") == 1).select("vec_id", "s", "j")
+        enc0.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "j")).alias("m"))
+        .select("vec_id", "s", F.col("m.j").alias("j"))
     )
     lt = (
         subs.filter(F.col("vec_id") < n_queries)

@@ -894,12 +894,19 @@ def test_loo_encoding_broadcasts_category_stats(spark):
 
 
 def test_frequent_pairs_prunes_before_pair_join(spark):
-    """frequent_part_pairs: the pair self-join reads the checkpointed
-    PRUNED item set (a-priori), not the raw fact."""
+    """frequent_part_pairs: pairs expand in-basket (Generate over the
+    per-order item arrays — the PCY twin's map-side shape, no
+    order-keyed self-join), and the baskets are built from the
+    a-priori-PRUNED item set (the freq join sits below the basket
+    aggregate)."""
     plan = _plan(spark, "frequent_part_pairs")
-    assert "Scan ExistingRDD" in plan
-    assert "Scan parquet" not in plan
+    assert "Generate explode" in plan
+    # basket collection (collect_set) feeds the pair Generate — the
+    # self-join form would show a second orderkey Exchange + Join here
+    assert "ObjectHashAggregate" in plan
     assert "CartesianProduct" not in plan
+    # a-priori prune: the frequent-item join below the basket agg
+    assert "Join" in plan
 
 
 def test_trending_broadcasts_max_date(spark):

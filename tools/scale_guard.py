@@ -134,8 +134,14 @@ def main() -> int:
         "print('FUZZY_WALL', round(time.perf_counter() - t0, 1))\n"
         f"df = fuzzy_part_expansion(spark, {args.sf!r})\n"
         "print('FUZZY_PARTS', df.rdd.getNumPartitions())\n"
-        "print('FUZZY_WIDTH', "
-        "int(spark.conf.get('spark.sql.shuffle.partitions')) * 4)\n"
+        # expected width via the SAME function the plan uses (width is
+        # now derived from the real base count, not a conf constant —
+        # at the x100 fixture both resolve to cores*4)
+        "from covid19_etl_pipeline_spark.plans.dedup import fuzzy_expansion_width\n"
+        "from covid19_etl_pipeline_spark.catalog import load_table\n"
+        f"n_base = load_table(spark, {args.sf!r}, 'part').count()\n"
+        "print('FUZZY_WIDTH', fuzzy_expansion_width(n_base, "
+        "int(spark.conf.get('spark.sql.shuffle.partitions'))))\n"
         "spark.stop()\n"
     )
     env = dict(os.environ)
