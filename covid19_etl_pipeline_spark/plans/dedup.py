@@ -410,7 +410,10 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "blk", F.substring(F.md5(F.col("doc_id").cast("string")), 1, blk_w)
         )
-        .localCheckpoint(eager=False)
+        # EAGER: the blocked self-join below reads this twice (a/b) and
+        # a lazy barrier's sibling map stages race and recompute the
+        # whole minhash pipeline (the prefix_filter lesson)
+        .localCheckpoint(eager=True)
     )
     pairs = (
         sigs.alias("a")
@@ -427,6 +430,10 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 8.0
             ).alias("est_jaccard"),
         )
+        # consumed twice (the exact-Jaccard verify's candidate list AND
+        # the estimate side of the final join) — eager for the same
+        # sibling-race reason; pair-grain, tiny blocks
+        .localCheckpoint(eager=True)
     )
     exact = dedup.jaccard_pairs(
         docs, "doc_id", candidates=pairs.select("doc_id_a", "doc_id_b")

@@ -16,7 +16,7 @@ both sides per the plans/_registry.py conventions.
 """
 
 from __future__ import annotations
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from covid19_etl_pipeline_spark.catalog import TABLES, load_table
 from covid19_etl_pipeline_spark.operators import text
@@ -485,21 +485,47 @@ def streaming_neardup_probe_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staging)
     )
     sh = text.shingles(text.tokens("text"), k=3)
+    # Row-level minhash with the digest economy the batch path gets
+    # from minhash_signatures: 8 inline dedup.minhash_value(sh, i)
+    # calls each re-evaluate tokenize+shingle AND an md5 transform
+    # over the whole shingle array (Catalyst does not CSE across
+    # higher-order-function lambdas) — 8 shingle passes + 8 md5
+    # passes per row where 1 + 2 suffice (each md5 digest yields four
+    # 8-hex hash words). Staging the shingle array and the TWO digest
+    # arrays as named columns makes every band signature a cheap
+    # substring+array_min over shared buffers; signatures are
+    # bit-identical (same digests, same words). Still a stateless
+    # per-row projection — append-mode safe.
+    def _digest(g: int) -> Column:
+        # closure, NOT a default-arg lambda: F.transform treats a
+        # two-parameter lambda as (element, index)
+        return F.transform(
+            F.col("__sh"), lambda s: F.md5(F.concat(F.lit(f"{g}|"), s))
+        ).alias(f"__d{g}")
+
+    digests = [_digest(g) for g in range(2)]
+
+    def _mh(index: int) -> Column:
+        g, w = index // 4, index % 4
+        return F.array_min(
+            F.transform(
+                F.col(f"__d{g}"), lambda d: F.substring(d, 1 + 8 * w, 8)
+            )
+        )
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    dedup.minhash_value(sh, 2 * b),
-                    dedup.minhash_value(sh, 2 * b + 1),
-                ).alias("sig"),
+                F.concat_ws("|", _mh(2 * b), _mh(2 * b + 1)).alias("sig"),
             )
             for b in range(4)
         ]
     )
     probes = (
         stream.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id"), sh.alias("__sh"))
+        .select("doc_id", *digests)
         .select(F.col("doc_id"), F.explode(band_structs).alias("bs"))
         .select(
             "doc_id",
