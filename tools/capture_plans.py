@@ -1,14 +1,18 @@
-"""Dump `.explain("formatted")` for registry queries into plans/r11/.
+"""Dump `.explain("formatted")` for registry queries into plans/<round>/.
 
 Usage:
     PYTHONPATH=. python tools/capture_plans.py before [names...]
     PYTHONPATH=. python tools/capture_plans.py after  [names...]
 
-With no names, captures the whole bench HEADLINE set. Files land at
-plans/r11/<query>_<tag>.txt — the optimization-round evidence the
-judge diffs against the code (plan claims must match these files).
-Capture is plan-only (no execution), so it is safe to run while other
-work is in flight; with AQE on these are the initial
+The round directory defaults to plans/r12 and can be overridden with
+$SPARK_GRAFT_PLANS_DIR. With no names, captures the whole bench
+HEADLINE set. Files land at plans/<round>/<query>_<tag>.txt — the
+optimization-round evidence the judge diffs against the code (plan
+claims must match these files). NOTE (ADVICE r11): capture is NOT
+purely plan-only — queries whose construction runs eager barriers
+(localCheckpoint(eager=True)) or count()-derived widths execute real
+Spark jobs during DataFrame construction, so do NOT run capture
+concurrently with a bench. With AQE on these are the initial
 `isFinalPlan=false` plans, which is exactly what shows Exchange
 placement, join strategy and scan pushdown.
 """
@@ -33,7 +37,14 @@ def main(argv: list[str]) -> int:
     if not names:
         names = list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+            "r12",
+        ),
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"capture-plans-{tag}")
     for name in names:
