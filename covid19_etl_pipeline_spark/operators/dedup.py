@@ -361,9 +361,12 @@ def prefix_filter_jaccard_pairs(
         # cache fills (measured: lazy 2.38s ≈ no barrier 2.5s, eager
         # 2.03s at sf0.1). At 100 TB the prefix table is the
         # corpus-scale candidate index — one materialization vs two
-        # full passes is the same trade `sets` already makes.
-        .localCheckpoint(eager=True)
+        # full passes is the same trade `sets` already makes. Routed
+        # through iteration_barrier (ADVICE r11) so the engine-wide
+        # CHECKPOINT_DIR_CONF toggle flips this barrier to a reliable
+        # storage-backed checkpoint with the rest of the engine.
     )
+    prefix = iteration_barrier(prefix)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: Jaccard >= t forces an overlap of at
     # least alpha = t/(1+t)·(|A|+|B|). The rarity order is GLOBAL, so
@@ -557,6 +560,13 @@ def hamming_distance(a: Column, b: Column) -> Column:
 #: post-Arrow stages never get to pick the build side.
 _CC_BROADCAST_EDGE_BOUND = 2_000_000
 
+#: Label-row count under which drop_near_dups broadcasts the cluster
+#: labels into the survivor join ((node, label) longs — ~100 MB built
+#: at the bound, the same driver contract as the CC/pagerank bounds);
+#: above it the join pins shuffled-hash so nothing corpus-shaped ever
+#: builds on the driver.
+_DND_BROADCAST_LABEL_BOUND = 2_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -701,13 +711,28 @@ def drop_near_dups(
 ) -> DataFrame:
     """Survivor selection: keep every row not in any dup cluster, plus
     the min-id representative of each cluster (``labels`` from
-    ``connected_components``). Left join + filter — one broadcastable
-    shuffle; the labels table is #clustered-docs rows, tiny relative to
-    the corpus.
+    ``connected_components``). Left join + filter — one join whose
+    strategy is picked from the REAL label count (r12, guide §3.1):
+    ``labels`` sits behind connected_components' iteration barriers,
+    so Catalyst cannot size it and static planning falls back to
+    sort-merge — TWO exchanges plus sorts, one of them over the whole
+    corpus side (the r12 training_corpus before-plan). The barrier's
+    blocks are already materialized by CC's convergence probe, so
+    ``count()`` is one cheap cached-scan job; under the bound the
+    labels side broadcasts (corpus side never shuffles), above it the
+    join pins shuffled-hash — never an estimate-picked build, the r08
+    lesson.
     """
     lbl = labels.select(
         F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
     )
+    # (node, label) rows are two longs — at the bound the built
+    # relation is ~100 MB, the same driver contract as
+    # graph._PR_BROADCAST_NODE_BOUND documents
+    if labels.count() <= _DND_BROADCAST_LABEL_BOUND:
+        lbl = F.broadcast(lbl)
+    else:
+        lbl = lbl.hint("shuffle_hash")
     return (
         df.join(lbl, df[id_col] == F.col("__node"), "left")
         .filter(F.col("__node").isNull() | (F.col("__node") == F.col("__label")))

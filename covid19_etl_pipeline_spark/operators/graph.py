@@ -32,6 +32,15 @@ from covid19_etl_pipeline_spark.operators.partitioning import iteration_barrier
 #: exchanges outright (measured: 3-iteration nation graph, ~2.1s ->
 #: ~1.3s at sf0.1). Above the bound nothing builds on the driver: the
 #: joins are hinted shuffled-hash, the connected_components convention.
+#: DRIVER-MEMORY CONTRACT (ADVICE r11): at the bound each broadcast is
+#: a ~(node, double) frame — ~100 MB framed, built on the driver once
+#: for out-weights plus once per iteration for ranks/contribs — so a
+#: deployment running pagerank near 2M nodes needs roughly
+#: iterations × 100 MB of transient driver headroom (broadcasts are
+#: GC'd between rounds; ~1-2 GB driver memory is the safe minimum).
+#: Small-driver deployments should LOWER this bound rather than raise
+#: driver memory — above it the plan is shuffled-hash and builds
+#: nothing on the driver.
 _PR_BROADCAST_NODE_BOUND = 2_000_000
 
 

@@ -1707,8 +1707,33 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a_size") == F.col("b_size"))
         & (F.col("a_partkey") < F.col("b_partkey"))
     )
-    if fs_widen_parts(parts.count()):
+    n_parts = parts.count()
+    widen = fs_widen_parts(n_parts)
+    if widen:
         cond = cond & (F.col("a_noun") == F.col("b_noun"))
+    # Join strategy + pair-stage parallelism from the SAME real count
+    # (guide §2/§3.1; r12 measured at the ×100 fixture, 2M parts): the
+    # static planner broadcast the b-side from its parquet estimate, so
+    # the blocked self-join — and the 299M-row pair expansion + odds +
+    # top-200 downstream of it — ran INSIDE the 3-task parquet scan
+    # stage, 3 of 32 cores busy for ~140s. Block occupancy is mild
+    # (max 900 vs median 200 — no single-key skew), the straggler was
+    # pure missing parallelism. Past the SAME saturation threshold that
+    # widens the block key, the b side is catalog-scale: pin the join
+    # to shuffled-hash (never build a catalog frame on the driver — the
+    # r08 estimate-broadcast lesson) so both sides exchange on the
+    # block key and the pair stage runs at shuffle parallelism, with
+    # AQE skew-join free to split oversized blocks. Under the
+    # threshold, keep the broadcast the planner picks (pinned, so the
+    # sf0.1 plan is byte-identical) but spread the probe side across
+    # cores once the catalog outgrows one parquet split — the ×10
+    # fixture's 16M-pair expansion otherwise runs single-task.
+    if widen:
+        b = b.hint("shuffle_hash")
+    else:
+        if n_parts > 100_000:
+            a = spread(a)
+        b = F.broadcast(b)
     pairs = a.join(b, cond).select(
         "a_partkey",
         "b_partkey",

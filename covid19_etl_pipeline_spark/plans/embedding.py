@@ -982,16 +982,28 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, subd, n_queries = 4, 16, 5
     v = F.transform("embedding", lambda x: x.cast("double"))
     slices = F.array(*[F.slice(v, s * subd + 1, subd) for s in range(m)])
+    # hoist the self-terms of d2 = <a,a> - 2<a,b> + <b,b> OUT of the
+    # n·m·k scoring join (r12, guide §1.2 per-task work / §4 keep the
+    # per-row expression cheap): <sub,sub> is constant across the k
+    # codebook rows a subs row scores against, <cent,cent> across the n
+    # vectors a codebook row scores — evaluated before the join each
+    # runs once per (vec, subspace) / per codebook entry instead of
+    # once per scored pair, leaving ONE interpreted HOF dot per pair
+    # instead of three (bit-identical doubles: same operands, same
+    # (ss - 2·sc) + cc tree, only the evaluation site moves)
     subs = emb.select(
         "vec_id", F.posexplode(slices).alias("s", "sub")
-    )
+    ).withColumn("ss", similarity.dot(F.col("sub"), F.col("sub")))
     cb = subs.filter(F.col("vec_id") < 16).select(
-        F.col("s").alias("cb_s"), F.col("vec_id").alias("j"), F.col("sub").alias("cent")
+        F.col("s").alias("cb_s"),
+        F.col("vec_id").alias("j"),
+        F.col("sub").alias("cent"),
+        F.col("ss").alias("cc"),
     )
     d2 = (
-        similarity.dot(F.col("sub"), F.col("sub"))
+        F.col("ss")
         - 2 * similarity.dot(F.col("sub"), F.col("cent"))
-        + similarity.dot(F.col("cent"), F.col("cent"))
+        + F.col("cc")
     )
     enc0 = subs.join(F.broadcast(cb), subs["s"] == cb["cb_s"]).select(
         "vec_id", "s", "j", d2.alias("d2")
@@ -1889,6 +1901,14 @@ def mutual_nearest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", F.transform(e, lambda x: x / norm).alias("nv")
     ).localCheckpoint(eager=False)
+    # LAZY, kept after an interleaved eager-vs-lazy A/B at the ×100
+    # fixture (r12): eager 287/311s vs lazy 236/259s — unlike the r11
+    # prefix-table case, the x/y reciprocity self-join's sibling map
+    # stages do NOT duplicate the GEMM here (both sides scan the SAME
+    # checkpoint RDD and the block manager's getOrElseUpdate computes
+    # each block once, the second requester blocking on the cached
+    # block), so the eager barrier only adds a serialized
+    # materialization job in front of the join.
     best = similarity.gemm_nearest_neighbor(v, vec_col="nv").localCheckpoint(
         eager=False
     )
@@ -2181,14 +2201,20 @@ def _ivf_mutual_sql(probes: int, tag: str = "") -> str:
     )"""
 
 
-def _ivf_mutual_pairs(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
-    """Spark side of the template above: IVF coarse quantizer
-    (first-8 deterministic centroids, cosine assignment), each point's
-    ``probes`` nearest cells as the probe membership, home cell
-    (rn = 1) as the candidate membership, per-cell distributed GEMM
-    (similarity.grouped_gemm_nearest_neighbor — cogrouped Q @ Cᵀ when
-    probes > 1) and the mutual filter. Returns (vec_a, vec_b, sim)
-    with sim unrounded."""
+def _ivf_ranked_memberships(
+    spark: SparkSession, sf_dir: str, probes: int
+) -> DataFrame:
+    """The quantizer stage of ``_ivf_mutual_pairs``: (cid, vec_id, nv,
+    rn) — each point's ``probes`` nearest cells by cosine, rn = 1 the
+    home cell. One LAZY barrier: every downstream consumer — the
+    cogroup's query and candidate children when probes > 1, and the
+    p=1 / p=3 curve points of ``mutual_nn_ivf_recall`` (which derive
+    narrower memberships by rank filter) — scans the SAME checkpoint
+    RDD, and concurrent sibling stages compute each block once (block
+    manager dedup; the r12 ×100 A/B on the sibling-consumer GEMM frame
+    measured eager strictly slower). What the shared frame removes is
+    the real duplication: SEPARATE pipelines per curve point built the
+    quantizer twice — nothing dedups across distinct RDDs."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     c = emb.select("vec_id", F.col("embedding").alias("v"))
     cent = emb.filter(F.col("vec_id") < 8).select(
@@ -2206,9 +2232,7 @@ def _ivf_mutual_pairs(spark: SparkSession, sf_dir: str, probes: int) -> DataFram
             F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
     )
-    # one window pass yields BOTH memberships; the lazy localCheckpoint
-    # keeps the quantizer from computing once per consumer
-    ranked = (
+    return (
         csims.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") <= probes)
         .select(
@@ -2216,8 +2240,38 @@ def _ivf_mutual_pairs(spark: SparkSession, sf_dir: str, probes: int) -> DataFram
         )
         .localCheckpoint(eager=False)
     )
+
+
+def _ivf_mutual_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: int,
+    ranked: DataFrame | None = None,
+) -> DataFrame:
+    """Spark side of the template above: IVF coarse quantizer
+    (first-8 deterministic centroids, cosine assignment), each point's
+    ``probes`` nearest cells as the probe membership, home cell
+    (rn = 1) as the candidate membership, per-cell distributed GEMM
+    (similarity.grouped_gemm_nearest_neighbor — cogrouped Q @ Cᵀ when
+    probes > 1) and the mutual filter. Returns (vec_a, vec_b, sim)
+    with sim unrounded.
+
+    ``ranked`` (optional) supplies a pre-built membership frame from
+    ``_ivf_ranked_memberships`` with AT LEAST ``probes`` ranks — the
+    recall curve builds it once at the widest probe count and derives
+    the narrower points by rank filter, so the quantizer pass runs
+    once per query instead of once per curve point (identical rows:
+    rn <= probes over a superset frame is the same selection)."""
+    if ranked is None:
+        ranked = _ivf_ranked_memberships(spark, sf_dir, probes)
+    else:
+        ranked = ranked.filter(F.col("rn") <= probes)
     home = ranked.filter(F.col("rn") == 1).select("cid", "vec_id", "nv")
     probe = ranked.select("cid", "vec_id", "nv") if probes > 1 else None
+    # lazy: the x/y mutual-filter self-join's sibling stages scan the
+    # same checkpoint RDD, so each per-cell GEMM block computes once
+    # (block-manager dedup — the r12 ×100 A/B measured eager strictly
+    # slower on exactly this shape).
     nn = similarity.grouped_gemm_nearest_neighbor(
         home, group_col="cid", vec_col="nv", queries=probe
     ).localCheckpoint(eager=False)
@@ -2322,14 +2376,28 @@ def mutual_nearest_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bitext-mining run needs before committing",
 )
 def mutual_nn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one barrier, FOUR sibling consumers in the final union
+    # (n_exact_pairs and the capture join, per curve point): all scan
+    # the same checkpoint RDD, so the reciprocity join + GEMM compute
+    # once per action (block-manager dedup; lazy kept per the r12 ×100
+    # eager-vs-lazy A/B on this family)
     exact = (
         mutual_nearest_embeddings(spark, sf_dir)
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=False)
     )
+    # one quantizer pass feeds both curve points (p=1 is a rank filter
+    # of the p=3 membership frame — identical selection)
+    ranked3 = _ivf_ranked_memberships(spark, sf_dir, 3)
     rows = []
     for p in (1, 3):
-        ivf = _ivf_mutual_pairs(spark, sf_dir, p).select("vec_a", "vec_b")
+        # barrier: consumed by both the capture join and n_ivf_pairs —
+        # sibling subtrees of the one final action share the blocks
+        ivf = (
+            _ivf_mutual_pairs(spark, sf_dir, p, ranked=ranked3)
+            .select("vec_a", "vec_b")
+            .localCheckpoint(eager=False)
+        )
         cap = exact.join(ivf, ["vec_a", "vec_b"]).agg(
             F.count("*").alias("n_captured")
         )
