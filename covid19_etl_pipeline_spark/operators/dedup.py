@@ -356,17 +356,21 @@ def prefix_filter_jaccard_pairs(
         # the self-join below references this subtree TWICE (a and b
         # aliases) and Catalyst does not dedupe common subplans — without
         # a barrier the explode + freq join + rank window runs twice per
-        # action. EAGER: with a lazy barrier the self-join's two map
-        # stages race and each recomputes the partitions before the
-        # cache fills (measured: lazy 2.38s ≈ no barrier 2.5s, eager
-        # 2.03s at sf0.1). At 100 TB the prefix table is the
-        # corpus-scale candidate index — one materialization vs two
-        # full passes is the same trade `sets` already makes. Routed
+        # action. LAZY (re-measured r12 on a steal-quiet host): the
+        # sibling map stages scan the SAME checkpoint RDD and the block
+        # manager computes each block once (getOrElseUpdate dedup), so
+        # the r11 eager-vs-lazy gap (2.03 vs 2.38s, taken in a steal-
+        # bursty session) does not reproduce — clean interleaved A/B:
+        # lazy 1.94s vs eager 2.02s at sf0.1, 4.47 vs 4.49s warm at
+        # ×10. Lazy additionally folds the materialization into the
+        # first consuming job (one scheduler round-trip fewer). At
+        # 100 TB the blocks land on executor storage either way — the
+        # one-materialization-vs-two-passes trade is unchanged. Routed
         # through iteration_barrier (ADVICE r11) so the engine-wide
         # CHECKPOINT_DIR_CONF toggle flips this barrier to a reliable
         # storage-backed checkpoint with the rest of the engine.
     )
-    prefix = iteration_barrier(prefix)
+    prefix = iteration_barrier(prefix, eager=False)
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter: Jaccard >= t forces an overlap of at
     # least alpha = t/(1+t)·(|A|+|B|). The rarity order is GLOBAL, so
