@@ -629,12 +629,17 @@ def _nearest_centroid(pts: DataFrame, cent: DataFrame, keep_dist: bool = False) 
     NULL for every centroid) order as +Infinity so they deterministically
     take the lowest cid, matching the old window form's ``NULLS FIRST``
     assignment; the carried d2 stays NULL either way."""
-    d2 = (
-        dot(F.col("v"), F.col("v"))
-        - 2 * dot(F.col("v"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv"))
-    )
-    scored = pts.join(F.broadcast(cent)).withColumn("d2", d2)
+    # Self-terms HOISTED out of the n·k scoring join (r12): ||v||² is
+    # constant across the k centroids a point scores against (computed
+    # once per point BEFORE the join), ||c||² constant across all
+    # points (once per centroid before the broadcast) — one interpreted
+    # HOF dot per scored pair instead of three, bit-identical doubles
+    # (same operands, same (vv − 2·vc) + cc tree; only the evaluation
+    # site moves, so oracles are unaffected).
+    pts_vv = pts.withColumn("__vv", dot(F.col("v"), F.col("v")))
+    cent_cc = cent.withColumn("__cc", dot(F.col("cv"), F.col("cv")))
+    d2 = F.col("__vv") - 2 * dot(F.col("v"), F.col("cv")) + F.col("__cc")
+    scored = pts_vv.join(F.broadcast(cent_cc)).withColumn("d2", d2)
     carry = [c for c in pts.columns if c != "pid"] + ["cid"] + (
         ["d2"] if keep_dist else []
     )
@@ -745,17 +750,17 @@ def _nearest_centroid_two_level(
     # g is √k (small), so the collect_list partial aggregates stay a
     # few dozen (d2, gid) scalars per point — no vector payload in the
     # probe list; the point's own columns ride once via min_by.
-    d2p = (
-        dot(F.col("v"), F.col("v"))
-        - 2 * dot(F.col("v"), F.col("gv"))
-        + dot(F.col("gv"), F.col("gv"))
-    )
+    # same self-term hoist as _nearest_centroid: one HOF dot per
+    # (point, pivot) pair instead of three, bit-identical d2
+    pts_vv = pts.withColumn("__vv", dot(F.col("v"), F.col("v")))
+    pivots_gg = pivots.withColumn("__gg", dot(F.col("gv"), F.col("gv")))
+    d2p = F.col("__vv") - 2 * dot(F.col("v"), F.col("gv")) + F.col("__gg")
     carry1 = [c for c in pts.columns if c != "pid"]
     key1 = F.struct(
         F.coalesce(F.col("d2"), F.lit(float("inf"))).alias("d2"),
         F.col("gid").alias("gid"),
     )
-    scored1 = pts.join(F.broadcast(pivots)).withColumn("d2", d2p)
+    scored1 = pts_vv.join(F.broadcast(pivots_gg)).withColumn("d2", d2p)
     agg1 = scored1.groupBy("pid").agg(
         F.min_by(F.struct(*carry1), key1).alias("best"),
         F.slice(F.array_sort(F.collect_list(key1)), 1, p).alias("probe"),
@@ -768,12 +773,12 @@ def _nearest_centroid_two_level(
     # level 2: broadcast-hash join on gid — each point meets only its
     # probed groups' leaves (~p·k/g rows), argmin via the same min_by
     # aggregate (multiprobe duplicates collapse there: one min per pid)
-    d2 = (
-        dot(F.col("v"), F.col("v"))
-        - 2 * dot(F.col("v"), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv"))
-    )
-    scored = p1.join(F.broadcast(leaves), "gid").withColumn("d2", d2)
+    # hoisted as above; ||v||² recomputed once per point row (p1 is
+    # point-grain — carrying it through the min_by would widen carry1)
+    p1_vv = p1.withColumn("__vv", dot(F.col("v"), F.col("v")))
+    leaves_cc = leaves.withColumn("__cc", dot(F.col("cv"), F.col("cv")))
+    d2 = F.col("__vv") - 2 * dot(F.col("v"), F.col("cv")) + F.col("__cc")
+    scored = p1_vv.join(F.broadcast(leaves_cc), "gid").withColumn("d2", d2)
     carry = [c for c in pts.columns if c != "pid"] + ["cid"] + (
         ["d2"] if keep_dist else []
     )
