@@ -818,9 +818,22 @@ def corpus_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 4)
         .select("g")
+        .localCheckpoint(eager=False)
     )
+    # Join strategy from the REAL frequent-shingle count (r12, the r08
+    # rule): the df>=4 set grows with corpus vocabulary — 3.76M shingles
+    # already at the ×100 fixture — so a PINNED broadcast is a driver
+    # bomb at real scale. Under the house ~100MB relation bound the
+    # broadcast stays (the corpus stream is never re-shuffled); above it
+    # the join pins shuffled-hash (measured a wash at ×100: min 48.0s
+    # shj vs 50.0s bcast). The count's job doubles as the barrier's
+    # materializing action, so the filter side computes once either way.
+    if freq.count() <= 2_000_000:
+        freq = F.broadcast(freq)
+    else:
+        freq = freq.hint("shuffle_hash")
     return (
-        ex.join(F.broadcast(freq), "g")
+        ex.join(freq, "g")
         .groupBy("doc_id", "n_sh")
         .agg(F.count("*").alias("dup_shingles"))
         .select(

@@ -118,10 +118,29 @@ def main() -> int:
             df = salt_documents(df)
         elif name == "embeddings":
             df = rotate_embeddings(df)
-        df.drop(COPY).write.mode("overwrite").parquet(
+        # Output file sizing (r12, guide §6): the crossJoin inherits the
+        # single-split source scan, so every fixture table used to land
+        # as ONE file with 1-7 row groups — and parquet splits cannot
+        # cross row groups, so every ×10/×100 sweep SCAN started as a
+        # 1-3-task straggler (measured: a single task spent ~290s doing
+        # scan + tokenize-filter + shuffle-write of the ×100 documents
+        # table while 31 cores idled). Target ~32 MB/file derived from
+        # the source size × k, floored at the core count — real deploys
+        # get thousands of splits; the fixture should not be the one
+        # place the engine reads a giant unsplittable row group.
+        src_path = os.path.join(args.src, f"{name}.parquet")
+        src_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(src_path)
+            for f in fs
+        ) if os.path.isdir(src_path) else os.path.getsize(src_path)
+        n_files = max(
+            os.cpu_count() or 8, -(-src_bytes * args.k // (32 * 1024 * 1024))
+        )
+        df.drop(COPY).repartition(int(n_files)).write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
-        print(f"{name}: x{args.k}", flush=True)
+        print(f"{name}: x{args.k} in {int(n_files)} files", flush=True)
 
     spark.stop()
     print(f"wrote {out}", flush=True)
